@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector/embedding column functions (SURVEY §2.9 R1/R2, §2.12 U4) over
+  * `ArrayType(FloatType)` / `ArrayType(DoubleType)` columns.
+  *
+  * First-tier implementation: higher-order functions (`zip_with` +
+  * `aggregate`) — pure Catalyst expressions, codegen'd, no UDFs, accumulate
+  * in Double regardless of element type. These mirror faiss/numpy semantics:
+  *  - dot:       `retrieval.py` inner-product search, `metrics.py:382 U @ I.T`
+  *  - l2 norm:   `faiss.normalize_L2` prep (`retrieval.py:85-86`)
+  *  - cosine:    dot / (|a||b|), the reference's normalized-dot similarity
+  */
+object Vectors {
+
+  /** R2/U4: dot product — fold over `zip_with` products in Double. */
+  def vecDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm. */
+  def vecNormSq(a: Column): Column =
+    aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** R1/F14: L2 norm. */
+  def vecNorm(a: Column): Column = sqrt(vecNormSq(a))
+
+  /** R1: L2-normalize — zero vectors pass through unchanged (faiss leaves
+    * zero vectors as-is rather than dividing by zero). */
+  def vecNormalize(a: Column): Column = {
+    val n = vecNorm(a)
+    when(n === 0.0, transform(a, x => x.cast("double")))
+      .otherwise(transform(a, x => x.cast("double") / n))
+  }
+
+  /** Cosine similarity = dot / (|a| |b|); 0 when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = vecNorm(a) * vecNorm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(vecDot(a, b) / denom)
+  }
+
+  /** Cosine distance (the diversity metric's pairwise distance,
+    * `metrics.py:430-434`). */
+  def cosineDistance(a: Column, b: Column): Column = lit(1.0) - cosine(a, b)
+
+  /** Euclidean (L2) distance. */
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** P12: pad a vector with a constant to `targetDim`
+    * (ref `synthetic.py:154-161` pads with noise; constant form is the
+    * deterministic variant — callers can add `randn` upstream). */
+  def padTo(a: Column, targetDim: Int, fill: Double = 0.0): Column =
+    concat(a, array_repeat(lit(fill),
+      greatest(lit(targetDim) - size(a), lit(0))))
+}

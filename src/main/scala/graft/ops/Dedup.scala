@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators (builder-brief north-star components;
+  * no direct reference analog — designed for the 100 TB training-data
+  * pipeline posture).
+  *
+  * Scale design rules applied throughout:
+  *  - NEVER all-pairs: candidate generation is always bucketed (hash group,
+  *    LSH band buckets, shared-token inverted index) so the quadratic blowup
+  *    is confined to within-bucket comparisons.
+  *  - Signatures (minhash/simhash) are per-row HOF expressions — no UDFs, no
+  *    shuffle until the bucket join.
+  */
+object Dedup {
+
+  /** Canonical text normalization for dedup keys: lowercase, collapse
+    * whitespace, trim. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Exact dedup: group by content hash of normalized text, keep the row
+    * with the minimum id. One map-side-combined aggregation — scales
+    * linearly; the md5 group key shuffles uniformly. Returns
+    * (hash, keep_id, dup_count). */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(normalizeText(col(textCol))).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup applied: keep only min-id row per normalized-content hash. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactDupGroups(df, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Whitespace tokens of normalized text. */
+  def tokens(c: Column): Column = split(normalizeText(c), " ")
+
+  /** Word n-gram shingles: sliding windows of `n` tokens joined by space.
+    * Pure HOF (`transform` over an index `sequence` + `slice`). */
+  def wordShingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) < n, array(concat_ws(" ", t)))
+      .otherwise(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+
+  /** Character n-gram shingles. */
+  def charShingles(c: Column, n: Int): Column = {
+    val s = normalizeText(c)
+    when(length(s) <= n, array(s))
+      .otherwise(array_distinct(transform(sequence(lit(0), length(s) - n),
+        i => s.substr(i + 1, lit(n)))))
+  }
+
+  /** MinHash signature of a shingle set: `numHashes` permutations
+    * `h_j(x) = (a_j * xxhash64(x) + b_j) mod p`, signature_j = min over
+    * shingles. Deterministic per seed. Per-row expression — the signature
+    * never leaves the row until banding. */
+  def minHashSignature(shingles: Column, numHashes: Int,
+                       seed: Long = 42): Column = {
+    val rnd = new scala.util.Random(seed)
+    val prime = 2147483647L // 2^31 - 1 (Mersenne)
+    val params = Seq.fill(numHashes)(
+      (math.abs(rnd.nextLong()) % (prime - 1) + 1,
+        math.abs(rnd.nextLong()) % prime))
+    val hashCols = params.map { case (a, b) =>
+      array_min(transform(shingles,
+        s => pmod(pmod(xxhash64(s), lit(prime)) * a + b, lit(prime))))
+    }
+    array(hashCols: _*)
+  }
+
+  /** LSH banding: split a minhash signature into `bands` bands of
+    * `rowsPerBand` values; each band → (band_idx, band_hash) bucket key.
+    * Docs sharing any bucket are near-dup candidates. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(sig, b * rowsPerBand + 1, rowsPerBand)), lit(b)).as("bucket"))
+    }: _*)
+
+  /** MinHash-LSH near-duplicate candidate pairs: shingle → signature → band
+    * → bucket self-join (id1 < id2) → exact Jaccard verification on the
+    * shingle sets. Only within-bucket pairs are ever scored. Returns
+    * (id1, id2, jaccard) with jaccard >= threshold. */
+  def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingleLen: Int = 3, numHashes: Int = 64,
+                      bands: Int = 16, threshold: Double = 0.7,
+                      seed: Long = 42): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(
+      col(idCol),
+      wordShingles(col(textCol), shingleLen).as("__sh"))
+      .withColumn("__shd", array_distinct(col("__sh")))
+      .withColumn("__sig", minHashSignature(col("__shd"), numHashes, seed))
+      .withColumn("__band", explode(lshBands(col("__sig"), bands, rowsPerBand)))
+      .select(col(idCol), col("__shd"),
+        col("__band.band").as("band"), col("__band.bucket").as("bucket"))
+    val a = sigs.select(col(idCol).as("id1"), col("__shd").as("sh1"),
+      col("band"), col("bucket"))
+    val b = sigs.select(col(idCol).as("id2"), col("__shd").as("sh2"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Inverted-index n-gram Jaccard: candidate pairs are generated by an
+    * explode-join on shared tokens (docs sharing >= 1 token), then Jaccard =
+    * common / (|A| + |B| − common). Linear in posting-list sizes, not in
+    * doc-pairs; hot tokens (stopword-like) should be filtered upstream at
+    * extreme scale. Returns (id1, id2, jaccard >= threshold). */
+  def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double): DataFrame = {
+    val toks = df.select(col(idCol),
+      array_distinct(tokens(col(textCol))).as("__t"))
+      .withColumn("__n", size(col("__t")))
+    val posting = toks.select(col(idCol), col("__n"),
+      explode(col("__t")).as("__tok"))
+    val p1 = posting.select(col(idCol).as("id1"), col("__n").as("n1"),
+      col("__tok"))
+    val p2 = posting.select(col(idCol).as("id2"), col("__n").as("n2"),
+      col("__tok"))
+    p1.join(p2, Seq("__tok"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** SimHash 64-bit fingerprint (packed Long). Per-token xxhash64; bit i of
+    * the fingerprint is 1 iff the sum over tokens of (+1 if token-hash bit i
+    * set else −1) is positive. All per-row HOFs — no UDF, no shuffle. */
+  def simHash64(textCol: Column): Column = {
+    val th = transform(array_distinct(tokens(textCol)), t => xxhash64(t))
+    (0 until 64).map { i =>
+      val bitSum = aggregate(th, lit(0L), (a, h) =>
+        a + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: bucket by the fingerprint's 4 16-bit
+    * sub-blocks (a pair within Hamming distance <= 3 of 64 bits must agree
+    * on at least one block — pigeonhole), verify Hamming within buckets. */
+  def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val withFp = df.select(col(idCol), simHash64(col(textCol)).as("fp"))
+    val banded = withFp.select(col(idCol), col("fp"),
+      explode(array((0 until 4).map { blk =>
+        struct(lit(blk).as("block"),
+          shiftright(col("fp"), blk * 16).bitwiseAND(lit(0xFFFFL))
+            .as("key"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("fp"), col("bb.block").as("block"),
+        col("bb.key").as("key"))
+    val a = banded.select(col(idCol).as("id1"), col("fp").as("fp1"),
+      col("block"), col("key"))
+    val b = banded.select(col(idCol).as("id2"), col("fp").as("fp2"),
+      col("block"), col("key"))
+    a.join(b, Seq("block", "key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        hamming64(col("fp1"), col("fp2")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

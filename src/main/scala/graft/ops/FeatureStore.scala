@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-store semantics (SURVEY §2.1 S8/S9, §2.3 J8, §2.5 W7):
+  * Feast-style feature views re-expressed as Spark relational contracts.
+  *
+  * A feature view is (entity key columns, event-time column, TTL); the
+  * reference declares these in `src/features/feature_definitions.py:45-63`
+  * and mocks the lookups in `src/features/simple_feature_store.py:17-90`.
+  * Here the DECLARED contract is implemented for real:
+  *  - online lookup  = latest row per entity within TTL of "now"
+  *  - historical     = point-in-time-correct as-of join (no feature leakage:
+  *    each entity row sees only feature rows at or before its own timestamp,
+  *    and not older than ttl)
+  */
+object FeatureStore {
+
+  /** A feature view registration (ref `feature_definitions.py:45-63`). */
+  case class FeatureView(name: String, entityCols: Seq[String],
+                         tsCol: String, ttlSeconds: Long)
+
+  /** W7/S8: latest row per entity key — `row_number() = 1` over ts desc.
+    * `tiebreakCol` makes latest-wins deterministic on ts ties. One shuffle
+    * on the entity key; rides WindowGroupLimit (rank-limit pushdown). */
+  def latestPerKey(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                   tiebreakCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc, col(tiebreakCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** S8: online point lookup — latest feature row per requested entity,
+    * subject to TTL freshness vs the injected `now`
+    * (ref `simple_feature_store.py:17-50`; TTLs `feature_definitions.py:48`).
+    * Request keys are typically tiny → broadcast semi-join, then latest-wins.
+    */
+  def onlineLookup(features: DataFrame, view: FeatureView,
+                   requestKeys: DataFrame, now: Column,
+                   tiebreakCol: String): DataFrame = {
+    val fresh = features.filter(
+      col(view.tsCol) <= now &&
+      col(view.tsCol) >= now - expr(s"INTERVAL ${view.ttlSeconds} SECONDS"))
+    val scoped = fresh.join(broadcast(requestKeys), view.entityCols, "left_semi")
+    latestPerKey(scoped, view.entityCols, view.tsCol, tiebreakCol)
+  }
+
+  /** S9/J8: historical (point-in-time) feature retrieval — the as-of join.
+    * For each entity row (key, t), attach the latest feature row with
+    * `feature.ts ∈ [t - ttl, t]`; nulls where none qualifies (left join).
+    *
+    * Implementation: range-condition join + latest-wins dedup keyed by a
+    * unique entity row id. At scale the range predicate bounds the join
+    * fan-out to ttl-width slices; skewed hot entities can be salted upstream.
+    * (ref contract: `simple_feature_store.py:52-71` + `feature_definitions.py`
+    * TTLs; this is the real semantics the reference mocks.)
+    */
+  def asOfJoin(entityDf: DataFrame, entityKeyCols: Seq[String],
+               entityTsCol: String, features: DataFrame, view: FeatureView,
+               featureTiebreak: String): DataFrame = {
+    val entity = entityDf.withColumn("__row_id", monotonically_increasing_id())
+    // Prefix feature columns so the joined schema is unambiguous.
+    val feats = features.columns.foldLeft(features) { (f, c) =>
+      f.withColumnRenamed(c, s"f_$c")
+    }
+    val joinCond = view.entityCols.zip(entityKeyCols)
+      .map { case (fk, ek) => col(s"f_$fk") === col(ek) }
+      .reduce(_ && _) &&
+      col(s"f_${view.tsCol}") <= col(entityTsCol) &&
+      col(s"f_${view.tsCol}") >= col(entityTsCol) -
+        expr(s"INTERVAL ${view.ttlSeconds} SECONDS")
+    val joined = entity.join(feats, joinCond, "left")
+    val w = Window.partitionBy(col("__row_id"))
+      .orderBy(col(s"f_${view.tsCol}").desc, col(s"f_$featureTiebreak").desc)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__row_id")
+      .drop(view.entityCols.map(c => s"f_$c"): _*)
+  }
+
+  /** T10: materialization — recompute a view's feature table over an event
+    * range and emit the latest-per-key online snapshot
+    * (ref `simple_feature_store.py:82-90`). */
+  def materialize(events: DataFrame, view: FeatureView, from: Column,
+                  to: Column, tiebreakCol: String): DataFrame = {
+    val ranged = events.filter(col(view.tsCol) >= from && col(view.tsCol) <= to)
+    latestPerKey(ranged, view.entityCols, view.tsCol, tiebreakCol)
+  }
+}

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator library (SURVEY §2.2–2.7): the reference's pandas/polars
+  * dataflow steps as composable `DataFrame => DataFrame` functions.
+  *
+  * Scale posture: every function here is expressed declaratively so Catalyst
+  * plans pushdown/pruning/broadcast; the only intentionally-global constructs
+  * (exact ordered splits, sorted dense-rank encoding) document their
+  * single-partition window and ship an approximate scale-safe variant.
+  */
+object Relational {
+
+  /** P4: implicit-feedback labeling — `label = rating >= threshold`
+    * (ref `src/data/movielens.py:238-261`, core line 256). */
+  def implicitLabels(df: DataFrame, ratingCol: String,
+                     threshold: Double = 4.0): DataFrame =
+    df.withColumn("label",
+      when(col(ratingCol) >= threshold, 1).otherwise(0))
+
+  /** J5: k-core filtering — keep rows whose user and item both appear at
+    * least `minCount` times, for a FIXED number of iterations (the reference
+    * runs exactly 3, not to convergence — `src/data/movielens.py:345-382`).
+    *
+    * Each iteration is two map-side-combined counts + two left-semi joins;
+    * at scale AQE turns the (small) qualifying-key sets into broadcast
+    * semi-joins automatically.
+    */
+  def kCore(df: DataFrame, userCol: String, itemCol: String,
+            minUserCount: Int = 5, minItemCount: Int = 5,
+            iterations: Int = 3): DataFrame = {
+    var cur = df
+    for (_ <- 1 to iterations) {
+      val okUsers = cur.groupBy(userCol).count()
+        .filter(col("count") >= minUserCount).select(userCol)
+      cur = cur.join(okUsers, Seq(userCol), "left_semi")
+      val okItems = cur.groupBy(itemCol).count()
+        .filter(col("count") >= minItemCount).select(itemCol)
+      cur = cur.join(okItems, Seq(itemCol), "left_semi")
+    }
+    cur
+  }
+
+  /** W2: global ordered fractional split (ref `src/data/movielens.py:162-202`):
+    * sort by time, first `trainFrac` → train, next `valFrac` → val, rest test.
+    * Exact form: `row_number` over a global order (single-partition window —
+    * correct for oracle parity; use [[timeSplitApprox]] at scale).
+    * `tiebreakCol` makes the ordering total so results are deterministic.
+    */
+  def timeSplit(df: DataFrame, tsCol: String, tiebreakCol: String,
+                trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    val w = Window.orderBy(col(tsCol), col(tiebreakCol))
+    val wAll = Window.partitionBy()
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("split",
+        when(col("__rn") <= col("__n") * trainFrac, "train")
+          .when(col("__rn") <= col("__n") * (trainFrac + valFrac), "val")
+          .otherwise("test"))
+      .drop("__rn", "__n")
+  }
+
+  /** Scale-safe W2 variant: cutoffs from `approxQuantile` (two scans, no
+    * global sort). Boundary rows may land differently than the exact form —
+    * acceptable at 100 TB where a global row_number is not. */
+  def timeSplitApprox(df: DataFrame, tsCol: String,
+                      trainFrac: Double = 0.8, valFrac: Double = 0.1,
+                      relErr: Double = 1e-4): DataFrame = {
+    val Array(c1, c2) = df.stat.approxQuantile(
+      tsCol, Array(trainFrac, trainFrac + valFrac), relErr)
+    df.withColumn("split",
+      when(col(tsCol) <= c1, "train")
+        .when(col(tsCol) <= c2, "val")
+        .otherwise("test"))
+  }
+
+  /** W1 (+J4): leave-last-N-per-user split (ref `src/data/movielens.py:204-236`):
+    * the N most recent interactions per user → test, remainder → train.
+    * One shuffle on `userCol`; rides `WindowGroupLimit` when filtered to
+    * `__rn <= n` forms. */
+  def leaveLastN(df: DataFrame, userCol: String, tsCol: String,
+                 tiebreakCol: String, n: Int = 1): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).desc, col(tiebreakCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("split", when(col("__rn") <= n, "test").otherwise("train"))
+      .drop("__rn")
+  }
+
+  /** P11: label/ID encoding with sklearn-`LabelEncoder` parity — indices
+    * assigned by SORTED key order (ref `src/data/movielens.py:299-303`;
+    * SURVEY §7.4.6: StringIndexer's frequency order does NOT match).
+    * Exact form: dense_rank over the distinct-key set (the window is global
+    * but only over distinct keys, which are small for id vocabularies).
+    * Unseen keys on [[encodeWith]] get `unknownIndex` (ref
+    * `feature_engineering.py:370-377`). */
+  def fitEncoder(df: DataFrame, keyCol: String, idxCol: String): DataFrame =
+    df.select(keyCol).distinct()
+      .withColumn(idxCol, (dense_rank().over(Window.orderBy(col(keyCol))) - 1))
+
+  def encodeWith(df: DataFrame, encoder: DataFrame, keyCol: String,
+                 idxCol: String, unknownIndex: Int = -1): DataFrame =
+    df.join(broadcast(encoder), Seq(keyCol), "left")
+      .withColumn(idxCol, coalesce(col(idxCol), lit(unknownIndex)))
+
+  /** P10: z-score normalize — two-phase (one agg pass for mean/std, then a
+    * broadcast cross-join and arithmetic), ref `src/data/movielens.py:421-422`
+    * with the reference's 1e-8 epsilon. */
+  def zscore(df: DataFrame, cols: Seq[String], eps: Double = 1e-8): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      avg(col(c)).as(s"__mean_$c"), stddev_samp(col(c)).as(s"__std_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    cols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"${c}_z",
+        (col(c) - col(s"__mean_$c")) / (col(s"__std_$c") + eps))
+    }.drop(cols.flatMap(c => Seq(s"__mean_$c", s"__std_$c")): _*)
+  }
+
+  /** P9: min-max scaling with fixed bounds (ref `movielens.py:412-413`
+    * `age/56.0`, `synthetic.py:150-152`). */
+  def minMaxFixed(c: Column, min: Double, max: Double): Column =
+    (c - min) / (max - min)
+
+  /** J6/F23: map-side dictionary lookup (OCCUPATION_MAP / AGE_MAP, ref
+    * `src/data/movielens.py:47-59,123-124`) as a map-literal `element_at` —
+    * no join, no shuffle. */
+  def mapLookup(keyCol: Column, mapping: Map[Int, String],
+                default: String): Column = {
+    val entries = mapping.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    coalesce(element_at(map(entries: _*), keyCol.cast("int")), lit(default))
+  }
+
+  /** X1: per-user negative sampling — sample `n` items per user from the
+    * catalog excluding that user's positives (ref `src/data/movielens.py:488-512`).
+    * Distributed form: anti-join the (user × candidate) space pruned to a
+    * seeded hash-ordered top-n per user; never materializes the full cross
+    * product beyond the per-user candidate window. `candidatePerUser` bounds
+    * the pre-prune fan-out (over-sample factor like the reference's pool). */
+  def negativeSample(positives: DataFrame, userCol: String, itemCol: String,
+                     items: DataFrame, n: Int, seed: Long = 42,
+                     candidatePerUser: Int = 0): DataFrame = {
+    val users = positives.select(userCol).distinct()
+    val cand = users.crossJoin(items)
+    val notPos = cand.join(positives.select(userCol, itemCol).distinct(),
+      Seq(userCol, itemCol), "left_anti")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(xxhash64(col(userCol), col(itemCol), lit(seed)), col(itemCol))
+    notPos.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+}

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors._
+
+/** Similarity search over embedding columns (SURVEY §2.9 R2–R4, R9;
+  * builder-brief ANN component).
+  *
+  * Two tiers, mirroring the reference's Flat-vs-IVF split
+  * (`src/serving/retrieval.py:88-120`):
+  *  - [[bruteForceTopK]] — exact: broadcast the (small) item side, score with
+  *    HOF dot/cosine, per-query top-k via `row_number` (rides Spark's
+  *    WindowGroupLimit rank-limit pushdown). The baseline and the
+  *    correctness oracle.
+  *  - [[clusterPrunedTopK]] — the 100 TB path: IVF-style k-means-lite
+  *    partition pruning. Items are assigned to the nearest of `nlist`
+  *    deterministic centroids; a query probes only its `nprobe` nearest
+  *    clusters, so scored pairs shrink by ~nprobe/nlist (the reference
+  *    probes 20 of 1024 — `retrieval.py:60-62,104-108`).
+  */
+object Similarity {
+
+  /** R3: exact top-k neighbors for every query vector.
+    * `queries`/`items`: (idCol, vecCol) frames. Output:
+    * (query_id, rank, item_id, score). Ties broken by item id ascending
+    * (FIXTURES §3 determinism rule). Set `excludeSelf` when querying a
+    * corpus against itself (the reference filters the query point —
+    * `retrieval.py:170-197` R5). */
+  def bruteForceTopK(queries: DataFrame, items: DataFrame, queryId: String,
+                     itemId: String, vecCol: String, k: Int,
+                     metric: String = "cosine",
+                     excludeSelf: Boolean = false): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"),
+      col(vecCol).as("__qv"))
+    val it = items.select(col(itemId).as("item_id"), col(vecCol).as("__iv"))
+    val scoreCol = metric match {
+      case "cosine" => cosine(col("__qv"), col("__iv"))
+      case "dot"    => vecDot(col("__qv"), col("__iv"))
+      case "l2"     => -l2Distance(col("__qv"), col("__iv"))
+      case m        => throw new IllegalArgumentException(s"metric $m")
+    }
+    val pairs0 = q.join(broadcast(it),
+      if (excludeSelf) col("query_id") =!= col("item_id") else lit(true))
+    val scored = pairs0.withColumn("score", scoreCol)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("item_id"), col("score"))
+  }
+
+  /** Deterministic centroid pick: the first `nlist` item vectors by a seeded
+    * hash order — a k-means-lite seeding (kmeans iterations can refine these
+    * offline; pruning correctness only needs consistent assignment). */
+  def pickCentroids(items: DataFrame, itemId: String, vecCol: String,
+                    nlist: Int, seed: Long = 42): DataFrame =
+    items.select(col(itemId), col(vecCol))
+      .withColumn("__h", xxhash64(col(itemId), lit(seed)))
+      .orderBy(col("__h"), col(itemId)).limit(nlist)
+      .withColumn("centroid_id",
+        (row_number().over(Window.orderBy(col("__h"), col(itemId))) - 1))
+      .select(col("centroid_id"), col(vecCol).as("centroid_vec"))
+
+  /** Assign each row to its nearest centroid (broadcast cross-score +
+    * argmin). Adds `centroid_id`. */
+  def assignClusters(df: DataFrame, vecCol: String,
+                     centroids: DataFrame): DataFrame = {
+    val scored = df.crossJoin(broadcast(centroids))
+      .withColumn("__d", l2Distance(col(vecCol), col("centroid_vec")))
+    val w = Window.partitionBy(df.columns.map(col): _*)
+      .orderBy(col("__d"), col("centroid_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__d", "centroid_vec")
+  }
+
+  /** R4: IVF-style approximate top-k — probe only the query's `nprobe`
+    * nearest clusters. Recall < 1 by construction; invariants (vs exact)
+    * are asserted in tests rather than a SQL oracle. */
+  def clusterPrunedTopK(queries: DataFrame, items: DataFrame, queryId: String,
+                        itemId: String, vecCol: String, k: Int,
+                        nlist: Int = 64, nprobe: Int = 8,
+                        seed: Long = 42): DataFrame = {
+    val centroids = pickCentroids(items, itemId, vecCol, nlist, seed)
+    val itemsC = assignClusters(
+      items.select(col(itemId).as("item_id"), col(vecCol).as("__iv")),
+      "__iv", centroids)
+    // each query probes its nprobe nearest centroids
+    val qProbe = {
+      val scored = queries
+        .select(col(queryId).as("query_id"), col(vecCol).as("__qv"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("__d", l2Distance(col("__qv"), col("centroid_vec")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("__d"), col("centroid_id"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= nprobe)
+        .select(col("query_id"), col("__qv"), col("centroid_id"))
+    }
+    val pairs = qProbe.join(itemsC, Seq("centroid_id"))
+    val scored = pairs.withColumn("score", cosine(col("__qv"), col("__iv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("item_id"), col("score"))
+  }
+
+  /** R9: intra-list diversity — mean pairwise cosine DISTANCE among each
+    * user's top-N recommended item embeddings (`metrics.py:402-446`).
+    * Input: recs (userCol, array of item ids, ranked), embeddings
+    * (itemId, vecCol). Self-join on position pairs i < j. */
+  def intraListDiversity(recs: DataFrame, userCol: String, predCol: String,
+                         topN: Int, embeddings: DataFrame, itemId: String,
+                         vecCol: String): DataFrame = {
+    val exploded = recs.select(col(userCol),
+      posexplode(slice(col(predCol), 1, topN)).as(Seq("pos", "__item")))
+      .join(broadcast(embeddings.select(col(itemId).as("__item"),
+        col(vecCol).as("__v"))), Seq("__item"))
+    val a = exploded.select(col(userCol), col("pos").as("p1"),
+      col("__v").as("v1"))
+    val b = exploded.select(col(userCol), col("pos").as("p2"),
+      col("__v").as("v2"))
+    a.join(b, Seq(userCol))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col(userCol))
+      .agg(avg(cosineDistance(col("v1"), col("v2"))).as("diversity"))
+  }
+
+  /** Embedding near-duplicate pairs at scale: cluster-prune then verify
+    * cosine >= threshold within clusters (never all-pairs). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, nlist: Int = 64,
+                        seed: Long = 42): DataFrame = {
+    val centroids = pickCentroids(df, idCol, vecCol, nlist, seed)
+    val assigned = assignClusters(
+      df.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v",
+      centroids)
+    val a = assigned.select(col("__id").as("id1"), col("__v").as("v1"),
+      col("centroid_id"))
+    val b = assigned.select(col("__id").as("id2"), col("__v").as("v2"),
+      col("centroid_id"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+}

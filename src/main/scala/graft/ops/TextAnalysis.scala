@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (builder-brief north-star
+  * component): language ID, quality scoring, token counting, document
+  * fingerprinting. Every function is a per-row Catalyst expression —
+  * linear scans, no shuffles, codegen-friendly at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (lowercased, collapsed). */
+  def tokens(c: Column): Column = split(trim(regexp_replace(lower(c), "\\s+", " ")), " ")
+
+  /** Token count — whitespace tokenization. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count estimate: words plus intra-word punctuation and
+    * digit-group boundaries (a cheap proxy for BPE token counts — regex
+    * split on transitions). */
+  def subwordCount(c: Column): Column =
+    size(split(trim(c), "\\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=\\d)|(?<=\\d)(?=[A-Za-z])|(?=[^\\w\\s])"))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(c: Column): Column = {
+    val n = length(c)
+    when(n === 0, 0.0).otherwise(
+      (n - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("double") / n)
+  }
+
+  /** Ratio of uppercase characters. */
+  def upperRatio(c: Column): Column = {
+    val n = length(c)
+    when(n === 0, 0.0).otherwise(
+      (n - length(regexp_replace(c, "[A-Z]", ""))).cast("double") / n)
+  }
+
+  /** Mean word length. */
+  def avgWordLen(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, 0.0).otherwise(
+      aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        size(t))
+  }
+
+  /** Stopword ratio against a broadcastable literal stopword list. */
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(c)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(t) === 0, 0.0).otherwise(
+      size(filter(t, w => array_contains(sw, w))).cast("double") / size(t))
+  }
+
+  /** Heuristic quality score in [0,1]: favors mid-length docs with moderate
+    * punctuation and a healthy stopword rate (shape follows the reference's
+    * weighted-blend content-quality idiom, `feature_engineering.py:337-345`). */
+  def qualityScore(c: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(tokenCount(c).cast("double") / 100.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(c) * 5.0, lit(1.0))
+    val swScore = least(stopwordRatio(c, stopwords) * 4.0, lit(1.0))
+    Features.clip(lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3, 0.0, 1.0)
+  }
+
+  /** Language ID by marker-token profiles: score(lang) = count of distinct
+    * doc tokens in that language's marker list; predict argmax (ties broken
+    * by language code ascending). `profiles` rides along as array literals —
+    * an n-gram-profile upgrade slots in the same shape. */
+  def langIdByProfiles(c: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val t = array_distinct(tokens(c))
+    // argmax via array_max over (score, -alphabetical_rank, lang) structs:
+    // lexicographic struct comparison picks highest score; on ties the
+    // negated rank makes the alphabetically-first language win.
+    val scored = profiles.sortBy(_._1).zipWithIndex.map {
+      case ((lang, markers), i) =>
+        val m = array(markers.map(lit): _*)
+        struct(size(array_intersect(t, m)).as("score"),
+          lit(-i).as("langord"), lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Rolling polynomial fingerprint (Rabin-Karp style) over the whole
+    * document: acc = acc*31 + charCode mod 2^61−1. Stable across runs. */
+  def fingerprint(c: Column): Column = {
+    val prime = lit(2305843009213693951L) // 2^61 - 1
+    aggregate(split(c, ""), lit(7L),
+      (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch), lit(0)), prime))
+  }
+
+  /** Word n-grams of a document (for n-gram LM-ish analyses). */
+  def wordNgrams(c: Column, n: Int): Column = Dedup.wordShingles(c, n)
+
+  /** Per-document stats frame: id, token/char counts, ratios, quality. */
+  def documentStats(df: DataFrame, idCol: String, textCol: String,
+                    stopwords: Seq[String]): DataFrame =
+    df.select(
+      col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      length(col(textCol)).as("n_chars"),
+      avgWordLen(col(textCol)).as("avg_word_len"),
+      punctRatio(col(textCol)).as("punct_ratio"),
+      stopwordRatio(col(textCol), stopwords).as("stopword_ratio"),
+      size(array_distinct(tokens(col(textCol)))).as("n_distinct_tokens"),
+      qualityScore(col(textCol), stopwords).as("quality"))
+}
