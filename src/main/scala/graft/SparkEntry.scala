@@ -1,13 +1,618 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Features, FeatureStore, Relational, Similarity, TextAnalysis}
+import graft.eval.RankingMetrics
+import graft.functions.{Vectors => V}
+import graft.sources.SyntheticData
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] exercises one-or-more SURVEY §2 operator rows via
+  * the graft operator library; [[oracleSql]] carries the DuckDB-equivalent SQL
+  * for the driver's differential correctness gate. Determinism rules
+  * (FIXTURES.md §3): explicit total ORDER BY everywhere, aggregate doubles
+  * rounded, aliases identical on both sides, injected anchor timestamps.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Events table loader. The driver's events.parquet carries
+    * TIMESTAMP(NANOS) which Spark's vectorized parquet reader rejects;
+    * read nanos as long (legacy conf) and convert losslessly to a
+    * microsecond TimestampType column (the testdata has no sub-µs values). */
+  private def E(s: SparkSession, dir: String): DataFrame = {
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** Injected "now" anchor for trailing-window queries (events span Jan 2024). */
+  private val Anchor = "2024-01-31 00:00:00"
+  private def anchorTs: Column = lit(Anchor).cast("timestamp")
+
+  // ====================================================================
+  // Tranche 1: relational core (P/J/A/W/O/X rows)
+  // ====================================================================
+
+  /** (name, spark query, optional DuckDB oracle) triples — single source of
+    * truth so `queries` and `oracleSql` can never drift apart. */
+  private lazy val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // --- S3/P1/P2/O2: scan → filter → project, pushdown-friendly ---
+    ("p_scan_filter_project", (s, d) =>
+      T(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2000-02-01").cast("timestamp") &&
+          col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-02-01' AND l_quantity > 45
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // --- P4/P5: implicit-feedback labeling (movielens.py:238-261) ---
+    ("p_implicit_labels", (s, d) => {
+      val labeled = Relational.implicitLabels(E(s, d), "value", 100.0)
+      labeled.groupBy(col("label"))
+        .agg(count(lit(1)).as("cnt"),
+          (round(sum(col("value")), 2) / count(lit(1))).as("avg_value"))
+        .orderBy(col("label"))
+    },
+      Some("""SELECT CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS label,
+             |count(*) AS cnt, round(sum(value), 2) / count(*) AS avg_value
+             |FROM events GROUP BY 1 ORDER BY label""".stripMargin)),
+
+    // --- P6/P9/F17: derived arithmetic columns ---
+    ("p_derived_cols", (s, d) =>
+      T(s, d, "lineitem").filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge"),
+          (col("l_quantity") / 50.0).as("qty_norm"),
+          Features.safeDiv(col("l_discount"), col("l_tax")).as("disc_tax_ratio"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |l_extendedprice * (1 - l_discount) AS net_price,
+             |l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+             |l_quantity / 50.0 AS qty_norm,
+             |l_discount / (l_tax + 1e-6) AS disc_tax_ratio
+             |FROM lineitem WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // --- P10: z-score normalize, two-phase agg + broadcast (movielens.py:421-422).
+    // Oracle-safe arithmetic: moments are rounded at the source's true decimal
+    // precision (acctbal has 2 decimals → sum exact at 2, sum-of-squares at 4),
+    // then mean/std derive identically on both engines — bit-identical output,
+    // no final rounding. The general stddev_samp form lives in Relational.zscore.
+    ("p_zscore", (s, d) => {
+      val cust = T(s, d, "customer")
+      val stats = cust.agg(
+        round(sum(col("c_acctbal")), 2).as("__s"),
+        round(sum(col("c_acctbal") * col("c_acctbal")), 4).as("__ss"),
+        count(lit(1)).as("__n"))
+      cust.crossJoin(broadcast(stats))
+        .select(col("c_custkey"),
+          ((col("c_acctbal") - col("__s") / col("__n")) /
+            (sqrt((col("__ss") - col("__s") * col("__s") / col("__n")) /
+              (col("__n") - 1)) + 1e-8)).as("acctbal_z"))
+        .orderBy(col("c_custkey"))
+    },
+      Some("""WITH st AS (SELECT round(sum(c_acctbal), 2) AS s, round(sum(c_acctbal * c_acctbal), 4) AS ss, count(*) AS n FROM customer)
+             |SELECT c_custkey,
+             |(c_acctbal - s / n) / (sqrt((ss - s * s / n) / (n - 1)) + 1e-8) AS acctbal_z
+             |FROM customer, st ORDER BY c_custkey""".stripMargin)),
+
+    // --- P11: sorted dense-rank id encoding, sklearn LabelEncoder parity ---
+    ("p_id_encode", (s, d) => {
+      val cust = T(s, d, "customer")
+      val enc = Relational.fitEncoder(cust, "c_mktsegment", "seg_idx")
+      Relational.encodeWith(cust, enc, "c_mktsegment", "seg_idx")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("seg_idx").cast("long").as("seg_idx"))
+        .orderBy(col("c_custkey"))
+    },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS seg_idx
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // --- J1/P7/P8: left equi-join enrichment + null fill + alias ---
+    ("j1_left_join_enrich", (s, d) =>
+      T(s, d, "orders")
+        .join(broadcast(T(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("unknown")).as("segment"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy(col("segment")),
+      Some("""SELECT coalesce(c_mktsegment, 'unknown') AS segment,
+             |count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY segment""".stripMargin)),
+
+    // --- J2: multi-way inner join (revenue per region/nation) ---
+    ("j2_multiway_join", (s, d) =>
+      T(s, d, "lineitem")
+        .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("r_name"), col("n_name")),
+      Some("""SELECT r_name, n_name,
+             |round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS cnt
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    // --- J4: left-anti join (split complement idiom, movielens.py:228) ---
+    ("j4_anti_join", (s, d) => {
+      val bigOrders = T(s, d, "orders").filter(col("o_totalprice") > 450000)
+      T(s, d, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // --- J5: k-core semi-join loop, fixed 3 iterations (movielens.py:345-382) ---
+    ("j5_kcore", (s, d) => {
+      val li = T(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      Relational.kCore(li, "l_partkey", "l_suppkey", 30, 590, 3)
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+    },
+      Some("""WITH i0 AS (SELECT l_partkey, l_suppkey FROM lineitem),
+             |p1 AS (SELECT * FROM i0 WHERE l_partkey IN (SELECT l_partkey FROM i0 GROUP BY 1 HAVING count(*) >= 30)),
+             |s1 AS (SELECT * FROM p1 WHERE l_suppkey IN (SELECT l_suppkey FROM p1 GROUP BY 1 HAVING count(*) >= 590)),
+             |p2 AS (SELECT * FROM s1 WHERE l_partkey IN (SELECT l_partkey FROM s1 GROUP BY 1 HAVING count(*) >= 30)),
+             |s2 AS (SELECT * FROM p2 WHERE l_suppkey IN (SELECT l_suppkey FROM p2 GROUP BY 1 HAVING count(*) >= 590)),
+             |p3 AS (SELECT * FROM s2 WHERE l_partkey IN (SELECT l_partkey FROM s2 GROUP BY 1 HAVING count(*) >= 30)),
+             |s3 AS (SELECT * FROM p3 WHERE l_suppkey IN (SELECT l_suppkey FROM p3 GROUP BY 1 HAVING count(*) >= 590))
+             |SELECT count(*) AS cnt, count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps FROM s3""".stripMargin)),
+
+    // --- J6/F23: map-literal lookup join (movielens.py:47-59) ---
+    ("j6_map_lookup", (s, d) => {
+      val zones = Map(0 -> "ZONE-AMERICAS", 1 -> "ZONE-EMEA", 2 -> "ZONE-APAC")
+      T(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"),
+          Relational.mapLookup(col("n_regionkey"), zones, "ZONE-OTHER").as("zone"))
+        .orderBy(col("n_nationkey"))
+    },
+      Some("""SELECT n_nationkey, n_name,
+             |CASE n_regionkey WHEN 0 THEN 'ZONE-AMERICAS' WHEN 1 THEN 'ZONE-EMEA' WHEN 2 THEN 'ZONE-APAC' ELSE 'ZONE-OTHER' END AS zone
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // --- S9/J8: as-of TTL join (simple_feature_store.py:52-71 contract) ---
+    ("j8_asof_ttl_join", (s, d) => {
+      val ev = E(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val view = FeatureStore.FeatureView("clicks", Seq("user_id"), "ts", 3600L)
+      FeatureStore.asOfJoin(purchases, Seq("user_id"), "ts", clicks, view, "event_id")
+        .select(col("event_id"), col("f_event_id").as("click_event_id"))
+        .orderBy(col("event_id"))
+    },
+      Some("""SELECT p.event_id,
+             |(SELECT c.event_id FROM events c
+             | WHERE c.event_type = 'click' AND c.user_id = p.user_id
+             |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 3600 SECONDS
+             | ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_event_id
+             |FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin)),
+
+    // --- A1/A4/A7: grouped count + distinct count (value_counts idiom) ---
+    ("a1_grouped_counts", (s, d) =>
+      E(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, count(*) AS cnt, count(DISTINCT event_type) AS n_types
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // --- A2/A3/A5/F17: conditional counts + CTR (feature_engineering.py:201-228) ---
+    ("a2_conditional_ctr", (s, d) => {
+      val ev = E(s, d)
+      ev.groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+          (round(sum(col("value")), 2) / count(lit(1))).as("avg_value"))
+        .withColumn("ctr", Features.safeDiv(col("clicks"), col("views")))
+        .orderBy(col("user_id"))
+    },
+      Some("""SELECT user_id,
+             |count(*) FILTER (WHERE event_type = 'click') AS clicks,
+             |count(*) FILTER (WHERE event_type = 'view') AS views,
+             |round(sum(value), 2) / count(*) AS avg_value,
+             |(count(*) FILTER (WHERE event_type = 'click')) / ((count(*) FILTER (WHERE event_type = 'view')) + 1e-6) AS ctr
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // --- A6/T5: multi-horizon trailing windows, single-pass conditional agg ---
+    ("a6_multiwindow_agg", (s, d) => {
+      val horizons = Seq(("24h", 86400L), ("7d", 604800L), ("30d", 2592000L))
+      val agg = Features.multiWindowAggs(E(s, d), "user_id", "ts",
+        "event_type", "value", anchorTs, horizons)
+      // oracle-safe mean: round the (exactly-2-decimal) sum, divide by count
+      val safe = horizons.foldLeft(agg) { case (df, (sfx, _)) =>
+        df.withColumn(s"avg_value_$sfx",
+          round(col(s"sum_value_$sfx"), 2) / col(s"events_$sfx"))
+          .drop(s"sum_value_$sfx")
+      }
+      safe.orderBy(col("user_id"))
+    }, {
+      def win(sfx: String, secs: Long): String = {
+        val in = s"ts >= TIMESTAMP '$Anchor' - INTERVAL $secs SECONDS AND ts <= TIMESTAMP '$Anchor'"
+        s"""count(*) FILTER (WHERE $in AND event_type = 'click') AS clicks_$sfx,
+           |count(*) FILTER (WHERE $in AND event_type = 'view') AS views_$sfx,
+           |count(*) FILTER (WHERE $in) AS events_$sfx,
+           |round(sum(value) FILTER (WHERE $in), 2) / (count(*) FILTER (WHERE $in)) AS avg_value_$sfx,
+           |(count(*) FILTER (WHERE $in AND event_type = 'click')) / ((count(*) FILTER (WHERE $in AND event_type = 'view')) + 1e-6) AS ctr_$sfx""".stripMargin
+      }
+      Some(s"""SELECT user_id,
+              |${win("24h", 86400L)},
+              |${win("7d", 604800L)},
+              |${win("30d", 2592000L)}
+              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    }),
+
+    // --- A8/W3/O5/U1: per-group top-k collected to ordered list ---
+    ("a8_collect_topk", (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      E(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rnk"), col("event_id")))),
+          x => x.getField("event_id").cast("string")), ",").as("top_events"))
+        .orderBy(col("user_id"))
+    },
+      Some("""WITH ranked AS (
+             |  SELECT user_id, event_id,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+             |  FROM events)
+             |SELECT user_id, string_agg(event_id::VARCHAR, ',' ORDER BY rnk) AS top_events
+             |FROM ranked WHERE rnk <= 5 GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // --- A9: global scalar aggregates ---
+    ("a9_global_aggs", (s, d) =>
+      T(s, d, "lineitem").agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        (round(sum(col("l_extendedprice")), 2) / count(lit(1))).as("avg_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        sqrt((round(sum(col("l_discount") * col("l_discount")), 4) -
+          round(sum(col("l_discount")), 2) * round(sum(col("l_discount")), 2) / count(lit(1))) /
+          (count(lit(1)) - 1)).as("std_discount")),
+      Some("""SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+             |round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+             |min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+             |sqrt((round(sum(l_discount * l_discount), 4) - round(sum(l_discount), 2) * round(sum(l_discount), 2) / count(*)) / (count(*) - 1)) AS std_discount
+             |FROM lineitem""".stripMargin)),
+
+    // --- W1/J4: leave-last-N-per-user split (movielens.py:204-236) ---
+    ("w1_leave_last_n", (s, d) =>
+      Relational.leaveLastN(E(s, d), "user_id", "ts", "event_id", 1)
+        .filter(col("split") === "test")
+        .select(col("user_id"), col("event_id"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, event_id FROM (
+             |  SELECT user_id, event_id,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events) t
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // --- W2/O1: global ordered fractional time split (movielens.py:162-202) ---
+    ("w2_time_split", (s, d) =>
+      Relational.timeSplit(E(s, d), "ts", "event_id", 0.8, 0.1)
+        .groupBy(col("split")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("split")),
+      Some("""WITH s AS (
+             |  SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, count(*) OVER () AS n
+             |  FROM events)
+             |SELECT CASE WHEN rn <= n * 0.8 THEN 'train' WHEN rn <= n * 0.9 THEN 'val' ELSE 'test' END AS split,
+             |count(*) AS cnt FROM s GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // --- W3: per-group top-k by score (evaluate_model.py:231) ---
+    ("w3_topk_per_group", (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      E(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("user_id"), col("rnk").cast("long").as("rnk"),
+          col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("rnk"))
+    },
+      Some("""SELECT user_id, rnk, event_id, value FROM (
+             |  SELECT user_id, event_id, value,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+             |  FROM events) t
+             |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin)),
+
+    // --- W6: running prefix aggregation (metrics.py:202-228 shape) ---
+    ("w6_running_sum", (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      E(s, d).filter(col("user_id") < 10)
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w), 4).as("run_sum"),
+          count(lit(1)).over(w).as("run_cnt"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+      Some("""SELECT user_id, event_id,
+             |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) AS run_sum,
+             |count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_cnt
+             |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin)),
+
+    // --- W7/S8: latest-per-key (online store semantics) ---
+    ("w7_latest_per_key", (s, d) =>
+      FeatureStore.latestPerKey(E(s, d), Seq("user_id"), "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, event_id, event_type, value FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events) t
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // --- S8: online point lookup with TTL freshness ---
+    ("s8_online_lookup", (s, d) => {
+      val keys = s.range(10).select(col("id").as("user_id"))
+      val view = FeatureStore.FeatureView("user_events", Seq("user_id"), "ts", 604800L)
+      FeatureStore.onlineLookup(E(s, d), view, keys, anchorTs, "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    },
+      Some(s"""SELECT user_id, event_id, event_type, value FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              |  FROM events
+              |  WHERE user_id < 10 AND ts <= TIMESTAMP '$Anchor'
+              |    AND ts >= TIMESTAMP '$Anchor' - INTERVAL 604800 SECONDS) t
+              |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // --- O3: global top-k by score ---
+    ("o3_global_topk", (s, d) =>
+      T(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // --- J3/P7: per-window agg frames full-outer combined + fill (A-fanout alt) ---
+    ("j3_outer_join_fill", (s, d) => {
+      val ev = E(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt_clicks"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 2).as("sum_purchase"))
+      clicks.join(purch, Seq("user_id"), "full")
+        .na.fill(0L, Seq("cnt_clicks")).na.fill(0.0, Seq("sum_purchase"))
+        .orderBy(col("user_id"))
+    },
+      Some("""WITH c AS (SELECT user_id, count(*) AS cnt_clicks FROM events WHERE event_type = 'click' GROUP BY 1),
+             |p AS (SELECT user_id, round(sum(value), 2) AS sum_purchase FROM events WHERE event_type = 'purchase' GROUP BY 1)
+             |SELECT coalesce(c.user_id, p.user_id) AS user_id,
+             |coalesce(cnt_clicks, 0) AS cnt_clicks, coalesce(sum_purchase, 0.0) AS sum_purchase
+             |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id ORDER BY user_id""".stripMargin)),
+
+    // --- X1..X4: per-user array set operations over json-decoded item keys ---
+    ("x_array_set_ops", (s, d) => {
+      val ev = E(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      ev.groupBy(col("user_id"))
+        .agg(
+          collect_set(when(col("event_type") === "click", col("k"))).as("ck"),
+          collect_set(when(col("event_type") === "view", col("k"))).as("vk"))
+        .select(col("user_id"),
+          size(col("ck")).as("n_clicked"),
+          size(col("vk")).as("n_viewed"),
+          size(array_intersect(col("ck"), col("vk"))).as("n_both"),
+          size(array_except(col("ck"), col("vk"))).as("n_click_only"))
+        .orderBy(col("user_id"))
+    },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |ck AS (SELECT DISTINCT user_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events WHERE event_type = 'click'),
+             |vk AS (SELECT DISTINCT user_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events WHERE event_type = 'view'),
+             |j AS (SELECT coalesce(ck.user_id, vk.user_id) AS user_id, ck.k AS ck_k, vk.k AS vk_k
+             |      FROM ck FULL OUTER JOIN vk ON ck.user_id = vk.user_id AND ck.k = vk.k)
+             |SELECT u.user_id,
+             |CAST(count(*) FILTER (WHERE j.ck_k IS NOT NULL) AS INTEGER) AS n_clicked,
+             |CAST(count(*) FILTER (WHERE j.vk_k IS NOT NULL) AS INTEGER) AS n_viewed,
+             |CAST(count(*) FILTER (WHERE j.ck_k IS NOT NULL AND j.vk_k IS NOT NULL) AS INTEGER) AS n_both,
+             |CAST(count(*) FILTER (WHERE j.ck_k IS NOT NULL AND j.vk_k IS NULL) AS INTEGER) AS n_click_only
+             |FROM u LEFT JOIN j ON u.user_id = j.user_id GROUP BY u.user_id ORDER BY u.user_id""".stripMargin)),
+
+    // --- X5: frame union append ---
+    ("x5_union_append", (s, d) => {
+      val ev = E(s, d)
+      ev.filter(col("event_type") === "click")
+        .unionByName(ev.filter(col("event_type") === "signup"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_type"))
+    },
+      Some("""SELECT event_type, count(*) AS cnt FROM (
+             |  SELECT * FROM events WHERE event_type = 'click'
+             |  UNION ALL SELECT * FROM events WHERE event_type = 'signup') t
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // --- F1-F6: string/regex scalar functions ---
+    ("f_string_ops", (s, d) =>
+      T(s, d, "part").select(
+        col("p_partkey"),
+        element_at(split(col("p_name"), " "), 1).as("name_word1"),
+        size(split(col("p_name"), " ")).as("n_words"),
+        regexp_extract(col("p_brand"), "(\\d+)", 1).cast("int").as("brand_num"),
+        lower(col("p_type")).as("type_lower"),
+        concat(lit("part_"), col("p_partkey").cast("string")).as("part_tag"),
+        regexp_replace(col("p_name"), "\\s+", "_").as("name_slug"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+             |split_part(p_name, ' ', 1) AS name_word1,
+             |CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+             |CAST(regexp_extract(p_brand, '(\d+)', 1) AS INTEGER) AS brand_num,
+             |lower(p_type) AS type_lower,
+             |'part_' || p_partkey AS part_tag,
+             |regexp_replace(p_name, '\s+', '_', 'g') AS name_slug
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // --- F7-F10: date/time scalar functions ---
+    ("f_date_ops", (s, d) =>
+      T(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        quarter(col("o_orderdate")).as("qtr"),
+        datediff(lit("2002-01-01").cast("timestamp"), col("o_orderdate")).as("days_to_2002"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |CAST(year(o_orderdate) AS INTEGER) AS yr,
+             |CAST(month(o_orderdate) AS INTEGER) AS mo,
+             |CAST(day(o_orderdate) AS INTEGER) AS dom,
+             |CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+             |CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+             |CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS days_to_2002
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // --- F11-F17: math scalar functions (decay, clip, log2, sqrt, blend) ---
+    ("f_math_ops", (s, d) =>
+      T(s, d, "lineitem").filter(col("l_orderkey") < 300).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(Features.expDecay(col("l_quantity"), 50.0), 6).as("decay"),
+        Features.clip(col("l_extendedprice") / 100000.0, 0.0, 1.0).as("clipped"),
+        round(log2(col("l_quantity") + 1), 6).as("lg"),
+        sqrt(col("l_extendedprice")).as("rt"),
+        (col("l_discount") * 0.3 + col("l_tax") * 0.7).as("blend"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |round(exp(-l_quantity / 50.0), 6) AS decay,
+             |least(greatest(l_extendedprice / 100000.0, 0.0), 1.0) AS clipped,
+             |round(log2(l_quantity + 1), 6) AS lg,
+             |sqrt(l_extendedprice) AS rt,
+             |l_discount * 0.3 + l_tax * 0.7 AS blend
+             |FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // --- F18: JSON decode + group on extracted key ---
+    ("f_json_decode", (s, d) =>
+      E(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"),
+          (round(sum(col("value")), 2) / count(lit(1))).as("avg_value"))
+        .orderBy(col("k")),
+      Some("""SELECT CAST(props->>'$.k' AS INTEGER) AS k, count(*) AS cnt,
+             |round(sum(value), 2) / count(*) AS avg_value
+             |FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
+
+    // --- F20: md5 content hashing ---
+    ("f_md5_hash", (s, d) =>
+      T(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          length(col("text")).as("text_len"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, md5(text) AS text_md5,
+             |CAST(length(text) AS INTEGER) AS text_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // --- T3/T4: tumbling 5-min window features (batch form) ---
+    ("t3_window_5min", (s, d) => {
+      val wf = Features.windowedActivity(E(s, d), "user_id", "ts",
+        "event_type", "value", "5 minutes")
+      wf.select(col("user_id"),
+        col("window_start").cast("long").as("win_start"),
+        col("clicks"), col("views"), col("events"),
+        (round(col("sum_value"), 2) / col("events")).as("avg_value"),
+        col("ctr"))
+        .orderBy(col("user_id"), col("win_start"))
+    },
+      Some("""SELECT user_id, CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
+             |count(*) FILTER (WHERE event_type = 'click') AS clicks,
+             |count(*) FILTER (WHERE event_type = 'view') AS views,
+             |count(*) AS events,
+             |round(sum(value), 2) / count(*) AS avg_value,
+             |(count(*) FILTER (WHERE event_type = 'click')) / ((count(*) FILTER (WHERE event_type = 'view')) + 1e-6) AS ctr
+             |FROM events GROUP BY 1, 2 ORDER BY user_id, win_start""".stripMargin)),
+
+    // --- T11: gap-based sessionization (batch) ---
+    ("t11_sessionize", (s, d) =>
+      Features.sessionize(E(s, d), "user_id", "ts", 1800L)
+        .groupBy(col("user_id"))
+        .agg(max(col("session_idx")).as("n_sessions"))
+        .orderBy(col("user_id")),
+      Some("""WITH l AS (
+             |  SELECT user_id,
+             |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) > 1800
+             |              THEN 1 ELSE 0 END AS brk
+             |  FROM events)
+             |SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions
+             |FROM l GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // --- S10: deterministic synthetic generator (rows-only; Spark RNG) ---
+    ("s10_synthetic_gen", (s, d) => {
+      val inter = SyntheticData.interactions(s, 100, 50, 10000, 0.3, 42)
+      inter.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("label"))
+    }, None),
+
+    // --- X1: negative sampling (rows-only; invariants in ScalaTest) ---
+    ("x1_negative_sample", (s, d) => {
+      val ev = E(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      val positives = ev.filter(col("event_type") === "click" && col("user_id") < 20)
+        .select(col("user_id"), col("k"))
+      val items = ev.select(col("k")).distinct()
+      Relational.negativeSample(positives, "user_id", "k", items, 5, 42)
+        .orderBy(col("user_id"), col("k"))
+    }, None)
+  )
+
+  // ====================================================================
+  // Driver contract surface
+  // ====================================================================
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Multi-way join + windowed agg slice of the §3.2 evaluation pipeline
+    * (upgraded to the full metric pipeline in the eval tranche). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("j2_multiway_join")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, fn, _) => n -> fn }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

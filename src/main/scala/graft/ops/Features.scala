@@ -59,8 +59,9 @@ object Features {
       val views = sum(when(inWin && col(typeCol) === "view", 1L)
         .otherwise(0L)).as(s"views_$sfx")
       val evs = sum(when(inWin, 1L).otherwise(0L)).as(s"events_$sfx")
+      val sumVal = sum(when(inWin, col(valueCol))).as(s"sum_value_$sfx")
       val avgVal = avg(when(inWin, col(valueCol))).as(s"avg_value_$sfx")
-      Seq(clicks, views, evs, avgVal)
+      Seq(clicks, views, evs, sumVal, avgVal)
     }
     val base = events.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
     horizons.foldLeft(base) { case (df, (sfx, _)) =>
@@ -83,6 +84,7 @@ object Features {
         sum(when(col(typeCol) === "click", 1L).otherwise(0L)).as("clicks"),
         sum(when(col(typeCol) === "view", 1L).otherwise(0L)).as("views"),
         count(lit(1)).as("events"),
+        sum(col(valueCol)).as("sum_value"),
         avg(col(valueCol)).as("avg_value"))
       .withColumn("ctr", safeDiv(col("clicks"), col("views")))
       .withColumn("window_start", col("window.start"))
