@@ -1,0 +1,287 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.eval.RankingMetrics
+import graft.functions.{Vectors => V}
+import graft.ops.Similarity
+
+/** Eval-metric (SURVEY §2.10 E1–E10) and vector (§2.9 R1–R3, R9, R10)
+  * query tranche: the §3.2 evaluation pipeline re-enacted on the driver
+  * testdata with a popularity recommender (deterministic — no model):
+  *
+  *   user = o_custkey, item = l_partkey;
+  *   train = pairs shipped before 2000-01-01, test = pairs from 2000-01-01;
+  *   pred(u) = global top-100 popular train items minus u's train items
+  *             (E8 exclusion), order preserved; gt(u) = u's test items.
+  *
+  * Mirrors `scripts/evaluate_model.py:162-234` + `src/evaluation/
+  * metrics.py:248-319` with popularity scores standing in for the model.
+  */
+object QueriesEval {
+
+  type Q = (String, (SparkSession, String) => DataFrame, Option[String])
+
+  private val Cutoff = "2000-01-01"
+
+  private def pairs(s: SparkSession, d: String): DataFrame =
+    SparkEntry.T(s, d, "lineitem")
+      .join(SparkEntry.T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("it"),
+        col("l_shipdate").as("sd"))
+
+  private def trainPairs(s: SparkSession, d: String): DataFrame =
+    pairs(s, d).filter(col("sd") < lit(Cutoff).cast("timestamp"))
+      .select(col("u"), col("it")).distinct()
+
+  private def testPairs(s: SparkSession, d: String): DataFrame =
+    pairs(s, d).filter(col("sd") >= lit(Cutoff).cast("timestamp"))
+      .select(col("u"), col("it")).distinct()
+
+  /** Per-user (pred array, gt array) frame. Inner join = E9's
+    * skip-users-without-ground-truth semantics (`metrics.py:275-276`). */
+  private def predGt(s: SparkSession, d: String): DataFrame = {
+    val train = trainPairs(s, d)
+    val test = testPairs(s, d)
+    val pop = train.groupBy(col("it")).agg(count(lit(1)).as("c"))
+    val top100 = pop
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("c").desc, col("it"))))
+      .filter(col("rnk") <= 100)
+      .select(col("it"), col("rnk"))
+    val users = pairs(s, d).select(col("u")).distinct()
+    val pred = users.crossJoin(broadcast(top100))
+      .join(train, Seq("u", "it"), "left_anti") // E8/R6: exclude seen
+      .groupBy(col("u"))
+      .agg(sort_array(collect_list(struct(col("rnk"), col("it")))).as("__o"))
+      .select(col("u"), transform(col("__o"), x => x.getField("it")).as("pred"))
+    val gt = test.groupBy(col("u"))
+      .agg(sort_array(collect_set(col("it"))).as("gt"))
+    pred.join(gt, Seq("u"))
+  }
+
+  /** Shared oracle CTE prefix mirroring [[predGt]] relationally. */
+  private val EvalCtes: String =
+    s"""WITH li AS (SELECT o_custkey AS u, l_partkey AS it, l_shipdate AS sd
+       |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |train AS (SELECT DISTINCT u, it FROM li WHERE sd < TIMESTAMP '$Cutoff'),
+       |test AS (SELECT DISTINCT u, it FROM li WHERE sd >= TIMESTAMP '$Cutoff'),
+       |pop AS (SELECT it, count(*) AS c FROM train GROUP BY it),
+       |top100 AS (SELECT it, rnk FROM (SELECT it, row_number() OVER (ORDER BY c DESC, it) AS rnk FROM pop) t WHERE rnk <= 100),
+       |users AS (SELECT DISTINCT u FROM li),
+       |pred AS (SELECT users.u, t.it, t.rnk FROM users CROSS JOIN top100 t
+       |         WHERE NOT EXISTS (SELECT 1 FROM train tr WHERE tr.u = users.u AND tr.it = t.it)),
+       |predr AS (SELECT u, it, row_number() OVER (PARTITION BY u ORDER BY rnk) AS pos FROM pred),
+       |gts AS (SELECT u, count(*) AS gt_size FROM test GROUP BY u),
+       |hits AS (SELECT p.u, p.pos FROM predr p JOIN test g ON p.u = g.u AND p.it = g.it),
+       |h10 AS (SELECT u, count(*) AS h FROM hits WHERE pos <= 10 GROUP BY u)""".stripMargin
+
+  /** Vector oracle prefix: embeddings exploded to (vec_id, pos, v) plus
+    * per-vector L2 norms (DuckDB zips parallel unnests). */
+  private val VecCtes: String =
+    """WITH ea AS (SELECT vec_id, unnest(range(len(embedding))) AS pos,
+      |                   CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ea GROUP BY vec_id)""".stripMargin
+
+  val registry: Seq[Q] = Seq(
+
+    // --- E1/E2/E4 (+X2, E8): recall / precision / hit-rate @10 per user ---
+    ("e_recall_precision_hit", (s, d) => {
+      val df = predGt(s, d)
+      df.select(col("u"),
+        size(col("gt")).as("gt_size"),
+        RankingMetrics.recallAtK(col("pred"), col("gt"), 10).as("recall_at_10"),
+        RankingMetrics.precisionAtK(col("pred"), col("gt"), 10).as("precision_at_10"),
+        RankingMetrics.hitRateAtK(col("pred"), col("gt"), 10).as("hit_rate_at_10"))
+        .orderBy(col("u"))
+    },
+      Some(s"""$EvalCtes
+              |SELECT g.u AS u, CAST(g.gt_size AS INTEGER) AS gt_size,
+              |coalesce(h.h, 0) / g.gt_size AS recall_at_10,
+              |coalesce(h.h, 0) / 10 AS precision_at_10,
+              |CASE WHEN coalesce(h.h, 0) > 0 THEN 1.0 ELSE 0.0 END AS hit_rate_at_10
+              |FROM gts g LEFT JOIN h10 h ON g.u = h.u
+              |ORDER BY u""".stripMargin)),
+
+    // --- E3/E5/E6 (+W4,W5,W6): NDCG@10, MRR, average precision per user ---
+    ("e_ndcg_mrr_ap", (s, d) => {
+      val df = predGt(s, d)
+      df.select(col("u"),
+        round(RankingMetrics.ndcgAtK(col("pred"), col("gt"), 10), 6).as("ndcg_at_10"),
+        round(RankingMetrics.reciprocalRank(col("pred"), col("gt")), 6).as("mrr"),
+        round(RankingMetrics.averagePrecision(col("pred"), col("gt")), 6).as("ap"))
+        .orderBy(col("u"))
+    },
+      Some(s"""$EvalCtes,
+              |dcg AS (SELECT u, sum(1.0 / log2(pos + 1)) AS dcg FROM hits WHERE pos <= 10 GROUP BY u),
+              |idcg AS (SELECT u, sum(1.0 / log2(i + 2)) AS idcg
+              |         FROM (SELECT u, unnest(range(least(gt_size, 10))) AS i FROM gts) t GROUP BY u),
+              |fh AS (SELECT u, min(pos) AS fp FROM hits GROUP BY u),
+              |hr AS (SELECT u, pos, row_number() OVER (PARTITION BY u ORDER BY pos) AS nh FROM hits),
+              |apx AS (SELECT u, sum(CAST(nh AS DOUBLE) / pos) AS aps FROM hr GROUP BY u)
+              |SELECT g.u AS u,
+              |round(coalesce(dc.dcg / ic.idcg, 0.0), 6) AS ndcg_at_10,
+              |round(coalesce(1.0 / fh.fp, 0.0), 6) AS mrr,
+              |round(coalesce(apx.aps / g.gt_size, 0.0), 6) AS ap
+              |FROM gts g JOIN idcg ic ON g.u = ic.u
+              |LEFT JOIN dcg dc ON g.u = dc.u
+              |LEFT JOIN fh ON g.u = fh.u
+              |LEFT JOIN apx ON g.u = apx.u
+              |ORDER BY u""".stripMargin)),
+
+    // --- E7/E9/A10/A11/X3: mean metrics over users + catalog coverage ---
+    ("e_means_coverage", (s, d) => {
+      val df = predGt(s, d)
+      val per = df.select(col("u"), col("gt"),
+        RankingMetrics.hitsAtK(col("pred"), col("gt"), 10).as("h"),
+        RankingMetrics.recallAtK(col("pred"), col("gt"), 10).as("recall_at_10"),
+        RankingMetrics.ndcgAtK(col("pred"), col("gt"), 10).as("ndcg_at_10"),
+        RankingMetrics.hitRateAtK(col("pred"), col("gt"), 10).as("hit_rate_at_10"),
+        RankingMetrics.reciprocalRank(col("pred"), col("gt")).as("mrr"),
+        RankingMetrics.averagePrecision(col("pred"), col("gt")).as("ap"))
+      val means = per.filter(size(col("gt")) > 0).agg(
+        count(lit(1)).as("n_users"),
+        round(avg(col("recall_at_10")), 6).as("recall_at_10"),
+        // mean precision derives exactly from integer hit totals
+        (sum(col("h")).cast("double") / (count(lit(1)) * 10)).as("precision_at_10"),
+        round(avg(col("ndcg_at_10")), 6).as("ndcg_at_10"),
+        (sum(col("hit_rate_at_10")) / count(lit(1))).as("hit_rate_at_10"),
+        round(avg(col("mrr")), 6).as("mrr"),
+        round(avg(col("ap")), 6).as("ap"))
+      val cov = df
+        .select(explode(slice(col("pred"), 1, 10)).as("it"))
+        .agg(countDistinct(col("it")).as("nd"))
+      val cat = pairs(s, d).agg(countDistinct(col("it")).as("nc"))
+      means.crossJoin(cov).crossJoin(cat)
+        .withColumn("coverage", col("nd") / col("nc"))
+        .drop("nd", "nc")
+    },
+      Some(s"""$EvalCtes,
+              |dcg AS (SELECT u, sum(1.0 / log2(pos + 1)) AS dcg FROM hits WHERE pos <= 10 GROUP BY u),
+              |idcg AS (SELECT u, sum(1.0 / log2(i + 2)) AS idcg
+              |         FROM (SELECT u, unnest(range(least(gt_size, 10))) AS i FROM gts) t GROUP BY u),
+              |fh AS (SELECT u, min(pos) AS fp FROM hits GROUP BY u),
+              |hr AS (SELECT u, pos, row_number() OVER (PARTITION BY u ORDER BY pos) AS nh FROM hits),
+              |apx AS (SELECT u, sum(CAST(nh AS DOUBLE) / pos) AS aps FROM hr GROUP BY u),
+              |per AS (SELECT g.u, g.gt_size, coalesce(h.h, 0) AS h,
+              |        coalesce(h.h, 0) / g.gt_size AS r,
+              |        coalesce(dc.dcg / ic.idcg, 0.0) AS n,
+              |        CASE WHEN coalesce(h.h, 0) > 0 THEN 1.0 ELSE 0.0 END AS hrate,
+              |        coalesce(1.0 / fh.fp, 0.0) AS m,
+              |        coalesce(apx.aps / g.gt_size, 0.0) AS a
+              |        FROM gts g JOIN idcg ic ON g.u = ic.u
+              |        LEFT JOIN h10 h ON g.u = h.u
+              |        LEFT JOIN dcg dc ON g.u = dc.u
+              |        LEFT JOIN fh ON g.u = fh.u
+              |        LEFT JOIN apx ON g.u = apx.u),
+              |cov AS (SELECT count(DISTINCT it) AS nd FROM predr WHERE pos <= 10),
+              |cat AS (SELECT count(DISTINCT it) AS nc FROM li)
+              |SELECT count(*) AS n_users,
+              |round(avg(r), 6) AS recall_at_10,
+              |CAST(sum(h) AS DOUBLE) / (count(*) * 10) AS precision_at_10,
+              |round(avg(n), 6) AS ndcg_at_10,
+              |sum(hrate) / count(*) AS hit_rate_at_10,
+              |round(avg(m), 6) AS mrr,
+              |round(avg(a), 6) AS ap,
+              |nd / nc AS coverage
+              |FROM per, cov, cat GROUP BY nd, nc""".stripMargin)),
+
+    // --- R1/F14/U4: vector L2 norms ---
+    ("r1_vec_norm", (s, d) =>
+      SparkEntry.T(s, d, "embeddings").select(
+        col("vec_id"),
+        round(V.vecNorm(col("embedding")), 5).as("l2_norm"),
+        size(col("embedding")).as("dim"),
+        col("label"))
+        .orderBy(col("vec_id")),
+      Some(s"""$VecCtes
+              |SELECT e.vec_id, round(n.nrm, 5) AS l2_norm,
+              |CAST(len(e.embedding) AS INTEGER) AS dim, e.label
+              |FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id
+              |ORDER BY e.vec_id""".stripMargin)),
+
+    // --- R2/U4/J9: dot + cosine between consecutive vector pairs ---
+    ("r2_vec_dot", (s, d) => {
+      val e = SparkEntry.T(s, d, "embeddings")
+      val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+      a.join(b, col("id2") === col("id1") + 1)
+        .select(col("id1"), col("id2"),
+          round(V.vecDot(col("v1"), col("v2")), 6).as("dot"),
+          round(V.cosine(col("v1"), col("v2")), 6).as("cosine"))
+        .orderBy(col("id1"))
+    },
+      Some(s"""$VecCtes,
+              |d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.v * b.v) AS dot
+              |      FROM ea a JOIN ea b ON b.vec_id = a.vec_id + 1 AND a.pos = b.pos GROUP BY 1, 2)
+              |SELECT id1, id2, round(dot, 6) AS dot,
+              |round(dot / (n1.nrm * n2.nrm), 6) AS cosine
+              |FROM d JOIN nrm n1 ON n1.vec_id = id1 JOIN nrm n2 ON n2.vec_id = id2
+              |ORDER BY id1""".stripMargin)),
+
+    // --- R3/R5/W3: exact top-k cosine neighbors (broadcast + WindowGroupLimit) ---
+    ("r3_vec_topk", (s, d) => {
+      val e = SparkEntry.T(s, d, "embeddings")
+      val queries = e.filter(col("vec_id") < 20)
+      Similarity.bruteForceTopK(queries, e, "vec_id", "vec_id", "embedding",
+        5, "cosine", excludeSelf = true)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("item_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+      Some(s"""$VecCtes,
+              |d AS (SELECT q.vec_id AS query_id, i.vec_id AS item_id, sum(q.v * i.v) AS dot
+              |      FROM ea q JOIN ea i ON q.pos = i.pos AND q.vec_id < 20 AND i.vec_id <> q.vec_id
+              |      GROUP BY 1, 2),
+              |sc AS (SELECT query_id, item_id, dot / (n1.nrm * n2.nrm) AS score
+              |       FROM d JOIN nrm n1 ON n1.vec_id = query_id JOIN nrm n2 ON n2.vec_id = item_id),
+              |rk AS (SELECT query_id, item_id, score,
+              |       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id) AS rnk FROM sc)
+              |SELECT query_id, rnk, item_id, round(score, 6) AS score
+              |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // --- R9/E10: intra-group pairwise cosine diversity (bucketed pairs) ---
+    ("r9_diversity", (s, d) => {
+      val e = SparkEntry.T(s, d, "embeddings")
+      val a = e.select(col("label"), col("vec_id").as("i1"), col("embedding").as("v1"))
+      val b = e.select(col("label"), col("vec_id").as("i2"), col("embedding").as("v2"))
+      a.join(b, Seq("label")).filter(col("i1") < col("i2"))
+        .groupBy(col("label"))
+        .agg(round(avg(V.cosineDistance(col("v1"), col("v2"))), 6).as("diversity"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy(col("label"))
+    },
+      Some(s"""$VecCtes,
+              |pr AS (SELECT a.label, a.vec_id AS i1, b.vec_id AS i2
+              |       FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id),
+              |dt AS (SELECT p.label, p.i1, p.i2, sum(x.v * y.v) AS dot
+              |       FROM pr p JOIN ea x ON x.vec_id = p.i1
+              |       JOIN ea y ON y.vec_id = p.i2 AND y.pos = x.pos
+              |       GROUP BY 1, 2, 3)
+              |SELECT d.label, round(avg(1.0 - d.dot / (n1.nrm * n2.nrm)), 6) AS diversity,
+              |count(*) AS n_pairs
+              |FROM dt d JOIN nrm n1 ON n1.vec_id = d.i1 JOIN nrm n2 ON n2.vec_id = d.i2
+              |GROUP BY d.label ORDER BY d.label""".stripMargin)),
+
+    // --- R10/E10/F13: popularity-weighted novelty of the top-100 list ---
+    ("r10_novelty", (s, d) => {
+      val train = trainPairs(s, d)
+      val pop = train.groupBy(col("it")).agg(count(lit(1)).as("c"))
+      val top100 = pop.orderBy(col("c").desc, col("it")).limit(100)
+      val total = train.agg(count(lit(1)).as("tot"))
+      top100.crossJoin(broadcast(total))
+        .agg(round(avg(-log2(col("c") / col("tot") + 1e-10)), 6).as("novelty"),
+          count(lit(1)).as("n_items"))
+    },
+      Some(s"""WITH li AS (SELECT o_custkey AS u, l_partkey AS it, l_shipdate AS sd
+              |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              |train AS (SELECT DISTINCT u, it FROM li WHERE sd < TIMESTAMP '$Cutoff'),
+              |pop AS (SELECT it, count(*) AS c FROM train GROUP BY it),
+              |top100 AS (SELECT it, c FROM pop ORDER BY c DESC, it LIMIT 100),
+              |tot AS (SELECT count(*) AS tot FROM train)
+              |SELECT round(avg(-log2(c / tot + 1e-10)), 6) AS novelty, count(*) AS n_items
+              |FROM top100, tot GROUP BY tot""".stripMargin))
+  )
+}

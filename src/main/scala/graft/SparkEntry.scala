@@ -19,14 +19,14 @@ import graft.sources.SyntheticData
   */
 object SparkEntry {
 
-  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
   /** Events table loader. The driver's events.parquet carries
     * TIMESTAMP(NANOS) which Spark's vectorized parquet reader rejects;
     * read nanos as long (legacy conf) and convert losslessly to a
     * microsecond TimestampType column (the testdata has no sub-µs values). */
-  private def E(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def E(s: SparkSession, dir: String): DataFrame = {
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
     val raw = s.read.parquet(s"$dir/events.parquet")
@@ -607,12 +607,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("j2_multiway_join")(spark, "/root/testdata/sf0.001")
 
+  private def allRegistries = registry ++ QueriesEval.registry
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map { case (n, fn, _) => n -> fn }.toMap
+    allRegistries.map { case (n, fn, _) => n -> fn }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+    allRegistries.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }
