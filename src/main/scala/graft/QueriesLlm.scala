@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline tranche (builder-brief north-star components):
+  * deduplication (exact, MinHash-LSH, SimHash, inverted-index Jaccard),
+  * text analysis (stats/quality, language ID, fingerprinting), ANN with a
+  * recall-vs-exact self-check, embedding near-dups, and multimodal binary
+  * column plumbing. Oracle-checked where DuckDB can express the math;
+  * hash-seeded ops (xxhash64-based signatures) are summary/invariant
+  * checked instead (+ ScalaTest).
+  */
+object QueriesLlm {
+
+  import QueriesEval.Q
+
+  private val Stopwords = Seq("the", "a", "an", "of", "in", "and", "to", "is")
+
+  /** Marker-token language profiles for the synthetic corpus. All five
+    * languages share one vocabulary in this testdata, so this verifies the
+    * argmax/tiebreak mechanics; real corpora would use distinctive n-grams
+    * in the same shape. Alphabetical tiebreak (FIXTURES §3 determinism). */
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("customer", "hash", "join", "row"),
+    "en" -> Seq("order", "table", "window", "group"),
+    "es" -> Seq("slow", "agg", "merge", "vector"),
+    "fr" -> Seq("scan", "data", "query", "batch"),
+    "zh" -> Seq("join", "small", "row", "column"))
+
+  private val DuckTokens =
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+  val registry: Seq[Q] = Seq(
+
+    // --- Exact dedup: normalized-content hash groups, min-id keeper ---
+    ("d_exact_dedup", (s, d) =>
+      Dedup.exactDupGroups(SparkEntry.T(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("keep_id")),
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+             |min(doc_id) AS keep_id, count(*) AS dup_count
+             |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
+
+    // --- Inverted-index n-gram Jaccard near-dups, bucketed by (lang, source) ---
+    ("d_token_jaccard", (s, d) =>
+      Dedup.tokenJaccardPairs(SparkEntry.T(s, d, "documents"), "doc_id",
+        "text", 0.7, bucketCols = Seq("lang", "source"))
+        .orderBy(col("id1"), col("id2")),
+      Some(s"""WITH toks AS (SELECT doc_id, lang, source,
+              |  list_distinct($DuckTokens) AS ts FROM documents),
+              |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |  len(list_intersect(a.ts, b.ts))::DOUBLE /
+              |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jaccard
+              |  FROM toks a JOIN toks b
+              |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+              |SELECT id1, id2, jaccard FROM pairs WHERE jaccard >= 0.7
+              |ORDER BY id1, id2""".stripMargin)),
+
+    // --- MinHash-LSH near-dup summary (xxhash-seeded; invariants in tests) ---
+    ("d_minhash_lsh", (s, d) =>
+      Dedup.minHashNearDups(SparkEntry.T(s, d, "documents"), "doc_id", "text",
+        shingleLen = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id1")).as("n_docs_with_dup"),
+          round(avg(col("jaccard")), 4).as("avg_jaccard")), None),
+
+    // --- SimHash near-dup summary (xxhash-seeded; invariants in tests) ---
+    ("d_simhash", (s, d) =>
+      Dedup.simHashNearDups(SparkEntry.T(s, d, "documents"), "doc_id", "text",
+        maxHamming = 16)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id1")).as("n_docs"),
+          min(col("hamming")).as("min_hamming")), None),
+
+    // --- Per-document text statistics + quality score ---
+    ("t_text_stats", (s, d) =>
+      TextAnalysis.documentStats(SparkEntry.T(s, d, "documents"), "doc_id",
+        "text", Stopwords)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, text, $DuckTokens AS ts FROM documents)
+              |SELECT doc_id,
+              |CAST(len(ts) AS INTEGER) AS n_tokens,
+              |CAST(length(text) AS INTEGER) AS n_chars,
+              |list_sum(list_transform(ts, x -> CAST(length(x) AS BIGINT)))::DOUBLE / len(ts) AS avg_word_len,
+              |(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / length(text) AS punct_ratio,
+              |len(list_filter(ts, x -> list_contains(['the','a','an','of','in','and','to','is'], x)))::DOUBLE / len(ts) AS stopword_ratio,
+              |CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct_tokens,
+              |least(greatest(
+              |  least(len(ts) / 100.0, 1.0) * 0.4 +
+              |  (1.0 - least((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / length(text) * 5.0, 1.0)) * 0.3 +
+              |  least(len(list_filter(ts, x -> list_contains(['the','a','an','of','in','and','to','is'], x)))::DOUBLE / len(ts) * 4.0, 1.0) * 0.3,
+              |  0.0), 1.0) AS quality
+              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // --- Language ID by marker profiles (argmax + alphabetical tiebreak) ---
+    ("t_lang_id", (s, d) => {
+      val df = SparkEntry.T(s, d, "documents")
+      df.select(col("doc_id"), col("lang"),
+        TextAnalysis.langIdByProfiles(col("text"), LangProfiles).as("pred"))
+        .withColumn("correct", when(col("lang") === col("pred"), 1).otherwise(0))
+        .orderBy(col("doc_id"))
+    }, {
+      val score = LangProfiles.map { case (lang, markers) =>
+        val arr = markers.map(m => s"'$m'").mkString("[", ",", "]")
+        s"len(list_intersect(td, $arr)) AS s_$lang"
+      }.mkString(", ")
+      val langs = LangProfiles.map(_._1) // alphabetical already
+      val caseChain = langs.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1)
+        if (rest.isEmpty) s"ELSE '$l' END"
+        else s"WHEN ${rest.map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
+      }
+      Some(s"""WITH t AS (SELECT doc_id, lang, list_distinct($DuckTokens) AS td FROM documents),
+              |sc AS (SELECT doc_id, lang, $score FROM t)
+              |SELECT doc_id, lang,
+              |CASE ${caseChain.init.mkString(" ")} ${caseChain.last} AS pred,
+              |CASE WHEN lang = (CASE ${caseChain.init.mkString(" ")} ${caseChain.last}) THEN 1 ELSE 0 END AS correct
+              |FROM sc ORDER BY doc_id""".stripMargin)
+    }),
+
+    // --- Rolling-hash document fingerprint ---
+    ("t_fingerprint", (s, d) =>
+      SparkEntry.T(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          length(col("text")).as("n_chars"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |list_reduce(
+             |  list_concat([CAST(7 AS BIGINT)],
+             |              list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT))),
+             |  (a, b) -> (a * 31 + b) % 2147483647) AS fp,
+             |CAST(length(text) AS INTEGER) AS n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // --- ANN (IVF-style cluster pruning) with recall-vs-exact self-check ---
+    ("ann_cluster_recall", (s, d) => {
+      val e = SparkEntry.T(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "vec_id",
+        "embedding", 5, "cosine", excludeSelf = true)
+        .select(col("query_id"), col("item_id"))
+      val approx = Similarity.clusterPrunedTopK(qs, e, "vec_id", "vec_id",
+        "embedding", 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("item_id"))
+      val hits = exact.join(approx, Seq("query_id", "item_id"), "left_semi")
+      hits.agg(count(lit(1)).as("n_hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .withColumn("recall", col("n_hits") / col("n_exact"))
+    }, None),
+
+    // --- Embedding-cosine near-dup pairs (cluster-bucketed, never all-pairs) ---
+    ("d_embedding_neardup", (s, d) =>
+      Similarity.embeddingNearDups(
+        SparkEntry.T(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", threshold = 0.2, nlist = 16)
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("cosine")), 4).as("avg_cosine")), None),
+
+    // --- Multimodal: opaque binary payload + typed metadata + chunking ---
+    ("m_multimodal_meta", (s, d) => {
+      val m = Multimodal.attachFakeMedia(SparkEntry.T(s, d, "documents"), "text")
+      m.select(col("doc_id"),
+        length(col("media")).as("media_bytes"),
+        size(Multimodal.chunkMedia(col("media"), 256)).as("n_chunks"),
+        col("media_meta.format").as("format"),
+        col("media_meta.width").as("width"),
+        col("media_meta.height").as("height"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""SELECT doc_id,
+             |CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS media_bytes,
+             |CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS INTEGER) AS n_chunks,
+             |'fake/raw' AS format,
+             |CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INTEGER) AS width,
+             |CAST(octet_length(CAST(text AS BLOB)) % 480 + 1 AS INTEGER) AS height
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // --- Multimodal decode stub: deterministic pseudo-features (U5 shape) ---
+    ("m_decode_stub", (s, d) => {
+      val m = Multimodal.attachFakeMedia(SparkEntry.T(s, d, "documents"), "text")
+      m.select(col("doc_id"),
+        Multimodal.decodeFeaturesStub(col("media"), 8).as("feats"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(element_at(col("feats"), 1)), 4).as("avg_feat0"),
+          min(size(col("feats"))).as("min_dim"),
+          max(size(col("feats"))).as("max_dim"))
+    }, None)
+  )
+}

@@ -607,7 +607,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("j2_multiway_join")(spark, "/root/testdata/sf0.001")
 
-  private def allRegistries = registry ++ QueriesEval.registry
+  private def allRegistries =
+    registry ++ QueriesEval.registry ++ QueriesLlm.registry
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,48 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (builder-brief north-star component).
+  *
+  * Image/audio/video payloads are opaque `BinaryType` columns with a typed
+  * metadata struct riding alongside. The Spark-side machinery — schema,
+  * chunking, batch shape, deterministic pseudo-decode — is real and tested;
+  * the actual codec step is STUBBED with a deterministic fake because no
+  * image/audio libraries exist in this environment. Swapping the stub for a
+  * real decoder (e.g. a JNI codec inside `mapPartitions`, batched per
+  * partition) changes only [[decodeFeaturesStub]].
+  *
+  * Scale posture: payloads stay opaque bytes end-to-end (no driver
+  * materialization); chunking and feature extraction are per-row expressions;
+  * partition sizing for large blobs is the caller's
+  * `spark.sql.files.maxPartitionBytes` concern.
+  */
+object Multimodal {
+
+  /** Attach a fake media payload derived from a text column: UTF-8 bytes as
+    * the opaque blob plus a metadata struct (format/width/height) the way an
+    * ingest pipeline would carry decoded-image metadata. */
+  def attachFakeMedia(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("media", encode(col(textCol), "UTF-8"))
+      .withColumn("media_meta", struct(
+        lit("fake/raw").as("format"),
+        (pmod(length(col("media")), lit(640)) + 1).cast("int").as("width"),
+        (pmod(length(col("media")), lit(480)) + 1).cast("int").as("height")))
+
+  /** Split a binary payload into fixed-size chunks (frame-sampling shape):
+    * `substr` on BinaryType slices bytes; pure expression, no UDF. */
+  def chunkMedia(mediaCol: Column, chunkBytes: Int): Column = {
+    val n = ceil(length(mediaCol).cast("double") / chunkBytes).cast("int")
+    transform(sequence(lit(0), n - 1),
+      i => mediaCol.substr(i * chunkBytes + 1, lit(chunkBytes)))
+  }
+
+  /** STUB decode: deterministic pseudo-features from the payload bytes —
+    * dim hash-derived doubles in [0,1). A real implementation would decode
+    * pixels/samples here (batched `mapPartitions` with a native codec); the
+    * signature, schema and batch shape are what production code would use. */
+  def decodeFeaturesStub(mediaCol: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => pmod(xxhash64(mediaCol, i), lit(100000L)).cast("double") / 100000.0)
+}

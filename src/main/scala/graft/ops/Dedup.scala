@@ -121,17 +121,21 @@ object Dedup {
     * doc-pairs; hot tokens (stopword-like) should be filtered upstream at
     * extreme scale. Returns (id1, id2, jaccard >= threshold). */
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        threshold: Double): DataFrame = {
-    val toks = df.select(col(idCol),
-      array_distinct(tokens(col(textCol))).as("__t"))
+                        threshold: Double,
+                        bucketCols: Seq[String] = Nil): DataFrame = {
+    val toks = df.select((Seq(col(idCol), col(textCol)) ++ bucketCols.map(col)): _*)
+      .withColumn("__t", array_distinct(tokens(col(textCol))))
       .withColumn("__n", size(col("__t")))
-    val posting = toks.select(col(idCol), col("__n"),
-      explode(col("__t")).as("__tok"))
-    val p1 = posting.select(col(idCol).as("id1"), col("__n").as("n1"),
-      col("__tok"))
-    val p2 = posting.select(col(idCol).as("id2"), col("__n").as("n2"),
-      col("__tok"))
-    p1.join(p2, Seq("__tok"))
+      .drop(textCol)
+    val posting = toks.select(
+      (Seq(col(idCol), col("__n"), explode(col("__t")).as("__tok")) ++
+        bucketCols.map(col)): _*)
+    val joinKeys = "__tok" +: bucketCols
+    val p1 = posting.withColumnRenamed(idCol, "id1")
+      .withColumnRenamed("__n", "n1")
+    val p2 = posting.withColumnRenamed(idCol, "id2")
+      .withColumnRenamed("__n", "n2")
+    p1.join(p2, joinKeys)
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("common"))

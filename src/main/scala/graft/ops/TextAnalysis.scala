@@ -81,10 +81,15 @@ object TextAnalysis {
   }
 
   /** Rolling polynomial fingerprint (Rabin-Karp style) over the whole
-    * document: acc = acc*31 + charCode mod 2^61−1. Stable across runs. */
+    * document: acc = (acc*31 + charCode) mod 2^31−1, init 7. The 31-bit
+    * modulus keeps every intermediate < 2^36, so the fold never overflows
+    * a 64-bit long on any engine. Stable across runs. */
   def fingerprint(c: Column): Column = {
-    val prime = lit(2305843009213693951L) // 2^61 - 1
-    aggregate(split(c, ""), lit(7L),
+    val prime = lit(2147483647L) // 2^31 - 1
+    // Spark's split keeps a trailing empty token on zero-width matches;
+    // drop empties so the fold sees exactly the characters.
+    val chars = filter(split(c, ""), ch => length(ch) > 0)
+    aggregate(chars, lit(7L),
       (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch), lit(0)), prime))
   }
 
