@@ -602,10 +602,12 @@ object SparkEntry {
   // ====================================================================
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Multi-way join + windowed agg slice of the §3.2 evaluation pipeline
-    * (upgraded to the full metric pipeline in the eval tranche). */
+    * The SURVEY §7.2 end-to-end slice: scan → join → train/test split →
+    * popularity scoring → per-user top-k with seen-item exclusion →
+    * Recall/Precision/NDCG/HitRate/MRR/AP/Coverage — one Catalyst-planned
+    * job returning the metric row. */
   def entry(spark: SparkSession): DataFrame =
-    queries("j2_multiway_join")(spark, "/root/testdata/sf0.001")
+    queries("e_means_coverage")(spark, "/root/testdata/sf0.001")
 
   private def allRegistries =
     registry ++ QueriesEval.registry ++ QueriesLlm.registry

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Dedup + text-analysis invariants (builder-brief north-star components).
+  * LSH correctness is asserted as recall against exact Jaccard on planted
+  * near-duplicates — the standard validation for banded MinHash. */
+class DedupTextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "THE QUICK  BROWN FOX jumps over the lazy dog"), // exact dup after normalize
+    (3L, "the quick brown fox jumps over the lazy cat"),  // near dup of 1
+    (4L, "completely different text about spark engines and shuffles"),
+    (5L, "another unrelated document mentioning feature stores"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id per normalized content group") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L, 5L)) // 2 collapses into 1
+  }
+
+  test("word shingles golden") {
+    val df = Seq("a b c d").toDF("t")
+    val sh = df.select(Dedup.wordShingles(col("t"), 3)).head().getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d"))
+  }
+
+  test("minhash LSH finds planted near-duplicates (recall vs exact jaccard)") {
+    val exact = Dedup.tokenJaccardPairs(docs, "doc_id", "text", 0.7)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.contains((1L, 3L))) // sanity: the planted near-dup pair
+    val lsh = Dedup.minHashNearDups(docs, "doc_id", "text",
+      shingleLen = 2, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // every high-jaccard pair must be recalled by LSH at these band settings
+    assert(exact.diff(lsh).isEmpty, s"LSH missed pairs: ${exact.diff(lsh)}")
+  }
+
+  test("simhash: identical docs → hamming 0; near-dups closer than unrelated") {
+    val fp = docs.select(col("doc_id"), Dedup.simHash64(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(2L)) // normalization makes them identical
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)))
+  }
+
+  test("token stats golden") {
+    val df = Seq("Hello world, hello Spark!").toDF("t")
+    val row = TextAnalysis.documentStats(
+      df.withColumn("id", lit(1L)), "id", "t", Seq("hello")).head()
+    assert(row.getAs[Int]("n_tokens") === 4)
+    // tokens: [hello, world,, hello, spark!] — bare "hello" matches twice
+    assert(row.getAs[Double]("stopword_ratio") === 0.5)
+  }
+
+  test("fingerprint: deterministic and content-sensitive") {
+    val df = Seq((1L, "abc"), (2L, "abc"), (3L, "abd")).toDF("id", "t")
+    val fps = df.select(col("id"), TextAnalysis.fingerprint(col("t")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+    // golden: ((7*31+97)%p *31+98)%p *31+99 % p
+    val expected = ((((7L * 31 + 97) * 31) + 98) * 31 + 99) % 2147483647L
+    assert(fps(1L) === expected)
+  }
+
+  test("langId picks the profile with most marker hits, alpha tiebreak") {
+    val profiles = Seq(
+      "en" -> Seq("hello", "world"),
+      "fr" -> Seq("bonjour", "monde"))
+    val df = Seq("bonjour le monde", "hello big world", "nothing matches")
+      .toDF("t")
+    val got = df.select(
+      TextAnalysis.langIdByProfiles(col("t"), profiles)).as[String]
+      .collect().toSeq
+    assert(got === Seq("fr", "en", "en")) // tie (0,0) → alphabetically first
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Relational
+
+/** Split/encoding/sampling property tests mirroring the reference's
+  * `tests/test_data_loading.py` (FIXTURES.md §1.4). */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("time split 80/10/10 ordering + proportions (test_data_loading.py:102-142)") {
+    val df = (0 until 1000).map(i => (i.toLong, i.toLong)).toDF("id", "ts")
+    val split = Relational.timeSplit(df, "ts", "id", 0.8, 0.1).cache()
+    val counts = split.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts("train") === 800L)
+    assert(counts("val") === 100L)
+    assert(counts("test") === 100L)
+    val trainMax = split.filter($"split" === "train").agg(max("ts")).head().getLong(0)
+    val valMin = split.filter($"split" === "val").agg(min("ts")).head().getLong(0)
+    val valMax = split.filter($"split" === "val").agg(max("ts")).head().getLong(0)
+    val testMin = split.filter($"split" === "test").agg(min("ts")).head().getLong(0)
+    assert(trainMax <= valMin && valMax <= testMin)
+    split.unpersist()
+  }
+
+  test("leave-one-out: exactly 1 test row per user (test_data_loading.py:148-165)") {
+    val df = Seq(
+      (1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L), (1L, 40L, 4L),
+      (2L, 10L, 5L), (2L, 20L, 6L), (2L, 30L, 7L), (2L, 40L, 8L))
+      .toDF("user_id", "ts", "id")
+    val split = Relational.leaveLastN(df, "user_id", "ts", "id", 1)
+    val test = split.filter($"split" === "test")
+    assert(test.count() === 2)
+    assert(test.groupBy("user_id").count().filter($"count" =!= 1).count() === 0)
+    // the held-out row is each user's latest
+    val held = test.select("user_id", "ts").as[(Long, Long)].collect().toMap
+    assert(held === Map(1L -> 40L, 2L -> 40L))
+  }
+
+  test("k-core keeps only rows with enough user AND item support (movielens.py:345-382)") {
+    // user 1 has 3 rows, user 2 has 1; item 10 has 3, item 20 has 1
+    val df = Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, 10L))
+      .toDF("u", "i")
+    val core = Relational.kCore(df, "u", "i", 2, 2, 3)
+    val rows = core.select("u", "i").as[(Long, Long)].collect().toSeq
+    assert(rows.forall(_ == (1L, 10L)) && rows.size === 2)
+  }
+
+  test("id encoder assigns sorted order (sklearn LabelEncoder parity, SURVEY §7.4.6)") {
+    val df = Seq("banana", "apple", "cherry", "apple").toDF("k")
+    val enc = Relational.fitEncoder(df, "k", "idx")
+    val m = enc.as[(String, Int)].collect().toMap
+    assert(m === Map("apple" -> 0, "banana" -> 1, "cherry" -> 2))
+    val encoded = Relational.encodeWith(
+      Seq("cherry", "durian").toDF("k"), enc, "k", "idx", unknownIndex = -1)
+    val got = encoded.as[(String, Int)].collect().toMap
+    assert(got === Map("cherry" -> 2, "durian" -> -1))
+  }
+
+  test("negative sampling: disjoint from positives, n per user, deterministic (test_data_loading.py:243-278)") {
+    val positives = Seq((1L, 10L), (1L, 11L), (2L, 12L)).toDF("u", "i")
+    val items = (10L to 29L).toDF("i")
+    val neg = Relational.negativeSample(positives, "u", "i", items, 5, seed = 42)
+    val negRows = neg.select("u", "i").as[(Long, Long)].collect().toSet
+    val posRows = Set((1L, 10L), (1L, 11L), (2L, 12L))
+    assert(negRows.intersect(posRows).isEmpty)
+    assert(neg.groupBy("u").count().filter($"count" =!= 5).count() === 0)
+    // determinism: same seed → same sample
+    val neg2 = Relational.negativeSample(positives, "u", "i", items, 5, seed = 42)
+      .select("u", "i").as[(Long, Long)].collect().toSet
+    assert(neg2 === negRows)
+  }
+
+  test("z-score normalize: mean ~0, unit-ish std (movielens.py:421-422)") {
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val z = Relational.zscore(df, Seq("x"))
+    val (m, s) = z.agg(avg("x_z"), stddev_samp("x_z")).as[(Double, Double)].head()
+    assert(math.abs(m) < 1e-9)
+    assert(math.abs(s - 1.0) < 1e-6)
+  }
+
+  test("map lookup with default (movielens.py:47-59)") {
+    val df = Seq(0, 1, 7).toDF("code")
+    val got = df.select(Relational.mapLookup(col("code"),
+      Map(0 -> "zero", 1 -> "one"), "unknown").as("v")).as[String].collect().toSeq
+    assert(got === Seq("zero", "one", "unknown"))
+  }
+}

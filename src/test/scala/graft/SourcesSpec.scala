@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{FeatureStore, Features}
+import graft.sources.{Readers, SyntheticData}
+
+/** S1 `.dat` scan golden tests (FIXTURES.md §1.1 micro-files), synthetic
+  * generator invariants (S10), and feature-store semantics (S8/S9/J8). */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeFixture(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft-dat")
+    val f = dir.resolve(name)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test(".dat ratings scan: schema + epoch decode (test_data_loading.py:60-96)") {
+    val p = writeFixture("ratings.dat",
+      "1::1::5::978300760\n1::2::3::978300760\n2::1::4::978300760\n2::3::5::978300760\n")
+    val df = Readers.loadRatings(spark, p)
+    assert(df.count() === 4)
+    assert(df.columns.toSeq === Seq("user_id", "movie_id", "rating", "timestamp", "datetime"))
+    val first = df.orderBy("user_id", "movie_id").head()
+    assert(first.getAs[Long]("user_id") === 1L)
+    assert(first.getAs[Int]("rating") === 5)
+    assert(first.getAs[java.sql.Timestamp]("datetime").toInstant.getEpochSecond === 978300760L)
+  }
+
+  test(".dat movies scan: year extraction + genre multi-hot (movielens.py:143-157)") {
+    val p = writeFixture("movies.dat",
+      "1::Toy Story (1995)::Animation|Children's|Comedy\n" +
+        "2::Jumanji (1995)::Action|Adventure\n" +
+        "3::Heat (1995)::Action|Crime|Thriller\n")
+    val df = Readers.loadMovies(spark, p)
+    val toy = df.filter($"movie_id" === 1).head()
+    assert(toy.getAs[Int]("year") === 1995)
+    assert(toy.getAs[String]("title_clean") === "Toy Story")
+    assert(toy.getAs[Int]("genre_animation") === 1)
+    assert(toy.getAs[Int]("genre_comedy") === 1)
+    assert(toy.getAs[Int]("genre_action") === 0)
+    assert(toy.getAs[Int]("num_genres") === 3)
+  }
+
+  test("synthetic generator: deterministic per seed, correct domains (synthetic.py:18-111)") {
+    val a = SyntheticData.interactions(spark, 50, 20, 500, 0.3, 42)
+    val b = SyntheticData.interactions(spark, 50, 20, 500, 0.3, 42)
+    assert(a.agg(sum("label")).head().getLong(0) ===
+      b.agg(sum("label")).head().getLong(0))
+    val users = SyntheticData.users(spark, 100, 4, 42)
+    val ages = users.agg(min("age"), max("age")).head()
+    assert(ages.getInt(0) >= 18 && ages.getInt(1) <= 70)
+    assert(users.columns.count(_.startsWith("user_feat_")) === 4)
+  }
+
+  test("online lookup: latest-within-TTL per key (simple_feature_store.py:17-50)") {
+    val feats = Seq(
+      (1L, 100L, "old"), (1L, 200L, "new"),
+      (2L, 10L, "stale")) // user 2's row is older than the TTL window
+      .toDF("user_id", "ts_s", "v")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+    val keys = Seq(1L, 2L).toDF("user_id")
+    val view = FeatureStore.FeatureView("f", Seq("user_id"), "ts", 100L)
+    val got = FeatureStore.onlineLookup(feats, view, keys,
+      timestamp_seconds(lit(250L)), "ts_s")
+      .select("user_id", "v").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "new")) // user 2 expired (250-10 > 100)
+  }
+
+  test("as-of join: latest feature at-or-before entity time within TTL (simple_feature_store.py:52-71)") {
+    val entity = Seq((1L, 300L), (1L, 150L), (2L, 300L))
+      .toDF("user_id", "ets")
+      .withColumn("ts", timestamp_seconds(col("ets")))
+    val feats = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 10L, "c"))
+      .toDF("user_id", "fts", "v")
+      .withColumn("ts", timestamp_seconds(col("fts")))
+    val view = FeatureStore.FeatureView("f", Seq("user_id"), "ts", 120L)
+    val got = FeatureStore.asOfJoin(entity, Seq("user_id"), "ts", feats,
+      view, "fts")
+      .select(col("user_id"), col("ets"), col("f_v"))
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(got === Set(
+      (1L, 300L, Some("b")), // 200 within [180, 300]
+      (1L, 150L, Some("a")), // 100 within [30, 150]; 200 is in the future
+      (2L, 300L, None)))     // 10 is outside [180, 300]
+  }
+
+  test("sessionize: gap splits sessions (Features.sessionize)") {
+    val ev = Seq((1L, 0L), (1L, 100L), (1L, 2000L), (1L, 2100L), (2L, 0L))
+      .toDF("user_id", "ts_s")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+    val sess = Features.sessionize(ev, "user_id", "ts", 1800L)
+    val counts = sess.groupBy("user_id")
+      .agg(max("session_idx").as("n")).as[(Long, Long)].collect().toMap
+    assert(counts === Map(1L -> 2L, 2L -> 1L))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Vectors => V}
+import graft.ops.Similarity
+
+/** Vector-function invariants mirroring the reference's normalization and
+  * retrieval tests (`tests/test_two_tower_model.py:43-69,127-135`;
+  * `src/serving/retrieval.py:85-100`). */
+class VectorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("vecDot golden: [1,2,3]·[4,5,6] = 32") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    assert(df.select(V.vecDot(col("a"), col("b"))).head().getDouble(0) === 32.0)
+  }
+
+  test("vecNorm golden: |[3,4]| = 5") {
+    val df = Seq(Seq(3f, 4f)).toDF("a")
+    assert(df.select(V.vecNorm(col("a"))).head().getDouble(0) === 5.0)
+  }
+
+  test("normalize ⇒ unit norm; zero vector passes through") {
+    val df = Seq(Seq(3f, 4f), Seq(0f, 0f)).toDF("a")
+    val norms = df.select(V.vecNorm(V.vecNormalize(col("a")))).as[Double]
+      .collect().toSeq
+    assert(math.abs(norms.head - 1.0) < 1e-12)
+    assert(norms(1) === 0.0)
+  }
+
+  test("cosine bounds and self-similarity") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f, 3f))).toDF("a", "b")
+    assert(math.abs(
+      df.select(V.cosine(col("a"), col("b"))).head().getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("padTo pads to target dim") {
+    val df = Seq(Seq(1f, 2f)).toDF("a")
+    val padded = df.select(V.padTo(col("a"), 5)).head().getSeq[Double](0)
+    assert(padded.size === 5 && padded.drop(2).forall(_ === 0.0))
+  }
+
+  test("bruteForceTopK returns nearest neighbors in order (retrieval.py:96-100)") {
+    // 2-d unit-ish vectors at known angles around the x-axis query
+    val items = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)),
+      (4L, Seq(-1f, 0f))).toDF("vec_id", "embedding")
+    val queries = Seq((0L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(queries, items, "vec_id", "vec_id",
+      "embedding", 3, "cosine")
+      .orderBy("rank").select("item_id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 2L, 3L))
+  }
+
+  test("clusterPrunedTopK achieves reasonable recall vs exact (retrieval.py IVF nprobe semantics)") {
+    val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "vec_id",
+      "embedding", 5, "cosine", excludeSelf = true)
+      .select("query_id", "item_id")
+    val approx = Similarity.clusterPrunedTopK(qs, e, "vec_id", "vec_id",
+      "embedding", 5, nlist = 8, nprobe = 4)
+      .select("query_id", "item_id")
+    val nExact = exact.count()
+    val nHits = exact.join(approx, Seq("query_id", "item_id"), "left_semi").count()
+    assert(nExact > 0)
+    val recall = nHits.toDouble / nExact
+    assert(recall >= 0.4, s"ANN recall $recall too low vs exact")
+  }
+}
