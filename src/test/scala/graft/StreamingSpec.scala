@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Features
+import graft.streaming.StreamingJobs
+
+/** Structured Streaming parity tests: the streaming window job must produce
+  * the same rows as the batch conditional-agg form over the same events
+  * (SURVEY §7.4.1 — batch mode reproduces the reference for the oracle;
+  * streaming must agree with batch). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def eventsFixture(dir: String): Unit = {
+    val rows = Seq(
+      (1L, 10L, 1L, "click", 5.0, "{}"),
+      (2L, 70L, 1L, "view", 3.0, "{}"),
+      (3L, 290L, 1L, "click", 2.0, "{}"),
+      (4L, 310L, 1L, "view", 4.0, "{}"),   // second 5-min window
+      (5L, 20L, 2L, "view", 1.0, "{}"),
+      (6L, 330L, 2L, "purchase", 9.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  test("streaming 5-min window features match the batch form row-for-row (T3/T4)") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    eventsFixture(dir)
+
+    val stream = StreamingJobs.fileEvents(spark, dir)
+    val agg = StreamingJobs.windowedFeatures(stream, "user_id")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .select(col("user_id"), col("window_start").cast("long").as("ws"),
+          col("clicks"), col("views"), col("events"), col("ctr"))
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+
+      val batch = Features.windowedActivity(
+        spark.read.parquet(dir), "user_id", "ts", "event_type", "value")
+        .select(col("user_id"), col("window_start").cast("long").as("ws"),
+          col("clicks"), col("views"), col("events"), col("ctr"))
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+
+      assert(got === batch)
+      assert(got.nonEmpty)
+      // golden spot-check: user 1, first window [0, 300): 2 clicks, 1 view
+      assert(got.exists { case (u, ws, c, v, e, _) =>
+        u == 1L && ws == 0L && c == 2L && v == 1L && e == 3L })
+    } finally q.stop()
+  }
+
+  test("event-type dispatch branches are disjoint and complete (T2)") {
+    val dir = Files.createTempDirectory("graft-stream2").toString
+    eventsFixture(dir)
+    val events = spark.read.parquet(dir) // dispatch logic is source-agnostic
+    val branches = StreamingJobs.dispatch(events,
+      Seq("click", "view", "purchase"))
+    assert(branches("click").count() === 2)
+    assert(branches("view").count() === 3)
+    assert(branches("purchase").count() === 1)
+  }
+
+  test("streaming embedding append grows the index table (T7/R7)") {
+    val base = Files.createTempDirectory("graft-emb").toString
+    val src = s"$base/src"; val table = s"$base/table"; val cp = s"$base/cp"
+    Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(src)
+    val q = StreamingJobs.appendEmbeddings(stream, table, cp)
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(table).count() === 2)
+    // second batch appends
+    Seq((3L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(src)
+    val q2 = StreamingJobs.appendEmbeddings(
+      spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(src),
+      table, cp)
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(table).count() === 3)
+  }
+
+  test("TTL freshness filter drops expired rows (T8)") {
+    val store = Seq((1L, 100L), (2L, 240L)).toDF("k", "ts_s")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+    val fresh = StreamingJobs.freshOnly(store, "ts",
+      timestamp_seconds(lit(300L)), 100L)
+    assert(fresh.select("k").as[Long].collect().toSeq === Seq(2L))
+  }
+}
