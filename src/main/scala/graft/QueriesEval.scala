@@ -244,12 +244,16 @@ object QueriesEval {
 
     // --- R9/E10: intra-group pairwise cosine diversity (bucketed pairs) ---
     ("r9_diversity", (s, d) => {
-      val e = SparkEntry.T(s, d, "embeddings")
-      val a = e.select(col("label"), col("vec_id").as("i1"), col("embedding").as("v1"))
-      val b = e.select(col("label"), col("vec_id").as("i2"), col("embedding").as("v2"))
+      // normalize each vector once below the self-join (O(n) norms, not O(n²))
+      val e = V.normalized(
+        SparkEntry.T(s, d, "embeddings")
+          .select(col("label"), col("vec_id"), col("embedding")),
+        "embedding", "nv")
+      val a = e.select(col("label"), col("vec_id").as("i1"), col("nv").as("v1"))
+      val b = e.select(col("label"), col("vec_id").as("i2"), col("nv").as("v2"))
       a.join(b, Seq("label")).filter(col("i1") < col("i2"))
         .groupBy(col("label"))
-        .agg(round(avg(V.cosineDistance(col("v1"), col("v2"))), 6).as("diversity"),
+        .agg(round(avg(lit(1.0) - V.vecDot(col("v1"), col("v2"))), 6).as("diversity"),
           count(lit(1)).as("n_pairs"))
         .orderBy(col("label"))
     },
@@ -282,6 +286,26 @@ object QueriesEval {
               |top100 AS (SELECT it, c FROM pop ORDER BY c DESC, it LIMIT 100),
               |tot AS (SELECT count(*) AS tot FROM train)
               |SELECT round(avg(-log2(c / tot + 1e-10)), 6) AS novelty, count(*) AS n_items
-              |FROM top100, tot GROUP BY tot""".stripMargin))
+              |FROM top100, tot GROUP BY tot""".stripMargin)),
+
+    // --- R11: Spearman rank correlation per group (metrics.py:481-527;
+    //     Kendall intentionally omitted — the reference never calls it) ---
+    ("r11_spearman", (s, d) => {
+      val li = SparkEntry.T(s, d, "lineitem")
+      val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      val wp = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      li.select(col("l_returnflag"),
+        rank().over(wq).as("rq"), rank().over(wp).as("rp"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("rq"), col("rp")), 6).as("spearman"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"))
+    },
+      Some("""WITH r AS (SELECT l_returnflag,
+             |  rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rq,
+             |  rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rp
+             |  FROM lineitem)
+             |SELECT l_returnflag, round(corr(rq, rp), 6) AS spearman, count(*) AS cnt
+             |FROM r GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
   )
 }

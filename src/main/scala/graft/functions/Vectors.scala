@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Vector/embedding column functions (SURVEY §2.9 R1/R2, §2.12 U4) over
@@ -29,12 +29,32 @@ object Vectors {
   def vecNorm(a: Column): Column = sqrt(vecNormSq(a))
 
   /** R1: L2-normalize — zero vectors pass through unchanged (faiss leaves
-    * zero vectors as-is rather than dividing by zero). */
+    * zero vectors as-is rather than dividing by zero).
+    *
+    * PERF CAVEAT: as a pure Column expression the norm lives inside the
+    * `transform` lambda and is re-evaluated per element — O(d²) per vector.
+    * Fine for ad-hoc use; bulk pipelines should use [[normalized]], which
+    * materializes the norm in its own column first (O(d)). */
   def vecNormalize(a: Column): Column = {
     val n = vecNorm(a)
     when(n === 0.0, transform(a, x => x.cast("double")))
       .otherwise(transform(a, x => x.cast("double") / n))
   }
+
+  /** Divide every element by a precomputed scalar column. */
+  def vecScale(a: Column, s: Column): Column =
+    transform(a, x => x.cast("double") / s)
+
+  /** DataFrame-level L2 normalization: the norm is computed once per row in
+    * its own (non-collapsible) projection, then referenced by the scaling
+    * lambda — O(d) per vector, the form bulk similarity pipelines use. */
+  def normalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn("__vecnorm", vecNorm(col(vecCol)))
+      .withColumn(outCol,
+        when(col("__vecnorm") === 0.0,
+          transform(col(vecCol), x => x.cast("double")))
+          .otherwise(vecScale(col(vecCol), col("__vecnorm"))))
+      .drop("__vecnorm")
 
   /** Cosine similarity = dot / (|a| |b|); 0 when either norm is 0. */
   def cosine(a: Column, b: Column): Column = {

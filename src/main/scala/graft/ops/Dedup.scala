@@ -61,16 +61,32 @@ object Dedup {
     * `h_j(x) = (a_j * xxhash64(x) + b_j) mod p`, signature_j = min over
     * shingles. Deterministic per seed. Per-row expression — the signature
     * never leaves the row until banding. */
-  def minHashSignature(shingles: Column, numHashes: Int,
-                       seed: Long = 42): Column = {
+  private val MinHashPrime = 2147483647L // 2^31 - 1 (Mersenne)
+
+  private def minHashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
-    val prime = 2147483647L // 2^31 - 1 (Mersenne)
-    val params = Seq.fill(numHashes)(
-      (math.abs(rnd.nextLong()) % (prime - 1) + 1,
-        math.abs(rnd.nextLong()) % prime))
-    val hashCols = params.map { case (a, b) =>
-      array_min(transform(shingles,
-        s => pmod(pmod(xxhash64(s), lit(prime)) * a + b, lit(prime))))
+    Seq.fill(numHashes)(
+      (math.abs(rnd.nextLong()) % (MinHashPrime - 1) + 1,
+        math.abs(rnd.nextLong()) % MinHashPrime))
+  }
+
+  /** Base hash of each shingle — computed ONCE per shingle; the per-
+    * permutation signature then only does affine arithmetic over these.
+    * Callers should materialize this as its own column so Catalyst doesn't
+    * re-inline the xxhash into every permutation expression. */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => pmod(xxhash64(s), lit(MinHashPrime)))
+
+  def minHashSignature(shingles: Column, numHashes: Int,
+                       seed: Long = 42): Column =
+    minHashSignatureFromHashes(shingleHashes(shingles), numHashes, seed)
+
+  /** Signature from pre-hashed shingles: sig_j = min over hashes of
+    * (a_j*h + b_j) mod p. */
+  def minHashSignatureFromHashes(hashed: Column, numHashes: Int,
+                                 seed: Long = 42): Column = {
+    val hashCols = minHashParams(numHashes, seed).map { case (a, b) =>
+      array_min(transform(hashed, h => pmod(h * a + b, lit(MinHashPrime))))
     }
     array(hashCols: _*)
   }
@@ -94,24 +110,35 @@ object Dedup {
                       bands: Int = 16, threshold: Double = 0.7,
                       seed: Long = 42): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(
+    val base = df.select(
       col(idCol),
       wordShingles(col(textCol), shingleLen).as("__sh"))
       .withColumn("__shd", array_distinct(col("__sh")))
-      .withColumn("__sig", minHashSignature(col("__shd"), numHashes, seed))
-      .withColumn("__band", explode(lshBands(col("__sig"), bands, rowsPerBand)))
-      .select(col(idCol), col("__shd"),
-        col("__band.band").as("band"), col("__band.bucket").as("bucket"))
-    val a = sigs.select(col(idCol).as("id1"), col("__shd").as("sh1"),
-      col("band"), col("bucket"))
-    val b = sigs.select(col(idCol).as("id2"), col("__shd").as("sh2"),
-      col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
+      // materialized so the xxhash pass runs once, not once per permutation
+      .withColumn("__hs", shingleHashes(col("__shd")))
+      .withColumn("__sig",
+        minHashSignatureFromHashes(col("__hs"), numHashes, seed))
+    // Candidate generation ships ONLY (id, band, bucket) through the
+    // explode+join — never the shingle arrays (a 16× payload blowup
+    // otherwise); the exact-Jaccard verify then joins shingles back ONCE
+    // per distinct candidate pair.
+    val buckets = base
+      .select(col(idCol),
+        explode(lshBands(col("__sig"), bands, rowsPerBand)).as("__band"))
+      .select(col(idCol), col("__band.band").as("band"),
+        col("__band.bucket").as("bucket"))
+    val cand = buckets.select(col(idCol).as("id1"), col("band"), col("bucket"))
+      .join(buckets.select(col(idCol).as("id2"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val sh = base.select(col(idCol), col("__shd"))
+    cand
+      .join(sh.select(col(idCol).as("id1"), col("__shd").as("sh1")), Seq("id1"))
+      .join(sh.select(col(idCol).as("id2"), col("__shd").as("sh2")), Seq("id2"))
       .select(col("id1"), col("id2"),
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 
@@ -147,16 +174,23 @@ object Dedup {
 
   /** SimHash 64-bit fingerprint (packed Long). Per-token xxhash64; bit i of
     * the fingerprint is 1 iff the sum over tokens of (+1 if token-hash bit i
-    * set else −1) is positive. All per-row HOFs — no UDF, no shuffle. */
-  def simHash64(textCol: Column): Column = {
-    val th = transform(array_distinct(tokens(textCol)), t => xxhash64(t))
+    * set else −1) is positive. All per-row HOFs — no UDF, no shuffle.
+    * Callers doing bulk work should hash tokens into their own column first
+    * ([[tokenHashes]] + [[simHash64FromHashes]]) so the hash pass isn't
+    * re-inlined into all 64 bit expressions. */
+  def tokenHashes(textCol: Column): Column =
+    transform(array_distinct(tokens(textCol)), t => xxhash64(t))
+
+  def simHash64(textCol: Column): Column =
+    simHash64FromHashes(tokenHashes(textCol))
+
+  def simHash64FromHashes(th: Column): Column =
     (0 until 64).map { i =>
       val bitSum = aggregate(th, lit(0L), (a, h) =>
         a + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L)
           .otherwise(-1L))
       when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-  }
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -166,7 +200,9 @@ object Dedup {
     * on at least one block — pigeonhole), verify Hamming within buckets. */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val withFp = df.select(col(idCol), simHash64(col(textCol)).as("fp"))
+    val withFp = df
+      .select(col(idCol), tokenHashes(col(textCol)).as("__th"))
+      .select(col(idCol), simHash64FromHashes(col("__th")).as("fp"))
     val banded = withFp.select(col(idCol), col("fp"),
       explode(array((0 until 4).map { blk =>
         struct(lit(blk).as("block"),

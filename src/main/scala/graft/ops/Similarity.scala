@@ -32,11 +32,19 @@ object Similarity {
                      itemId: String, vecCol: String, k: Int,
                      metric: String = "cosine",
                      excludeSelf: Boolean = false): DataFrame = {
-    val q = queries.select(col(queryId).as("query_id"),
-      col(vecCol).as("__qv"))
-    val it = items.select(col(itemId).as("item_id"), col(vecCol).as("__iv"))
+    // For cosine, L2-normalize each side ONCE below the join (O(n) norms)
+    // so the per-pair work is a bare dot product — at n² pairs, recomputing
+    // norms per pair is the difference between O(n²d) and O(n²d + nd).
+    val normalizeInputs = metric == "cosine"
+    def prep(df: DataFrame, idC: String, outId: String, outVec: String) =
+      if (normalizeInputs)
+        normalized(df.select(col(idC).as(outId), col(vecCol).as(outVec)),
+          outVec, outVec)
+      else df.select(col(idC).as(outId), col(vecCol).as(outVec))
+    val q = prep(queries, queryId, "query_id", "__qv")
+    val it = prep(items, itemId, "item_id", "__iv")
     val scoreCol = metric match {
-      case "cosine" => cosine(col("__qv"), col("__iv"))
+      case "cosine" => vecDot(col("__qv"), col("__iv"))
       case "dot"    => vecDot(col("__qv"), col("__iv"))
       case "l2"     => -l2Distance(col("__qv"), col("__iv"))
       case m        => throw new IllegalArgumentException(s"metric $m")
@@ -99,8 +107,10 @@ object Similarity {
         .filter(col("__rn") <= nprobe)
         .select(col("query_id"), col("__qv"), col("centroid_id"))
     }
-    val pairs = qProbe.join(itemsC, Seq("centroid_id"))
-    val scored = pairs.withColumn("score", cosine(col("__qv"), col("__iv")))
+    val pairs = normalized(qProbe, "__qv", "__qn").drop("__qv")
+      .join(normalized(itemsC, "__iv", "__in").drop("__iv"),
+        Seq("centroid_id"))
+    val scored = pairs.withColumn("score", vecDot(col("__qn"), col("__in")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("item_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -115,10 +125,12 @@ object Similarity {
   def intraListDiversity(recs: DataFrame, userCol: String, predCol: String,
                          topN: Int, embeddings: DataFrame, itemId: String,
                          vecCol: String): DataFrame = {
+    val normEmb = normalized(
+      embeddings.select(col(itemId).as("__item"), col(vecCol).as("__v")),
+      "__v", "__v")
     val exploded = recs.select(col(userCol),
       posexplode(slice(col(predCol), 1, topN)).as(Seq("pos", "__item")))
-      .join(broadcast(embeddings.select(col(itemId).as("__item"),
-        col(vecCol).as("__v"))), Seq("__item"))
+      .join(broadcast(normEmb), Seq("__item"))
     val a = exploded.select(col(userCol), col("pos").as("p1"),
       col("__v").as("v1"))
     val b = exploded.select(col(userCol), col("pos").as("p2"),
@@ -126,7 +138,7 @@ object Similarity {
     a.join(b, Seq(userCol))
       .filter(col("p1") < col("p2"))
       .groupBy(col(userCol))
-      .agg(avg(cosineDistance(col("v1"), col("v2"))).as("diversity"))
+      .agg(avg(lit(1.0) - vecDot(col("v1"), col("v2"))).as("diversity"))
   }
 
   /** Embedding near-duplicate pairs at scale: cluster-prune then verify
@@ -135,16 +147,18 @@ object Similarity {
                         threshold: Double, nlist: Int = 64,
                         seed: Long = 42): DataFrame = {
     val centroids = pickCentroids(df, idCol, vecCol, nlist, seed)
-    val assigned = assignClusters(
-      df.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v",
-      centroids)
-    val a = assigned.select(col("__id").as("id1"), col("__v").as("v1"),
+    val assigned = normalized(
+      assignClusters(
+        df.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v",
+        centroids),
+      "__v", "__nv").drop("__v")
+    val a = assigned.select(col("__id").as("id1"), col("__nv").as("v1"),
       col("centroid_id"))
-    val b = assigned.select(col("__id").as("id2"), col("__v").as("v2"),
+    val b = assigned.select(col("__id").as("id2"), col("__nv").as("v2"),
       col("centroid_id"))
     a.join(b, Seq("centroid_id"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .withColumn("cosine", vecDot(col("v1"), col("v2")))
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }
