@@ -253,7 +253,7 @@ object QueriesEval {
       val b = e.select(col("label"), col("vec_id").as("i2"), col("nv").as("v2"))
       a.join(b, Seq("label")).filter(col("i1") < col("i2"))
         .groupBy(col("label"))
-        .agg(round(avg(lit(1.0) - V.vecDot(col("v1"), col("v2"))), 6).as("diversity"),
+        .agg(round(avg(lit(1.0) - V.vecDotNative(col("v1"), col("v2"))), 6).as("diversity"),
           count(lit(1)).as("n_pairs"))
         .orderBy(col("label"))
     },

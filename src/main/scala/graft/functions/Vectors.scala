@@ -2,6 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+import graft.functions.expr.{VectorDot, VectorNormSq}
 
 /** Vector/embedding column functions (SURVEY §2.9 R1/R2, §2.12 U4) over
   * `ArrayType(FloatType)` / `ArrayType(DoubleType)` columns.
@@ -49,12 +52,27 @@ object Vectors {
     * its own (non-collapsible) projection, then referenced by the scaling
     * lambda — O(d) per vector, the form bulk similarity pipelines use. */
   def normalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
-    df.withColumn("__vecnorm", vecNorm(col(vecCol)))
+    df.withColumn("__vecnorm", vecNormNative(col(vecCol)))
       .withColumn(outCol,
         when(col("__vecnorm") === 0.0,
           transform(col(vecCol), x => x.cast("double")))
           .otherwise(vecScale(col(vecCol), col("__vecnorm"))))
       .drop("__vecnorm")
+
+  /** Native codegen'd dot product — identical Double array-order
+    * accumulation to [[vecDot]] (bit-for-bit same results), but compiled to
+    * a primitive loop inside whole-stage codegen instead of an interpreted
+    * per-element lambda. Use in n²-pair similarity hot paths. */
+  def vecDotNative(a: Column, b: Column): Column =
+    ColumnBridge.column(VectorDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Native squared L2 norm (companion to [[vecDotNative]]). */
+  def vecNormSqNative(a: Column): Column =
+    ColumnBridge.column(VectorNormSq(ColumnBridge.expression(a)))
+
+  /** Native L2 norm. */
+  def vecNormNative(a: Column): Column = sqrt(vecNormSqNative(a))
 
   /** Cosine similarity = dot / (|a| |b|); 0 when either norm is 0. */
   def cosine(a: Column, b: Column): Column = {

@@ -44,8 +44,8 @@ object Similarity {
     val q = prep(queries, queryId, "query_id", "__qv")
     val it = prep(items, itemId, "item_id", "__iv")
     val scoreCol = metric match {
-      case "cosine" => vecDot(col("__qv"), col("__iv"))
-      case "dot"    => vecDot(col("__qv"), col("__iv"))
+      case "cosine" => vecDotNative(col("__qv"), col("__iv"))
+      case "dot"    => vecDotNative(col("__qv"), col("__iv"))
       case "l2"     => -l2Distance(col("__qv"), col("__iv"))
       case m        => throw new IllegalArgumentException(s"metric $m")
     }
@@ -110,7 +110,7 @@ object Similarity {
     val pairs = normalized(qProbe, "__qv", "__qn").drop("__qv")
       .join(normalized(itemsC, "__iv", "__in").drop("__iv"),
         Seq("centroid_id"))
-    val scored = pairs.withColumn("score", vecDot(col("__qn"), col("__in")))
+    val scored = pairs.withColumn("score", vecDotNative(col("__qn"), col("__in")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("item_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -138,7 +138,7 @@ object Similarity {
     a.join(b, Seq(userCol))
       .filter(col("p1") < col("p2"))
       .groupBy(col(userCol))
-      .agg(avg(lit(1.0) - vecDot(col("v1"), col("v2"))).as("diversity"))
+      .agg(avg(lit(1.0) - vecDotNative(col("v1"), col("v2"))).as("diversity"))
   }
 
   /** Embedding near-duplicate pairs at scale: cluster-prune then verify
@@ -158,7 +158,7 @@ object Similarity {
       col("centroid_id"))
     a.join(b, Seq("centroid_id"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cosine", vecDot(col("v1"), col("v2")))
+      .withColumn("cosine", vecDotNative(col("v1"), col("v2")))
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }

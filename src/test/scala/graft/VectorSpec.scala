@@ -37,6 +37,20 @@ class VectorSpec extends AnyFunSuite {
       df.select(V.cosine(col("a"), col("b"))).head().getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("native codegen dot/norm match the HOF forms bit-for-bit") {
+    val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = e.select(col("vec_id"), col("embedding").as("a"))
+    val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("b"))
+    val pairs = a.join(b, Seq("vec_id"))
+    val (maxDotDiff, maxNormDiff) = pairs.agg(
+      max(abs(V.vecDot(col("a"), col("b")) -
+        V.vecDotNative(col("a"), col("b")))),
+      max(abs(V.vecNorm(col("a")) - V.vecNormNative(col("a")))))
+      .as[(Double, Double)].head()
+    assert(maxDotDiff === 0.0)
+    assert(maxNormDiff === 0.0)
+  }
+
   test("padTo pads to target dim") {
     val df = Seq(Seq(1f, 2f)).toDF("a")
     val padded = df.select(V.padTo(col("a"), 5)).head().getSeq[Double](0)
