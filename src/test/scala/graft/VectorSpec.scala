@@ -51,6 +51,35 @@ class VectorSpec extends AnyFunSuite {
     assert(maxNormDiff === 0.0)
   }
 
+  test("vector_dot / vector_norm_sq usable from SQL (GraftExtensions)") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(dot === 11.0)
+    val nsq = spark.sql("SELECT vector_norm_sq(array(3.0D, 4.0D)) AS n")
+      .head().getDouble(0)
+    assert(nsq === 25.0)
+  }
+
+  test("batched inference: expression scorer and partition scorer agree (U5)") {
+    import graft.ops.Inference
+    val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(50)
+    val w = Array.tabulate(64)(i => (i % 5 - 2) * 0.1)
+    val exprScores = e.select(col("vec_id"),
+      Inference.linearScore(col("embedding"), w, 0.5).as("score"))
+      .as[(Long, Double)].collect().toMap
+    val partScores = Inference.scorePartitions(e, "vec_id", "embedding",
+      () => (vec: Array[Float]) =>
+        vec.zip(w).map { case (x, wi) => x.toDouble * wi }.sum + 0.5)
+      .as[(Long, Double)].collect().toMap
+    assert(exprScores.keySet === partScores.keySet)
+    exprScores.foreach { case (id, s) =>
+      assert(math.abs(s - partScores(id)) < 1e-9, s"id $id")
+    }
+  }
+
   test("padTo pads to target dim") {
     val df = Seq(Seq(1f, 2f)).toDF("a")
     val padded = df.select(V.padTo(col("a"), 5)).head().getSeq[Double](0)
