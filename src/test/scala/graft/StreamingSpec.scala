@@ -89,6 +89,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(table).count() === 3)
   }
 
+  test("observable stream counters surface in query progress (A12, kafka_consumer.py:33-36)") {
+    val dir = Files.createTempDirectory("graft-obs").toString
+    eventsFixture(dir)
+    val counted = StreamingJobs.withCounters(StreamingJobs.fileEvents(spark, dir))
+    val q = counted.writeStream.outputMode("append")
+      .format("memory").queryName("obs_out").start()
+    try {
+      q.processAllAvailable()
+      val metrics = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("graft_stream"))).lastOption
+      assert(metrics.isDefined, "graft_stream metrics missing from progress")
+      val m = metrics.get
+      assert(m.getAs[Long]("messages_processed") === 6L)
+      assert(m.getAs[Long]("clicks") === 2L) // fixture: events 1 and 3
+      assert(m.getAs[Long]("errors") === 0L)
+    } finally q.stop()
+  }
+
   test("TTL freshness filter drops expired rows (T8)") {
     val store = Seq((1L, 100L), (2L, 240L)).toDF("k", "ts_s")
       .withColumn("ts", timestamp_seconds(col("ts_s")))
