@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout tools for the 100 TB posture (SURVEY §4.2 / builder
+  * brief: "co-locate joins via bucketing, salting for skew").
+  *
+  * These are the knobs a 1000-executor deployment turns that local
+  * correctness tests can't show: bucketed tables make repeated big-big
+  * joins shuffle-free, and salted aggregation keeps one hot key from
+  * serializing a stage.
+  */
+object Layout {
+
+  /** Write a bucketed (and bucket-sorted) table: joins and aggregations on
+    * `bucketCols` against tables bucketed the same way need NO exchange and
+    * NO sort — the shuffle is paid once at write time instead of per query.
+    * (Bucketing requires the table catalog, hence `saveAsTable`.) */
+  def writeBucketed(df: DataFrame, tableName: String, numBuckets: Int,
+                    bucketCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(tableName)
+
+  /** Two-phase salted aggregation for skewed keys: phase 1 pre-aggregates
+    * on (key, salt) so a hot key spreads over `saltBuckets` reducers; phase
+    * 2 merges the partials per key. Exactly the same sums/counts as a
+    * direct groupBy — the salt only reshapes the shuffle.
+    *
+    * (AQE's skew-join handling covers joins; this is the aggregation-side
+    * equivalent for when a single group dwarfs the rest.) */
+  def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                     saltBuckets: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+    val partial = salted
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+    partial
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__psum")).as(s"sum_$valueCol"),
+        sum(col("__pcnt")).as("cnt"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Layout
+
+/** Physical-layout invariants: bucketed joins plan without exchanges;
+  * salted aggregation is result-identical to the direct form. */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange (co-located join)") {
+    val a = (0L until 1000L).map(i => (i % 100, i)).toDF("k", "va")
+    val b = (0L until 500L).map(i => (i % 100, i * 2)).toDF("k", "vb")
+    Layout.writeBucketed(a, "graft_bucket_a", 8, Seq("k"))
+    Layout.writeBucketed(b, "graft_bucket_b", 8, Seq("k"))
+    try {
+      // disable broadcast so the join would otherwise need a full shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be exchange-free, got:\n$plan")
+      assert(joined.count() === 5000) // 10 × 5 matches per key × 100 keys
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+
+  test("salted aggregation equals direct groupBy exactly (skew handling)") {
+    // one hot key (90% of rows) + a long tail
+    val df = ((0 until 9000).map(i => ("hot", i.toDouble)) ++
+      (0 until 1000).map(i => (s"k${i % 50}", i.toDouble)))
+      .toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("cnt"))
+      .as[(String, Double, Long)].collect()
+      .map { case (k, s, c) => k -> ((s, c)) }.toMap
+    val salted = Layout.saltedSumCount(df, Seq("k"), "v", 16)
+      .as[(String, Double, Long)].collect()
+      .map { case (k, s, c) => k -> ((s, c)) }.toMap
+    assert(salted.keySet === direct.keySet)
+    direct.foreach { case (k, (s, c)) =>
+      assert(salted(k)._2 === c, s"count mismatch for $k")
+      assert(math.abs(salted(k)._1 - s) < 1e-6, s"sum mismatch for $k")
+    }
+  }
+}
