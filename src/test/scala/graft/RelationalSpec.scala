@@ -27,6 +27,22 @@ class RelationalSpec extends AnyFunSuite {
     split.unpersist()
   }
 
+  test("approximate time split holds ordering at scale-safe cost (timeSplitApprox)") {
+    val df = (0 until 1000).map(i => (i.toLong, i.toLong)).toDF("id", "ts")
+    val split = Relational.timeSplitApprox(df, "ts", 0.8, 0.1).cache()
+    val counts = split.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    // approxQuantile cutoffs: proportions within a few percent, ordering exact
+    assert(math.abs(counts("train") - 800L) <= 30)
+    assert(math.abs(counts("test") - 100L) <= 30)
+    val trainMax = split.filter($"split" === "train").agg(max("ts")).head().getLong(0)
+    val valMin = split.filter($"split" === "val").agg(min("ts")).head().getLong(0)
+    val valMax = split.filter($"split" === "val").agg(max("ts")).head().getLong(0)
+    val testMin = split.filter($"split" === "test").agg(min("ts")).head().getLong(0)
+    assert(trainMax <= valMin && valMax <= testMin)
+    split.unpersist()
+  }
+
   test("leave-one-out: exactly 1 test row per user (test_data_loading.py:148-165)") {
     val df = Seq(
       (1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L), (1L, 40L, 4L),
