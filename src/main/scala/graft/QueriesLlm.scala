@@ -152,6 +152,22 @@ object QueriesLlm {
         .withColumn("recall", col("n_hits") / col("n_exact"))
     }, None),
 
+    // --- ANN via MLlib BucketedRandomProjectionLSH with recall self-check ---
+    ("ann_mllib_lsh_recall", (s, d) => {
+      val e = SparkEntry.T(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "vec_id",
+        "embedding", 5, "cosine", excludeSelf = true)
+        .select(col("query_id"), col("item_id"))
+      val approx = Similarity.lshTopK(qs, e, "vec_id", "vec_id",
+        "embedding", 5)
+        .select(col("query_id"), col("item_id"))
+      val hits = exact.join(approx, Seq("query_id", "item_id"), "left_semi")
+      hits.agg(count(lit(1)).as("n_hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .withColumn("recall", col("n_hits") / col("n_exact"))
+    }, None),
+
     // --- Embedding-cosine near-dup pairs (cluster-bucketed, never all-pairs) ---
     ("d_embedding_neardup", (s, d) =>
       Similarity.embeddingNearDups(

@@ -118,6 +118,43 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("item_id"), col("score"))
   }
 
+  /** R4 (MLlib path — SURVEY §7.3 option (a)): approximate top-k via
+    * `BucketedRandomProjectionLSH`. Inputs are L2-normalized so Euclidean
+    * distance is monotone in cosine (d² = 2 − 2cos for unit vectors); the
+    * returned `score` is the cosine recovered from the LSH distance.
+    * Complements [[clusterPrunedTopK]] (the IVF-semantics path). */
+  def lshTopK(queries: DataFrame, items: DataFrame, queryId: String,
+              itemId: String, vecCol: String, k: Int,
+              bucketLength: Double = 2.0, numHashTables: Int = 6,
+              maxDistance: Double = 2.0, seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    def prep(df: DataFrame, idC: String, outId: String) =
+      normalized(df.select(col(idC).as(outId), col(vecCol).as("__v")),
+        "__v", "__v")
+        .withColumn("features", array_to_vector(col("__v")))
+        .drop("__v")
+    val qn = prep(queries, queryId, "query_id")
+    val in = prep(items, itemId, "item_id")
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength)
+      .setNumHashTables(numHashTables)
+      .setInputCol("features")
+      .setOutputCol("hashes")
+      .setSeed(seed)
+    val model = lsh.fit(in)
+    val joined = model.approxSimilarityJoin(qn, in, maxDistance, "dist")
+      .select(col("datasetA.query_id").as("query_id"),
+        col("datasetB.item_id").as("item_id"), col("dist"))
+      .filter(col("query_id") =!= col("item_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("item_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("score", lit(1.0) - col("dist") * col("dist") / 2.0)
+      .select(col("query_id"), col("rank"), col("item_id"), col("score"))
+  }
+
   /** R9: intra-list diversity — mean pairwise cosine DISTANCE among each
     * user's top-N recommended item embeddings (`metrics.py:402-446`).
     * Input: recs (userCol, array of item ids, ranked), embeddings

@@ -98,6 +98,21 @@ class VectorSpec extends AnyFunSuite {
     assert(got === Seq(1L, 2L, 3L))
   }
 
+  test("MLlib BucketedRandomProjectionLSH ANN achieves nonzero recall vs exact (R4 option a)") {
+    val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "vec_id",
+      "embedding", 5, "cosine", excludeSelf = true)
+      .select("query_id", "item_id")
+    val approx = Similarity.lshTopK(qs, e, "vec_id", "vec_id", "embedding", 5)
+      .select("query_id", "item_id")
+    val nExact = exact.count()
+    val nHits = exact.join(approx, Seq("query_id", "item_id"), "left_semi").count()
+    assert(nExact > 0)
+    val recall = nHits.toDouble / nExact
+    assert(recall >= 0.2, s"MLlib LSH recall $recall vs exact too low")
+  }
+
   test("clusterPrunedTopK achieves reasonable recall vs exact (retrieval.py IVF nprobe semantics)") {
     val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
     val qs = e.filter(col("vec_id") < 20)
