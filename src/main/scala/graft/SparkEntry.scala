@@ -563,6 +563,23 @@ object SparkEntry {
              |(count(*) FILTER (WHERE event_type = 'click')) / ((count(*) FILTER (WHERE event_type = 'view')) + 1e-6) AS ctr
              |FROM events GROUP BY 1, 2 ORDER BY user_id, win_start""".stripMargin)),
 
+    // --- T3 exact-trailing semantics: per-event RANGE-frame window ---
+    ("t3_trailing_5min", (s, d) =>
+      Features.trailingActivity(E(s, d), "user_id", "ts", "event_type", 300L)
+        .select(col("user_id"), col("event_id"),
+          col("clicks_w").as("clicks_5min"),
+          col("views_w").as("views_5min"),
+          col("events_w").as("events_5min"))
+        .orderBy(col("user_id"), col("event_id")),
+      Some("""SELECT user_id, event_id,
+             |CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS clicks_5min,
+             |CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS views_5min,
+             |count(*) OVER w AS events_5min
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))
+             |             RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // --- T11: gap-based sessionization (batch) ---
     ("t11_sessionize", (s, d) =>
       Features.sessionize(E(s, d), "user_id", "ts", 1800L)

@@ -91,6 +91,26 @@ object Features {
       .withColumn("window_end", col("window.end"))
       .drop("window")
 
+  /** T3 EXACT trailing-window semantics in batch (SURVEY §7.4.1): for every
+    * event, aggregate the same key's events in `[ts − windowSeconds, ts]`
+    * via a RANGE window frame — the reference's "last 5 minutes as of now"
+    * anchored at each event (`feature_engineering.py:176-213`), not an
+    * aligned tumbling bucket. One shuffle + one sort per key; the frame
+    * slides per row without re-scanning. */
+  def trailingActivity(events: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String, windowSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_timestamp(col(tsCol)))
+      .rangeBetween(-windowSeconds, 0)
+    events
+      .withColumn("clicks_w",
+        sum(when(col(typeCol) === "click", 1L).otherwise(0L)).over(w))
+      .withColumn("views_w",
+        sum(when(col(typeCol) === "view", 1L).otherwise(0L)).over(w))
+      .withColumn("events_w", count(lit(1)).over(w))
+  }
+
   /** T11 upgrade: gap-based sessionization in batch — a session breaks after
     * `gapSeconds` of inactivity. Classic lag + cumulative-sum-of-breaks; one
     * shuffle on the key. (The reference only counts distinct session_ids —

@@ -89,6 +89,45 @@ object StreamingJobs {
       .withColumn("window_end", col("window.end"))
       .drop("window")
 
+  /** T3 exact-trailing semantics in streaming: arbitrary stateful
+    * processing via `flatMapGroupsWithState` keeping a bounded per-key
+    * event buffer — each event emits counts over that key's events in
+    * `[ts − windowSeconds, ts]`, matching the batch RANGE-frame form
+    * (`Features.trailingActivity`) for in-order data. Buffer is pruned to
+    * the window width on every batch, so state is O(events-per-window).
+    * Events arriving across batches out of order see the buffer as-of
+    * arrival (the reference processes in arrival order too — T9). */
+  def trailingActivityStream(events: DataFrame,
+                             windowSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(
+      col("user_id"), col("event_id"),
+      unix_timestamp(col("ts")).as("ts_s"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, String)], (Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, String)],
+         state: GroupState[List[(Long, String)]]) =>
+          var buf = state.getOption.getOrElse(Nil)
+          val incoming = it.toList.sortBy(e => (e._3, e._2))
+          val out = incoming.map { case (_, id, ts, tp) =>
+            buf = (ts, tp) :: buf
+            val win = buf.filter(e => e._1 >= ts - windowSeconds && e._1 <= ts)
+            (user, id,
+              win.count(_._2 == "click").toLong,
+              win.count(_._2 == "view").toLong,
+              win.size.toLong)
+          }
+          val maxTs = incoming.lastOption.map(_._3).getOrElse(Long.MinValue)
+          state.update(buf.filter(_._1 >= maxTs - windowSeconds))
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "clicks_5min", "views_5min", "events_5min")
+  }
+
   /** T6/S6/T10: per-batch upsert into an online store — each micro-batch
     * merges latest-per-key into the store directory (parquet, overwritten
     * per batch from current + incoming; at scale a Delta/Iceberg MERGE).

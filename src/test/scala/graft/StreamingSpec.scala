@@ -89,6 +89,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(table).count() === 3)
   }
 
+  test("stateful trailing-window stream matches the batch RANGE-frame form (T3 exact semantics)") {
+    val dir = Files.createTempDirectory("graft-trail").toString
+    eventsFixture(dir)
+    val stream = StreamingJobs.fileEvents(spark, dir)
+    val agg = StreamingJobs.trailingActivityStream(stream, 300L)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("trail_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("trail_out")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val batch = Features.trailingActivity(
+        spark.read.parquet(dir), "user_id", "ts", "event_type", 300L)
+        .select(col("user_id"), col("event_id"), col("clicks_w"),
+          col("views_w"), col("events_w"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === batch)
+      // golden: event 3 (user 1, ts=290) sees events at 10, 70, 290 → 2 clicks
+      assert(got.contains((1L, 3L, 2L, 1L, 3L)))
+      // event 4 (user 1, ts=310) window [10, 310] still holds all four
+      assert(got.contains((1L, 4L, 2L, 2L, 4L)))
+    } finally q.stop()
+  }
+
   test("observable stream counters surface in query progress (A12, kafka_consumer.py:33-36)") {
     val dir = Files.createTempDirectory("graft-obs").toString
     eventsFixture(dir)
