@@ -137,13 +137,16 @@ object Relational {
 
   /** X1: per-user negative sampling — sample `n` items per user from the
     * catalog excluding that user's positives (ref `src/data/movielens.py:488-512`).
-    * Distributed form: anti-join the (user × candidate) space pruned to a
-    * seeded hash-ordered top-n per user; never materializes the full cross
-    * product beyond the per-user candidate window. `candidatePerUser` bounds
-    * the pre-prune fan-out (over-sample factor like the reference's pool). */
+    * Distributed form: users × catalog candidate space (the reference also
+    * enumerates the full complement), anti-joined against positives, then a
+    * seeded hash-ordered `row_number ≤ n` per user — a uniform-ish
+    * pseudo-random sample that is fully deterministic per seed. Scale note:
+    * the candidate space is |users|·|catalog|; for very large catalogs,
+    * pre-filter items by `pmod(xxhash64(user, item, seed), k) = 0` to bound
+    * fan-out before the window (over-sample factor like the reference's
+    * pool) — acceptable because the hash order already IS the sample order. */
   def negativeSample(positives: DataFrame, userCol: String, itemCol: String,
-                     items: DataFrame, n: Int, seed: Long = 42,
-                     candidatePerUser: Int = 0): DataFrame = {
+                     items: DataFrame, n: Int, seed: Long = 42): DataFrame = {
     val users = positives.select(userCol).distinct()
     val cand = users.crossJoin(items)
     val notPos = cand.join(positives.select(userCol, itemCol).distinct(),
