@@ -67,10 +67,13 @@ object QueriesLlm {
           countDistinct(col("id1")).as("n_docs_with_dup"),
           round(avg(col("jaccard")), 4).as("avg_jaccard")), None),
 
-    // --- SimHash near-dup summary (xxhash-seeded; invariants in tests) ---
+    // --- SimHash near-dup summary (xxhash-seeded; invariants in tests).
+    // Radius 8 → 9 banding blocks (pigeonhole-complete candidate recall;
+    // the round-2 radius-16-over-4-blocks call was unsound and is fixed by
+    // deriving blocks from the radius in simHashNearDups). ---
     ("d_simhash", (s, d) =>
       Dedup.simHashNearDups(SparkEntry.T(s, d, "documents"), "doc_id", "text",
-        maxHamming = 16)
+        maxHamming = 8)
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("id1")).as("n_docs"),
           min(col("hamming")).as("min_hamming")), None),

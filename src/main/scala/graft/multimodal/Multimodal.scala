@@ -31,11 +31,14 @@ object Multimodal {
         (pmod(length(col("media")), lit(480)) + 1).cast("int").as("height")))
 
   /** Split a binary payload into fixed-size chunks (frame-sampling shape):
-    * `substr` on BinaryType slices bytes; pure expression, no UDF. */
+    * `substr` on BinaryType slices bytes; pure expression, no UDF. Empty
+    * payloads get an explicit empty array — `sequence(0, -1)` would step
+    * BACKWARD and yield two bogus chunks. */
   def chunkMedia(mediaCol: Column, chunkBytes: Int): Column = {
     val n = ceil(length(mediaCol).cast("double") / chunkBytes).cast("int")
-    transform(sequence(lit(0), n - 1),
-      i => mediaCol.substr(i * chunkBytes + 1, lit(chunkBytes)))
+    when(n <= 0, array().cast("array<binary>"))
+      .otherwise(transform(sequence(lit(0), n - 1),
+        i => mediaCol.substr(i * chunkBytes + 1, lit(chunkBytes))))
   }
 
   /** STUB decode: deterministic pseudo-features from the payload bytes —

@@ -104,11 +104,21 @@ object Dedup {
   /** MinHash-LSH near-duplicate candidate pairs: shingle → signature → band
     * → bucket self-join (id1 < id2) → exact Jaccard verification on the
     * shingle sets. Only within-bucket pairs are ever scored. Returns
-    * (id1, id2, jaccard) with jaccard >= threshold. */
+    * (id1, id2, jaccard) with jaccard >= threshold.
+    *
+    * Skew guard: low-entropy corpora (boilerplate, templated text) produce
+    * hot band buckets whose within-bucket self-join is quadratic and
+    * serializes a whole stage at scale. `maxBucketSize` caps each
+    * (band, bucket) to a deterministic hash-ordered sample of members
+    * (standard MinHash-LSH practice). Recall consequence: a true pair is
+    * lost only if at least one member is evicted from EVERY band the pair
+    * collides in — near-dups collide in many of the `bands` bands, so the
+    * planted-dup recall test stays green; the cap is the documented
+    * trade-off for bounded stage time. Set 0 to disable. */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleLen: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, threshold: Double = 0.7,
-                      seed: Long = 42): DataFrame = {
+                      seed: Long = 42, maxBucketSize: Int = 64): DataFrame = {
     val rowsPerBand = numHashes / bands
     val base = df.select(
       col(idCol),
@@ -122,11 +132,23 @@ object Dedup {
     // explode+join — never the shingle arrays (a 16× payload blowup
     // otherwise); the exact-Jaccard verify then joins shingles back ONCE
     // per distinct candidate pair.
-    val buckets = base
+    val bucketsAll = base
       .select(col(idCol),
         explode(lshBands(col("__sig"), bands, rowsPerBand)).as("__band"))
       .select(col(idCol), col("__band.band").as("band"),
         col("__band.bucket").as("bucket"))
+    // Hot-bucket cap: deterministic hash-ordered row_number per
+    // (band, bucket); only (id, band, bucket) flows through the window, and
+    // the exchange it introduces is reused by both sides of the self-join.
+    val buckets =
+      if (maxBucketSize <= 0) bucketsAll
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))
+          .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+        bucketsAll.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxBucketSize).drop("__rn")
+      }
     val cand = buckets.select(col(idCol).as("id1"), col("band"), col("bucket"))
       .join(buckets.select(col(idCol).as("id2"), col("band"), col("bucket")),
         Seq("band", "bucket"))
@@ -195,18 +217,38 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidates: bucket by the fingerprint's 4 16-bit
-    * sub-blocks (a pair within Hamming distance <= 3 of 64 bits must agree
-    * on at least one block — pigeonhole), verify Hamming within buckets. */
+  /** SimHash near-dup candidates: split the 64-bit fingerprint into
+    * `maxHamming + 1` sub-blocks — a pair within Hamming distance
+    * `maxHamming` has fewer differing bits than blocks, so by pigeonhole it
+    * must agree EXACTLY on at least one block (complete candidate recall) —
+    * then verify true Hamming within buckets.
+    *
+    * Block count is derived from the radius, so the guarantee always holds
+    * (the round-2 version fixed 4 blocks, which is only sound for radius
+    * <= 3). Trade-off: larger radii mean more, narrower blocks (radius 15 →
+    * 16 four-bit blocks), whose coarse keys collide more — candidate
+    * volume grows toward all-pairs as the radius approaches 63. Radii above
+    * `maxRadius` (default 15) are rejected rather than silently exploding. */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxRadius: Int = 15): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= maxRadius,
+      s"maxHamming=$maxHamming outside [0, $maxRadius]: banding keys get " +
+        "too coarse to prune; raise maxRadius explicitly if you accept that")
+    val numBlocks = maxHamming + 1
+    // distribute 64 bits as evenly as possible: first (64 mod b) blocks one
+    // bit wider
+    val baseW = 64 / numBlocks
+    val widths = Seq.tabulate(numBlocks)(i =>
+      if (i < 64 % numBlocks) baseW + 1 else baseW)
+    val offsets = widths.scanLeft(0)(_ + _).init
     val withFp = df
       .select(col(idCol), tokenHashes(col(textCol)).as("__th"))
       .select(col(idCol), simHash64FromHashes(col("__th")).as("fp"))
     val banded = withFp.select(col(idCol), col("fp"),
-      explode(array((0 until 4).map { blk =>
+      explode(array((0 until numBlocks).map { blk =>
+        val mask = if (widths(blk) == 64) -1L else (1L << widths(blk)) - 1L
         struct(lit(blk).as("block"),
-          shiftright(col("fp"), blk * 16).bitwiseAND(lit(0xFFFFL))
+          shiftright(col("fp"), offsets(blk)).bitwiseAND(lit(mask))
             .as("key"))
       }: _*)).as("bb"))
       .select(col(idCol), col("fp"), col("bb.block").as("block"),

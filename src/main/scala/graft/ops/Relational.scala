@@ -65,16 +65,33 @@ object Relational {
 
   /** Scale-safe W2 variant: cutoffs from `approxQuantile` (two scans, no
     * global sort). Boundary rows may land differently than the exact form —
-    * acceptable at 100 TB where a global row_number is not. */
+    * acceptable at 100 TB where a global row_number is not.
+    *
+    * `approxQuantile` is numeric-only, so timestamp/date columns are
+    * quantiled on their epoch value internally (cast both the quantile
+    * input and the comparison to the same double epoch) — the exact
+    * [[timeSplit]] and this variant therefore accept the same columns. */
   def timeSplitApprox(df: DataFrame, tsCol: String,
                       trainFrac: Double = 0.8, valFrac: Double = 0.1,
                       relErr: Double = 1e-4): DataFrame = {
-    val Array(c1, c2) = df.stat.approxQuantile(
-      tsCol, Array(trainFrac, trainFrac + valFrac), relErr)
-    df.withColumn("split",
-      when(col(tsCol) <= c1, "train")
-        .when(col(tsCol) <= c2, "val")
+    import org.apache.spark.sql.types.{DateType, TimestampType, TimestampNTZType}
+    val isTemporal = df.schema(tsCol).dataType match {
+      case TimestampType | TimestampNTZType | DateType => true
+      case _ => false
+    }
+    val numCol = "__ts_num"
+    val base =
+      if (isTemporal)
+        df.withColumn(numCol,
+          col(tsCol).cast(TimestampType).cast("double"))
+      else df.withColumn(numCol, col(tsCol).cast("double"))
+    val Array(c1, c2) = base.stat.approxQuantile(
+      numCol, Array(trainFrac, trainFrac + valFrac), relErr)
+    base.withColumn("split",
+      when(col(numCol) <= c1, "train")
+        .when(col(numCol) <= c2, "val")
         .otherwise("test"))
+      .drop(numCol)
   }
 
   /** W1 (+J4): leave-last-N-per-user split (ref `src/data/movielens.py:204-236`):
@@ -137,18 +154,65 @@ object Relational {
 
   /** X1: per-user negative sampling — sample `n` items per user from the
     * catalog excluding that user's positives (ref `src/data/movielens.py:488-512`).
-    * Distributed form: users × catalog candidate space (the reference also
-    * enumerates the full complement), anti-joined against positives, then a
-    * seeded hash-ordered `row_number ≤ n` per user — a uniform-ish
-    * pseudo-random sample that is fully deterministic per seed. Scale note:
-    * the candidate space is |users|·|catalog|; for very large catalogs,
-    * pre-filter items by `pmod(xxhash64(user, item, seed), k) = 0` to bound
-    * fan-out before the window (over-sample factor like the reference's
-    * pool) — acceptable because the hash order already IS the sample order. */
+    *
+    * Two paths, dispatched on catalog size (one cheap `count` action):
+    *  - catalog <= `maxExactCatalog`: exact full-complement form — users ×
+    *    catalog (the reference also enumerates the full complement),
+    *    anti-joined against positives, then a seeded hash-ordered
+    *    `row_number <= n` per user: a uniform-ish pseudo-random sample,
+    *    fully deterministic per seed.
+    *  - larger catalogs: [[negativeSampleBucketed]] — NO cross join. The
+    *    enumeration of |users|x|catalog| pairs (even as a filtered
+    *    broadcast-nested-loop) is the one true cartesian at 100 TB, so the
+    *    bounded path replaces it with a hash-bucketed EQUI-join: items are
+    *    assigned to `k` deterministic buckets, each user probes `probes`
+    *    seeded buckets, giving an expected candidate pool of
+    *    `probes * |catalog| / k ~= oversample * n` per user before the
+    *    anti-join and window. */
   def negativeSample(positives: DataFrame, userCol: String, itemCol: String,
-                     items: DataFrame, n: Int, seed: Long = 42): DataFrame = {
+                     items: DataFrame, n: Int, seed: Long = 42,
+                     maxExactCatalog: Long = 100000): DataFrame = {
+    val catalogSize = items.count()
+    if (catalogSize <= maxExactCatalog) {
+      val users = positives.select(userCol).distinct()
+      val cand = users.crossJoin(items)
+      val notPos = cand.join(positives.select(userCol, itemCol).distinct(),
+        Seq(userCol, itemCol), "left_anti")
+      val w = Window.partitionBy(col(userCol))
+        .orderBy(xxhash64(col(userCol), col(itemCol), lit(seed)), col(itemCol))
+      notPos.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n).drop("__rn")
+    } else negativeSampleBucketed(positives, userCol, itemCol, items, n,
+      catalogSize, seed)
+  }
+
+  /** Bounded X1 for large catalogs: hash-bucketed equi-join candidate
+    * generation — linear in |users| * pool, never |users| x |catalog|.
+    *
+    * Items get bucket `pmod(xxhash64(item, seed), k)`; each user probes the
+    * `probes` buckets `pmod(xxhash64(user, seed, j), k)`. The join is a
+    * plain shuffled/broadcast HASH join on the bucket id (no
+    * CartesianProduct / BroadcastNestedLoopJoin in the plan — asserted in
+    * RelationalSpec). Trade-offs, documented: users sharing all probe
+    * buckets draw from the same candidate pool (mitigated by `probes` > 1
+    * and by the per-(user,item) hash sample order), and a user whose pool
+    * is exhausted by positives may get < n negatives (the `oversample`
+    * head-room makes that vanishingly rare for pools >> positives/user). */
+  def negativeSampleBucketed(positives: DataFrame, userCol: String,
+                             itemCol: String, items: DataFrame, n: Int,
+                             catalogSize: Long, seed: Long = 42,
+                             oversample: Int = 8,
+                             probes: Int = 4): DataFrame = {
+    val k = math.max(probes.toLong,
+      probes.toLong * catalogSize / math.max(1L, oversample.toLong * n))
     val users = positives.select(userCol).distinct()
-    val cand = users.crossJoin(items)
+    val userProbes = users.select(col(userCol),
+      explode(array((0 until probes).map(j =>
+        pmod(xxhash64(col(userCol), lit(seed), lit(j)), lit(k))): _*))
+        .as("__bucket")).distinct()
+    val itemBuckets = items.withColumn("__bucket",
+      pmod(xxhash64(col(itemCol), lit(seed)), lit(k)))
+    val cand = userProbes.join(itemBuckets, Seq("__bucket")).drop("__bucket")
     val notPos = cand.join(positives.select(userCol, itemCol).distinct(),
       Seq(userCol, itemCol), "left_anti")
     val w = Window.partitionBy(col(userCol))

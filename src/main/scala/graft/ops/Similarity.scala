@@ -72,16 +72,21 @@ object Similarity {
       .select(col("centroid_id"), col(vecCol).as("centroid_vec"))
 
   /** Assign each row to its nearest centroid (broadcast cross-score +
-    * argmin). Adds `centroid_id`. */
+    * argmin). Adds `centroid_id`. The argmin window keys on a synthetic
+    * row id, not the row's columns — hashing/shipping an 8-byte key per
+    * scored pair instead of the full embedding array (~8x fewer key bytes
+    * for 128-dim vectors). The id never escapes this function and the
+    * result doesn't depend on its values. */
   def assignClusters(df: DataFrame, vecCol: String,
                      centroids: DataFrame): DataFrame = {
-    val scored = df.crossJoin(broadcast(centroids))
+    val withId = df.withColumn("__row", monotonically_increasing_id())
+    val scored = withId.crossJoin(broadcast(centroids))
       .withColumn("__d", l2Distance(col(vecCol), col("centroid_vec")))
-    val w = Window.partitionBy(df.columns.map(col): _*)
+    val w = Window.partitionBy(col("__row"))
       .orderBy(col("__d"), col("centroid_id"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "__d", "centroid_vec")
+      .drop("__rn", "__d", "centroid_vec", "__row")
   }
 
   /** R4: IVF-style approximate top-k — probe only the query's `nprobe`

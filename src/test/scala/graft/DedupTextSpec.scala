@@ -62,6 +62,41 @@ class DedupTextSpec extends AnyFunSuite {
     assert(exact.diff(lsh).isEmpty, s"LSH missed pairs: ${exact.diff(lsh)}")
   }
 
+  test("minhash LSH: hot-bucket cap is a no-op when buckets are small") {
+    def pairs(cap: Int) = Dedup.minHashNearDups(docs, "doc_id", "text",
+      shingleLen = 2, numHashes = 64, bands = 32, threshold = 0.5,
+      maxBucketSize = cap)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // buckets in this corpus are far below the cap → capped == uncapped
+    assert(pairs(64) === pairs(0))
+  }
+
+  test("simhash banding is COMPLETE vs brute force at the requested radius (sf0.001)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val fp = docs.select(col("doc_id").as("id"),
+      Dedup.simHash64(col("text")).as("fp"))
+    for (radius <- Seq(3, 8)) {
+      val brute = fp.select(col("id").as("id1"), col("fp").as("fp1"))
+        .crossJoin(fp.select(col("id").as("id2"), col("fp").as("fp2")))
+        .filter(col("id1") < col("id2"))
+        .filter(Dedup.hamming64(col("fp1"), col("fp2")) <= radius)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val banded = Dedup.simHashNearDups(docs, "doc_id", "text",
+        maxHamming = radius)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(banded === brute,
+        s"radius $radius: banded ${banded.size} vs brute ${brute.size}; " +
+          s"missed=${brute.diff(banded).take(5)} extra=${banded.diff(brute).take(5)}")
+    }
+  }
+
+  test("simhash rejects radii beyond the banding's useful range") {
+    intercept[IllegalArgumentException] {
+      Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 16)
+    }
+  }
+
   test("simhash: identical docs → hamming 0; near-dups closer than unrelated") {
     val fp = docs.select(col("doc_id"), Dedup.simHash64(col("text")).as("fp"))
       .as[(Long, Long)].collect().toMap

@@ -91,6 +91,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(neg2 === negRows)
   }
 
+  test("bucketed negative sampling: disjoint, bounded, deterministic, NO cartesian") {
+    val positives = Seq((1L, 10L), (1L, 11L), (2L, 12L)).toDF("u", "i")
+    val items = (10L to 29L).toDF("i")
+    // force the bounded path regardless of catalog size
+    val neg = Relational.negativeSample(positives, "u", "i", items, 5,
+      seed = 42, maxExactCatalog = 0)
+    val negRows = neg.select("u", "i").as[(Long, Long)].collect().toSet
+    assert(negRows.intersect(Set((1L, 10L), (1L, 11L), (2L, 12L))).isEmpty)
+    val perUser = neg.groupBy("u").count().as[(Long, Long)].collect().toMap
+    assert(perUser.values.forall(c => c >= 1 && c <= 5))
+    val neg2 = Relational.negativeSample(positives, "u", "i", items, 5,
+      seed = 42, maxExactCatalog = 0)
+      .select("u", "i").as[(Long, Long)].collect().toSet
+    assert(neg2 === negRows)
+    // the whole point of the bounded path: candidate gen is an equi-join
+    val plan = neg.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("timeSplitApprox works on TimestampType columns (epoch-cast internally)") {
+    val df = (0 until 200)
+      .map(i => (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d")))
+      .toDF("id", "ts")
+    val split = Relational.timeSplitApprox(df, "ts", 0.8, 0.1)
+    val counts = split.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(math.abs(counts("train") - 160L) <= 10)
+    assert(split.columns.toSeq === Seq("id", "ts", "split"))
+  }
+
   test("z-score normalize: mean ~0, unit-ish std (movielens.py:421-422)") {
     val df = (1 to 100).map(_.toDouble).toDF("x")
     val z = Relational.zscore(df, Seq("x"))
