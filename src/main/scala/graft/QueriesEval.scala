@@ -46,8 +46,11 @@ object QueriesEval {
     pairs(s, d).filter(col("sd") >= lit(Cutoff).cast("timestamp"))
       .select(col("u"), col("it")).distinct()
 
-  /** Per-user (pred array, gt array) frame. Inner join = E9's
-    * skip-users-without-ground-truth semantics (`metrics.py:275-276`). */
+  /** Per-user (pred array, gt array) frame. Scope = users with ground
+    * truth (E9's skip-users-without-ground-truth, `metrics.py:275-276`);
+    * a gt user whose ENTIRE candidate list was excluded by the seen-item
+    * anti-join is KEPT with an empty pred (zero metrics) — the reference
+    * evaluates such users too, it never drops them. */
   private def predGt(s: SparkSession, d: String): DataFrame = {
     val train = trainPairs(s, d)
     val test = testPairs(s, d)
@@ -65,8 +68,24 @@ object QueriesEval {
       .select(col("u"), transform(col("__o"), x => x.getField("it")).as("pred"))
     val gt = test.groupBy(col("u"))
       .agg(sort_array(collect_set(col("it"))).as("gt"))
-    pred.join(gt, Seq("u"))
+    gt.join(pred, Seq("u"), "left")
+      .withColumn("pred",
+        coalesce(col("pred"), array().cast(pred.schema("pred").dataType)))
   }
+
+  /** [[predGt]] memoized + persisted per (session, dir): the eval tranche
+    * (4 queries) would otherwise rebuild the scan→join→window→collect
+    * pipeline from scratch each time. Unlike caching the raw scan+join base
+    * (measured ~40% pessimization — blocks parquet pushdown), this persists
+    * the POST-aggregation per-user frame: one short array row per user, tiny
+    * and reused as-is by every metric query. */
+  private val predGtCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def predGtShared(s: SparkSession, d: String): DataFrame =
+    predGtCache.computeIfAbsent((s, d), { case (s2, d2) =>
+      predGt(s2, d2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Shared oracle CTE prefix mirroring [[predGt]] relationally. */
   private val EvalCtes: String =
@@ -95,7 +114,7 @@ object QueriesEval {
 
     // --- E1/E2/E4 (+X2, E8): recall / precision / hit-rate @10 per user ---
     ("e_recall_precision_hit", (s, d) => {
-      val df = predGt(s, d)
+      val df = predGtShared(s, d)
       df.select(col("u"),
         size(col("gt")).as("gt_size"),
         RankingMetrics.recallAtK(col("pred"), col("gt"), 10).as("recall_at_10"),
@@ -113,7 +132,7 @@ object QueriesEval {
 
     // --- E3/E5/E6 (+W4,W5,W6): NDCG@10, MRR, average precision per user ---
     ("e_ndcg_mrr_ap", (s, d) => {
-      val df = predGt(s, d)
+      val df = predGtShared(s, d)
       df.select(col("u"),
         round(RankingMetrics.ndcgAtK(col("pred"), col("gt"), 10), 6).as("ndcg_at_10"),
         round(RankingMetrics.reciprocalRank(col("pred"), col("gt")), 6).as("mrr"),
@@ -139,7 +158,7 @@ object QueriesEval {
 
     // --- E7/E9/A10/A11/X3: mean metrics over users + catalog coverage ---
     ("e_means_coverage", (s, d) => {
-      val df = predGt(s, d)
+      val df = predGtShared(s, d)
       val per = df.select(col("u"), col("gt"),
         RankingMetrics.hitsAtK(col("pred"), col("gt"), 10).as("h"),
         RankingMetrics.recallAtK(col("pred"), col("gt"), 10).as("recall_at_10"),
@@ -182,7 +201,8 @@ object QueriesEval {
               |        LEFT JOIN dcg dc ON g.u = dc.u
               |        LEFT JOIN fh ON g.u = fh.u
               |        LEFT JOIN apx ON g.u = apx.u),
-              |cov AS (SELECT count(DISTINCT it) AS nd FROM predr WHERE pos <= 10),
+              |cov AS (SELECT count(DISTINCT it) AS nd FROM predr
+              |        WHERE pos <= 10 AND u IN (SELECT u FROM gts)),
               |cat AS (SELECT count(DISTINCT it) AS nc FROM li)
               |SELECT count(*) AS n_users,
               |round(avg(r), 6) AS recall_at_10,
@@ -193,6 +213,45 @@ object QueriesEval {
               |round(avg(a), 6) AS ap,
               |nd / nc AS coverage
               |FROM per, cov, cat GROUP BY nd, nc""".stripMargin)),
+
+    // --- E1-E4 at every reference K ∈ {5,20,50,100} (metrics.py:236,291-299;
+    //     K=10 covered by the dedicated e_* queries above) ---
+    ("e_multik_metrics", (s, d) => {
+      val ks = Seq(5, 20, 50, 100)
+      val df = RankingMetrics.perUserMetrics(predGtShared(s, d), "pred", "gt", ks)
+      val metricCols = ks.flatMap(k => Seq(
+        col(s"recall_at_$k"),
+        col(s"precision_at_$k"),
+        round(col(s"ndcg_at_$k"), 6).as(s"ndcg_at_$k"),
+        col(s"hit_rate_at_$k")))
+      df.select(col("u") +: metricCols: _*).orderBy(col("u"))
+    }, {
+      val ks = Seq(5, 20, 50, 100)
+      val perK = ks.map { k =>
+        s"""hx$k AS (SELECT u, count(*) AS h FROM hits WHERE pos <= $k GROUP BY u),
+           |dcg$k AS (SELECT u, sum(1.0 / log2(pos + 1)) AS dcg FROM hits WHERE pos <= $k GROUP BY u),
+           |idcg$k AS (SELECT u, sum(1.0 / log2(i + 2)) AS idcg
+           |           FROM (SELECT u, unnest(range(least(gt_size, $k))) AS i FROM gts) t GROUP BY u)""".stripMargin
+      }.mkString(",\n")
+      val sel = ks.map { k =>
+        s"""coalesce(hx$k.h, 0) / g.gt_size AS recall_at_$k,
+           |coalesce(hx$k.h, 0) / $k AS precision_at_$k,
+           |round(coalesce(dcg$k.dcg / idcg$k.idcg, 0.0), 6) AS ndcg_at_$k,
+           |CASE WHEN coalesce(hx$k.h, 0) > 0 THEN 1.0 ELSE 0.0 END AS hit_rate_at_$k""".stripMargin
+      }.mkString(",\n")
+      val joins = ks.map { k =>
+        s"""JOIN idcg$k ON g.u = idcg$k.u
+           |LEFT JOIN hx$k ON g.u = hx$k.u
+           |LEFT JOIN dcg$k ON g.u = dcg$k.u""".stripMargin
+      }.mkString("\n")
+      Some(s"""$EvalCtes,
+              |$perK
+              |SELECT g.u AS u,
+              |$sel
+              |FROM gts g
+              |$joins
+              |ORDER BY u""".stripMargin)
+    }),
 
     // --- R1/F14/U4: vector L2 norms ---
     ("r1_vec_norm", (s, d) =>

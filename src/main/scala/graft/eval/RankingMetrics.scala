@@ -136,7 +136,10 @@ object RankingMetrics {
 
   /** E10/R10: popularity-weighted novelty — mean −log2(pop/total + 1e-10)
     * over recommended top-K items (ref `metrics.py:449-478`; epsilon
-    * documented in FIXTURES §3). `popularity` = (itemCol, cnt). */
+    * documented in FIXTURES §3). `popularity` = (itemCol, cnt). Items
+    * absent from the popularity table default to count 1, matching
+    * `item_popularity.get(item, 1)` at `metrics.py:474` (NOT 0, which
+    * would spike novelty to −log2(1e-10) ≈ 33.2 for unseen items). */
   def noveltyAtK(recs: DataFrame, predCol: String, k: Int,
                  popularity: DataFrame, itemCol: String, cntCol: String,
                  total: Column): DataFrame = {
@@ -146,7 +149,7 @@ object RankingMetrics {
       .join(broadcast(popularity),
         exploded(itemCol + "__rec") === popularity(itemCol), "left")
       .withColumn("__p",
-        coalesce(col(cntCol).cast("double"), lit(0.0)) / total)
+        coalesce(col(cntCol).cast("double"), lit(1.0)) / total)
       .agg(avg(-log2(col("__p") + 1e-10)).as("novelty"))
   }
 }

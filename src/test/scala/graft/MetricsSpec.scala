@@ -78,6 +78,26 @@ class MetricsSpec extends AnyFunSuite {
     assert(one(df, RankingMetrics.hitRateAtK(col("pred"), col("gt"), 4)) === 1.0)
   }
 
+  test("empty prediction list → all metrics 0, user still evaluated (metrics.py:275-283)") {
+    val df = metricsOf(Seq.empty[Int], Seq(1, 2))
+    assert(one(df, RankingMetrics.recallAtK(col("pred"), col("gt"), 10)) === 0.0)
+    assert(one(df, RankingMetrics.ndcgAtK(col("pred"), col("gt"), 10)) === 0.0)
+    assert(one(df, RankingMetrics.reciprocalRank(col("pred"), col("gt"))) === 0.0)
+    assert(one(df, RankingMetrics.averagePrecision(col("pred"), col("gt"))) === 0.0)
+  }
+
+  test("novelty defaults missing item popularity to count 1, not 0 (metrics.py:474)") {
+    val recs = Seq((1, Seq(10, 99))).toDF("u", "pred") // 99 not in popularity
+    val pop = Seq((10, 4L)).toDF("it", "cnt")
+    val novelty = RankingMetrics
+      .noveltyAtK(recs, "pred", 10, pop, "it", "cnt", lit(8.0))
+      .head().getDouble(0)
+    // mean of -log2(4/8 + 1e-10) and -log2(1/8 + 1e-10)
+    val expected = (-math.log(0.5 + 1e-10) / math.log(2)
+      + -math.log(0.125 + 1e-10) / math.log(2)) / 2
+    assert(math.abs(novelty - expected) < 1e-9)
+  }
+
   test("implicit labels [5,4,3,2] at threshold 4.0 → [1,1,0,0] (test_data_loading.py:171-184)") {
     val df = Seq(5, 4, 3, 2).toDF("rating")
     val labels = Relational.implicitLabels(df, "rating", 4.0)
