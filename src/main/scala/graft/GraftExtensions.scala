@@ -4,10 +4,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expr.{VectorDot, VectorNormSq}
+import graft.functions.expr.{SimHash64, VectorDot, VectorNormSq}
 
 /** Catalyst extension entry point (SURVEY §7.3): exposes graft's native
-  * vector expressions to SQL as `vector_dot` / `vector_norm_sq`.
+  * expressions to SQL as `vector_dot` / `vector_norm_sq` / `sim_hash64`.
   *
   * Cluster use: `--conf spark.sql.extensions=graft.GraftExtensions` or
   * `SparkSession.builder().withExtensions(new GraftExtensions)`. For an
@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vector_norm_sq"),
       new ExpressionInfo(classOf[VectorNormSq].getName, "vector_norm_sq"),
       (args: Seq[Expression]) => VectorNormSq(args.head)))
+    e.injectFunction((FunctionIdentifier("sim_hash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "sim_hash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
   }
 }
 
@@ -33,5 +36,7 @@ object GraftExtensions {
       (args: Seq[Expression]) => VectorDot(args(0), args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vector_norm_sq",
       (args: Seq[Expression]) => VectorNormSq(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sim_hash64",
+      (args: Seq[Expression]) => SimHash64(args.head), "scala_udf")
   }
 }

@@ -79,13 +79,27 @@ object QueriesEval {
     * (measured ~40% pessimization — blocks parquet pushdown), this persists
     * the POST-aggregation per-user frame: one short array row per user, tiny
     * and reused as-is by every metric query. */
+  private val MaxCachedPredGt = 2
+  // Access-ordered LRU bounded at MaxCachedPredGt; evicted entries are
+  // unpersisted, so a long-lived multi-session JVM (test runners) doesn't
+  // pin stale SparkSessions or cached blocks forever.
   private val predGtCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean = {
+        val evict = size() > MaxCachedPredGt
+        if (evict) try e.getValue.unpersist(false)
+        catch { case _: Throwable => () }
+        evict
+      }
+    }
   private def predGtShared(s: SparkSession, d: String): DataFrame =
-    predGtCache.computeIfAbsent((s, d), { case (s2, d2) =>
-      predGt(s2, d2)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    predGtCache.synchronized {
+      predGtCache.computeIfAbsent((s, d), { case (s2, d2) =>
+        predGt(s2, d2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    }
 
   /** Shared oracle CTE prefix mirroring [[predGt]] relationally. */
   private val EvalCtes: String =
@@ -175,8 +189,11 @@ object QueriesEval {
         (sum(col("hit_rate_at_10")) / count(lit(1))).as("hit_rate_at_10"),
         round(avg(col("mrr")), 6).as("mrr"),
         round(avg(col("ap")), 6).as("ap"))
+      // E7 counts distinct items over top-max(K)=100 of each pred list —
+      // the reference accumulates pred_items[:max(k_values)]
+      // (metrics.py:286), not the K=10 slice.
       val cov = df
-        .select(explode(slice(col("pred"), 1, 10)).as("it"))
+        .select(explode(slice(col("pred"), 1, 100)).as("it"))
         .agg(countDistinct(col("it")).as("nd"))
       val cat = pairs(s, d).agg(countDistinct(col("it")).as("nc"))
       means.crossJoin(cov).crossJoin(cat)
@@ -202,7 +219,7 @@ object QueriesEval {
               |        LEFT JOIN fh ON g.u = fh.u
               |        LEFT JOIN apx ON g.u = apx.u),
               |cov AS (SELECT count(DISTINCT it) AS nd FROM predr
-              |        WHERE pos <= 10 AND u IN (SELECT u FROM gts)),
+              |        WHERE pos <= 100 AND u IN (SELECT u FROM gts)),
               |cat AS (SELECT count(DISTINCT it) AS nc FROM li)
               |SELECT count(*) AS n_users,
               |round(avg(r), 6) AS recall_at_10,

@@ -114,11 +114,15 @@ object Dedup {
     * lost only if at least one member is evicted from EVERY band the pair
     * collides in — near-dups collide in many of the `bands` bands, so the
     * planted-dup recall test stays green; the cap is the documented
-    * trade-off for bounded stage time. Set 0 to disable. */
+    * trade-off for bounded stage time. The eviction order is salted with
+    * the band, so an id unlucky in one band's hash is NOT preferentially
+    * evicted in the others (evictions decorrelate across bands — the
+    * "every band" mitigation actually holds). Default 0 = off (exact
+    * recall); opt in at scale on skew-prone corpora. */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleLen: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, threshold: Double = 0.7,
-                      seed: Long = 42, maxBucketSize: Int = 64): DataFrame = {
+                      seed: Long = 42, maxBucketSize: Int = 0): DataFrame = {
     val rowsPerBand = numHashes / bands
     val base = df.select(
       col(idCol),
@@ -145,7 +149,7 @@ object Dedup {
       else {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bucket"))
-          .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+          .orderBy(xxhash64(col(idCol), col("band"), lit(seed)), col(idCol))
         bucketsAll.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= maxBucketSize).drop("__rn")
       }
@@ -204,15 +208,31 @@ object Dedup {
     transform(array_distinct(tokens(textCol)), t => xxhash64(t))
 
   def simHash64(textCol: Column): Column =
-    simHash64FromHashes(tokenHashes(textCol))
+    simHash64Native(tokenHashes(textCol))
 
-  def simHash64FromHashes(th: Column): Column =
-    (0 until 64).map { i =>
+  /** Native codegen'd fingerprint: ONE pass over the hash array, 64 bit
+    * lanes counted in a local int[] (graft.functions.expr.SimHash64).
+    * Bit-for-bit equal to [[simHash64FromHashes]] — asserted in
+    * DedupTextSpec — and several-fold faster (the HOF form re-traverses
+    * the array once per output bit). */
+  def simHash64Native(th: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.expr.SimHash64(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(th)))
+
+  /** Reference HOF form — 64 interpreted folds; kept as the independent
+    * implementation the native kernel is differentially tested against.
+    * Null input array → null fingerprint (same as the native expression;
+    * without the guard the per-bit `otherwise(0)` would turn null into 0). */
+  def simHash64FromHashes(th: Column): Column = {
+    val fp = (0 until 64).map { i =>
       val bitSum = aggregate(th, lit(0L), (a, h) =>
         a + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L)
           .otherwise(-1L))
       when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+    when(th.isNotNull, fp)
+  }
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -243,7 +263,7 @@ object Dedup {
     val offsets = widths.scanLeft(0)(_ + _).init
     val withFp = df
       .select(col(idCol), tokenHashes(col(textCol)).as("__th"))
-      .select(col(idCol), simHash64FromHashes(col("__th")).as("fp"))
+      .select(col(idCol), simHash64Native(col("__th")).as("fp"))
     val banded = withFp.select(col(idCol), col("fp"),
       explode(array((0 until numBlocks).map { blk =>
         val mask = if (widths(blk) == 64) -1L else (1L << widths(blk)) - 1L

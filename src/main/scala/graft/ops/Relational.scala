@@ -171,8 +171,12 @@ object Relational {
     *    anti-join and window. */
   def negativeSample(positives: DataFrame, userCol: String, itemCol: String,
                      items: DataFrame, n: Int, seed: Long = 42,
-                     maxExactCatalog: Long = 100000): DataFrame = {
-    val catalogSize = items.count()
+                     maxExactCatalog: Long = 100000,
+                     knownCatalogSize: Option[Long] = None): DataFrame = {
+    // Path dispatch needs the catalog size; counting is an eager action in
+    // an otherwise-lazy builder, so callers that know their scale pass it
+    // via `knownCatalogSize` and skip the scan.
+    val catalogSize = knownCatalogSize.getOrElse(items.count())
     if (catalogSize <= maxExactCatalog) {
       val users = positives.select(userCol).distinct()
       val cand = users.crossJoin(items)

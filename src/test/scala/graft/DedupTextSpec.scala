@@ -62,6 +62,34 @@ class DedupTextSpec extends AnyFunSuite {
     assert(exact.diff(lsh).isEmpty, s"LSH missed pairs: ${exact.diff(lsh)}")
   }
 
+  test("minhash LSH hot-bucket cap: planted hot bucket bounded, distinct near-dup survives") {
+    // 120 byte-identical docs form one hot (band,bucket) in EVERY band —
+    // the within-bucket self-join is the quadratic the cap exists to bound.
+    val template = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    val hot = (1L to 120L).map(i => (i, template))
+    val planted = Seq(
+      (200L, "spark catalyst optimizer rewrites logical plans into physical plans"),
+      (201L, "spark catalyst optimizer rewrites logical plans into efficient physical plans"))
+    val corpus = (hot ++ planted).toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.minHashNearDups(corpus, "doc_id", "text",
+      shingleLen = 2, numHashes = 64, bands = 32, threshold = 0.5,
+      maxBucketSize = cap)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val uncapped = run(0)
+    val capped = run(8)
+    // the planted near-dup outside the hot bucket is unaffected by the cap
+    assert(capped.contains((200L, 201L)))
+    // the cap only ever drops candidates, never invents them
+    assert(capped.subsetOf(uncapped))
+    // the hot bucket's quadratic actually got bounded: survivors are at most
+    // `cap` per band → pairs among the 120 clones ≤ bands * C(cap,2) = 896,
+    // far below the uncapped C(120,2) = 7140
+    val hotUncapped = uncapped.count(p => p._1 <= 120 && p._2 <= 120)
+    val hotCapped = capped.count(p => p._1 <= 120 && p._2 <= 120)
+    assert(hotUncapped === 120 * 119 / 2)
+    assert(hotCapped <= 32 * 8 * 7 / 2 && hotCapped < hotUncapped)
+  }
+
   test("minhash LSH: hot-bucket cap is a no-op when buckets are small") {
     def pairs(cap: Int) = Dedup.minHashNearDups(docs, "doc_id", "text",
       shingleLen = 2, numHashes = 64, bands = 32, threshold = 0.5,
@@ -89,6 +117,37 @@ class DedupTextSpec extends AnyFunSuite {
         s"radius $radius: banded ${banded.size} vs brute ${brute.size}; " +
           s"missed=${brute.diff(banded).take(5)} extra=${banded.diff(brute).take(5)}")
     }
+  }
+
+  test("native SimHash64 expression is bit-identical to the HOF form") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cmp = corpus.select(
+      Dedup.simHash64Native(Dedup.tokenHashes(col("text"))).as("n"),
+      Dedup.simHash64FromHashes(Dedup.tokenHashes(col("text"))).as("h"))
+    assert(cmp.filter(col("n") =!= col("h")).count() === 0)
+    // edge cases the corpus may not cover: empty text (tokens("") = [""] —
+    // one empty token, so fp = xxhash64("")'s bit pattern, single-element
+    // majority), single token, repeated tokens, null text → null fp, and a
+    // genuinely EMPTY hash array → all bit sums 0 → fp 0
+    val edge = Seq(Some(""), Some("x"), Some("a b a b"), None).toDF("t")
+    val th = Dedup.tokenHashes(col("t"))
+    val rows = edge.select(Dedup.simHash64Native(th).as("n"),
+      Dedup.simHash64FromHashes(th).as("h")).collect()
+    rows.foreach { r => assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(1)) }
+    assert(rows(3).isNullAt(0)) // null text → null fp
+    val emptyArr = Seq(Seq.empty[Long]).toDF("th")
+      .select(Dedup.simHash64Native(col("th")).as("n"),
+        Dedup.simHash64FromHashes(col("th")).as("h")).collect()(0)
+    assert(emptyArr.getLong(0) === 0L && emptyArr.getLong(1) === 0L)
+    // SQL surface via GraftExtensions.register
+    GraftExtensions.register(spark)
+    corpus.limit(50).createOrReplaceTempView("__sh_docs")
+    val viaSql = spark.sql(
+      "SELECT sim_hash64(transform(array_distinct(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')), t -> xxhash64(t))) AS fp FROM __sh_docs")
+    val direct = corpus.limit(50).select(Dedup.simHash64(col("text")).as("fp"))
+    assert(viaSql.collect().map(_.getLong(0)).toSeq ===
+      direct.collect().map(_.getLong(0)).toSeq)
   }
 
   test("simhash rejects radii beyond the banding's useful range") {
