@@ -388,6 +388,62 @@ object QueriesEval {
              |  rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rp
              |  FROM lineitem)
              |SELECT l_returnflag, round(corr(rq, rp), 6) AS spearman, count(*) AS cnt
-             |FROM r GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
+             |FROM r GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // --- R11b: Kendall tau-b per customer (metrics.py:481-527 uses scipy
+    //     kendalltau = tau-b, tie-corrected; groups with < 3 observations
+    //     skipped like the reference's common-items guard, zero-variance
+    //     groups skipped like its isnan filter). Pair counting via an
+    //     equi-self-join on the GROUP key: per-key pair count is C(orders
+    //     per customer, 2) — a small bounded constant in TPC-H — so the
+    //     join stays linear at 100 TB (shuffle on u, never all-pairs). ---
+    ("r11_kendall", (s, d) => {
+      val o = SparkEntry.T(s, d, "orders").select(
+        col("o_custkey").as("u"), col("o_orderkey").as("k"),
+        col("o_totalprice").as("x"), col("o_orderdate").as("y"))
+      val a = o.alias("a")
+      val b = o.alias("b")
+      val pr = a.join(b,
+          col("a.u") === col("b.u") && col("a.k") < col("b.k"))
+        .select(col("a.u").as("u"),
+          when((col("a.x") < col("b.x") && col("a.y") < col("b.y")) ||
+               (col("a.x") > col("b.x") && col("a.y") > col("b.y")), 1L)
+            .otherwise(0L).as("conc"),
+          when((col("a.x") < col("b.x") && col("a.y") > col("b.y")) ||
+               (col("a.x") > col("b.x") && col("a.y") < col("b.y")), 1L)
+            .otherwise(0L).as("disc"),
+          when(col("a.x") === col("b.x"), 1L).otherwise(0L).as("tx"),
+          when(col("a.y") === col("b.y"), 1L).otherwise(0L).as("ty"))
+      pr.groupBy(col("u"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("conc")).as("c"),
+          sum(col("disc")).as("dc"), sum(col("tx")).as("n1"),
+          sum(col("ty")).as("n2"))
+        .filter(col("n_pairs") >= 3 &&
+          col("n_pairs") > col("n1") && col("n_pairs") > col("n2"))
+        .select(col("u"), col("n_pairs"),
+          round((col("c") - col("dc")) /
+            sqrt((col("n_pairs") - col("n1")) * (col("n_pairs") - col("n2"))), 6)
+            .as("kendall"))
+        .orderBy(col("u"))
+    },
+      Some("""WITH p AS (SELECT a.o_custkey AS u,
+             |  CASE WHEN (a.o_totalprice < b.o_totalprice AND a.o_orderdate < b.o_orderdate)
+             |         OR (a.o_totalprice > b.o_totalprice AND a.o_orderdate > b.o_orderdate)
+             |       THEN 1 ELSE 0 END AS conc,
+             |  CASE WHEN (a.o_totalprice < b.o_totalprice AND a.o_orderdate > b.o_orderdate)
+             |         OR (a.o_totalprice > b.o_totalprice AND a.o_orderdate < b.o_orderdate)
+             |       THEN 1 ELSE 0 END AS disc,
+             |  CASE WHEN a.o_totalprice = b.o_totalprice THEN 1 ELSE 0 END AS tx,
+             |  CASE WHEN a.o_orderdate = b.o_orderdate THEN 1 ELSE 0 END AS ty
+             |  FROM orders a JOIN orders b
+             |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey),
+             |g AS (SELECT u, count(*) AS n_pairs,
+             |      CAST(sum(conc) AS BIGINT) AS c, CAST(sum(disc) AS BIGINT) AS dc,
+             |      CAST(sum(tx) AS BIGINT) AS n1, CAST(sum(ty) AS BIGINT) AS n2
+             |      FROM p GROUP BY u)
+             |SELECT u, n_pairs,
+             |round((c - dc) / sqrt((n_pairs - n1) * (n_pairs - n2)), 6) AS kendall
+             |FROM g WHERE n_pairs >= 3 AND n_pairs > n1 AND n_pairs > n2
+             |ORDER BY u""".stripMargin))
   )
 }

@@ -102,6 +102,20 @@ object QueriesLlm {
               |  0.0), 1.0) AS quality
               |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // --- TF-IDF per (doc, term): sklearn-smoothed idf = ln((1+N)/(1+df))+1 ---
+    ("t_tfidf", (s, d) =>
+      TextAnalysis.tfIdf(SparkEntry.T(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("term")),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckTokens) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+              |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              |n AS (SELECT count(*) AS n_docs FROM documents)
+              |SELECT doc_id, term, CAST(tf.tf AS BIGINT) AS tf,
+              |CAST(dfq.df AS BIGINT) AS df,
+              |round(tf.tf * (ln((1.0 + n_docs) / (1.0 + dfq.df)) + 1.0), 6) AS tfidf
+              |FROM tf JOIN dfq USING(term) CROSS JOIN n
+              |ORDER BY doc_id, term""".stripMargin)),
+
     // --- Language ID by marker profiles (argmax + alphabetical tiebreak) ---
     ("t_lang_id", (s, d) => {
       val df = SparkEntry.T(s, d, "documents")

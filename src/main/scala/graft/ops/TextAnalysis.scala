@@ -96,6 +96,29 @@ object TextAnalysis {
   /** Word n-grams of a document (for n-gram LM-ish analyses). */
   def wordNgrams(c: Column, n: Int): Column = Dedup.wordShingles(c, n)
 
+  /** TF-IDF weights per (document, term): tf = raw term count in the doc,
+    * df = number of docs containing the term, idf = ln((1+N)/(1+df)) + 1
+    * (sklearn's smoothed form, so unseen-term idf stays finite and every
+    * term scores > 0). Returns (id, term, tf, df, tfidf).
+    *
+    * Scale shape: one explode + two hash aggregations; the doc-frequency
+    * join shuffles on `term` (vocabulary-sized, typically ≪ corpus, and
+    * AQE broadcasts it when it fits); the corpus size N rides along as a
+    * broadcast one-row cross join, keeping the builder fully lazy. */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round(col("tf") *
+          (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + 1.0), 6)
+          .as("tfidf"))
+  }
+
   /** Per-document stats frame: id, token/char counts, ratios, quality. */
   def documentStats(df: DataFrame, idCol: String, textCol: String,
                     stopwords: Seq[String]): DataFrame =
