@@ -444,6 +444,73 @@ object QueriesEval {
              |SELECT u, n_pairs,
              |round((c - dc) / sqrt((n_pairs - n1) * (n_pairs - n2)), 6) AS kendall
              |FROM g WHERE n_pairs >= 3 AND n_pairs > n1 AND n_pairs > n2
-             |ORDER BY u""".stripMargin))
+             |ORDER BY u""".stripMargin)),
+
+    // --- §3.3 composed recommend request (service.py:183-266 template):
+    //     embedding lookup → retrieve(k = n*10) → seen-item exclusion →
+    //     re-rank (U5 linear scorer standing in for XGBoost) → top-n →
+    //     metadata join. Every stage is the library op a reference user
+    //     would reach for; this is the one-query serving-flow template.
+    //     Scale shape: item catalog broadcast into the retrieval scorer
+    //     (small-catalog path; clusterPrunedTopK is the drop-in for large
+    //     catalogs), seen-set anti-join shuffles on (u, it), metadata join
+    //     broadcasts the dim table. ---
+    ("c_recommend_request", (s, d) => {
+      val n = 10
+      val emb = SparkEntry.T(s, d, "embeddings")
+      // request batch: user ids < 20, user embedding = vec_id lookup (S8
+      // post-materialization shape: the online snapshot IS this table)
+      val requests = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("u"), col("embedding"))
+      // retrieve k = n*10 candidates (reference over-fetches 10x so the
+      // exclusion step can't empty the list — service.py:204-208)
+      val retrieved = Similarity.bruteForceTopK(requests, emb, "u", "vec_id",
+        "embedding", n * 10, "cosine", excludeSelf = true)
+      // exclude items the user already interacted with (R6/X4)
+      val seen = trainPairs(s, d)
+      val unseen = retrieved.join(seen,
+        retrieved("query_id") === seen("u") &&
+          retrieved("item_id") === seen("it"), "left_anti")
+      // re-rank with a deterministic linear scorer over the item embedding
+      val weights = (0 until 64).map(j => ((j * 37) % 19 - 9) / 10.0).toArray
+      val itemVec = emb.select(col("vec_id").as("item_id"),
+        col("embedding").as("__iv"))
+      val reranked = unseen.join(broadcast(itemVec), Seq("item_id"))
+        .withColumn("rerank", graft.ops.Inference.linearScore(col("__iv"), weights))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rerank").desc, col("item_id"))
+      val top = reranked.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= n)
+      // metadata join (item_id ⊂ p_partkey in this testdata)
+      top.join(broadcast(SparkEntry.T(s, d, "part")
+          .select(col("p_partkey"), col("p_name"))),
+          col("item_id") === col("p_partkey"))
+        .select(col("query_id").as("u"), col("rnk").cast("long").as("rnk"),
+          col("item_id"), round(col("score"), 6).as("retrieval_score"),
+          round(col("rerank"), 6).as("rerank_score"), col("p_name"))
+        .orderBy(col("u"), col("rnk"))
+    },
+      Some(s"""$VecCtes,
+              |seen AS (SELECT DISTINCT o_custkey AS u, l_partkey AS it
+              |         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |         WHERE l_shipdate < TIMESTAMP '$Cutoff'),
+              |dt AS (SELECT q.vec_id AS u, i.vec_id AS item_id, sum(q.v * i.v) AS dot
+              |       FROM ea q JOIN ea i ON q.pos = i.pos AND q.vec_id < 20 AND i.vec_id <> q.vec_id
+              |       GROUP BY 1, 2),
+              |sc AS (SELECT u, item_id, dot / (n1.nrm * n2.nrm) AS score
+              |       FROM dt JOIN nrm n1 ON n1.vec_id = u JOIN nrm n2 ON n2.vec_id = item_id),
+              |ret AS (SELECT u, item_id, score,
+              |        row_number() OVER (PARTITION BY u ORDER BY score DESC, item_id) AS rr FROM sc),
+              |cand AS (SELECT r.u, r.item_id, r.score FROM ret r WHERE rr <= 100
+              |         AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.u = r.u AND s.it = r.item_id)),
+              |rs AS (SELECT c.u, c.item_id, c.score,
+              |       sum(ea.v * (((ea.pos * 37) % 19 - 9) / 10.0)) AS rerank
+              |       FROM cand c JOIN ea ON ea.vec_id = c.item_id GROUP BY 1, 2, 3),
+              |tp AS (SELECT u, item_id, score, rerank,
+              |       row_number() OVER (PARTITION BY u ORDER BY rerank DESC, item_id) AS rnk FROM rs)
+              |SELECT t.u, t.rnk, t.item_id, round(t.score, 6) AS retrieval_score,
+              |round(t.rerank, 6) AS rerank_score, p.p_name
+              |FROM tp t JOIN part p ON p.p_partkey = t.item_id
+              |WHERE t.rnk <= 10 ORDER BY t.u, t.rnk""".stripMargin))
   )
 }
