@@ -131,6 +131,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("partitioned upsert: only touched buckets rewritten, untouched files byte-identical (T6 scale path)") {
+    import java.io.File
+    val store = Files.createTempDirectory("graft-pstore").toString + "/store"
+    def feat(rows: Seq[(Long, Long, Double)]) = rows
+      .toDF("k", "ts_s", "v")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .select("k", "ts", "v")
+    def snapshot(): Map[String, Seq[(String, Long, Long)]] =
+      new File(store).listFiles().filter(_.getName.startsWith("__bucket="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+            .map(f => (f.getName, f.length(), f.lastModified())).sorted)
+        .toMap
+
+    // seed: 40 keys spread across 8 buckets
+    StreamingJobs.upsertBucketedBatch(
+      feat((1L to 40L).map(k => (k, 100L, k * 1.0))),
+      Seq("k"), "ts", "v", store, numBuckets = 8)
+    val before = snapshot()
+    assert(before.size > 1, s"fixture should span buckets, got ${before.keys}")
+
+    // second batch: ONE key, newer ts
+    StreamingJobs.upsertBucketedBatch(
+      feat(Seq((7L, 200L, 99.0))), Seq("k"), "ts", "v", store, numBuckets = 8)
+    val after = snapshot()
+
+    // store semantics: latest-per-key everywhere
+    val readBack = spark.read.parquet(store)
+      .select(col("k"), col("ts").cast("long"), col("v"))
+      .as[(Long, Long, Double)].collect()
+    assert(readBack.length === 40) // one row per key
+    assert(readBack.contains((7L, 200L, 99.0)))
+    assert(readBack.contains((8L, 100L, 8.0)))
+
+    // physical claim: exactly one bucket dir changed; every other dir's
+    // file set is byte-identical (name, size, mtime)
+    val changed = before.keys.filter(b => before(b) != after.getOrElse(b, Nil))
+    assert(changed.size === 1, s"buckets rewritten: $changed")
+    // the changed bucket is key 7's bucket
+    val b7 = spark.range(1).select(
+      pmod(xxhash64(lit(7L)), lit(8)).cast("int")).as[Int].collect()(0)
+    assert(changed.head === s"__bucket=$b7")
+  }
+
+  test("partitioned upsert: streaming foreachBatch end-to-end (T6)") {
+    val base = Files.createTempDirectory("graft-pstream").toString
+    val src = base + "/src"
+    val store = base + "/store"
+    Seq((1L, 100L, 1.0), (2L, 100L, 2.0), (1L, 300L, 9.0))
+      .toDF("k", "ts_s", "v")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .select("k", "ts", "v")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("k LONG, ts TIMESTAMP, v DOUBLE").parquet(src)
+    val q = StreamingJobs.upsertOnlineStorePartitioned(stream, Seq("k"),
+      "ts", "v", store, base + "/ckpt", numBuckets = 4)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(store)
+      .select(col("k"), col("ts").cast("long"), col("v"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 300L, 9.0), (2L, 100L, 2.0)))
+  }
+
   test("TTL freshness filter drops expired rows (T8)") {
     val store = Seq((1L, 100L), (2L, 240L)).toDF("k", "ts_s")
       .withColumn("ts", timestamp_seconds(col("ts_s")))
