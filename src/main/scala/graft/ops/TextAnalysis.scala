@@ -101,17 +101,20 @@ object TextAnalysis {
     * (sklearn's smoothed form, so unseen-term idf stays finite and every
     * term scores > 0). Returns (id, term, tf, df, tfidf).
     *
-    * Scale shape: one explode + two hash aggregations; the doc-frequency
-    * join shuffles on `term` (vocabulary-sized, typically ≪ corpus, and
-    * AQE broadcasts it when it fits); the corpus size N rides along as a
-    * broadcast one-row cross join, keeping the builder fully lazy. */
+    * Scale shape: ONE corpus scan — explode + per-(doc,term) hash agg, then
+    * df as `count(*) over (partition by term)` on the (already small) tf
+    * frame. The window formulation exists precisely so the corpus is not
+    * scanned and exploded a second time for the doc-frequency side (the
+    * groupBy+join form compiles to two full scans — measured in the round-4
+    * plan audit). The corpus size N rides along as a broadcast one-row
+    * cross join, keeping the builder fully lazy. */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
-    tf.join(docFreq, "term")
+    tf.withColumn("df", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(nDocs))
       .select(col(idCol), col("term"), col("tf"), col("df"),
         round(col("tf") *
