@@ -150,6 +150,32 @@ class DedupTextSpec extends AnyFunSuite {
       direct.collect().map(_.getLong(0)).toSeq)
   }
 
+  test("native MinHashSignature expression is bit-identical to the HOF form") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(Dedup.shingleHashes(
+        Dedup.wordShingles(col("text"), 3)).as("hs"))
+    val cmp = corpus.select(
+      Dedup.minHashSignatureNative(col("hs"), 64, 42).as("n"),
+      Dedup.minHashSignatureFromHashes(col("hs"), 64, 42).as("h"))
+    assert(cmp.filter(not(col("n") <=> col("h"))).count() === 0)
+    // edges: empty hash array and null-element array → all lanes null
+    // (array_min-over-transform semantics), null array → null signature
+    val edge = Seq(
+      (1L, Some(Seq(7L, 11L))), (2L, Some(Seq.empty[Long])), (3L, None))
+      .toDF("id", "hs")
+    val rows = edge.select(col("id"),
+        Dedup.minHashSignatureNative(col("hs"), 8, 42).as("n"),
+        Dedup.minHashSignatureFromHashes(col("hs"), 8, 42).as("h"))
+      .orderBy(col("id")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"nullness differs: $r")
+      if (!r.isNullAt(1)) assert(r.getSeq[Any](1) === r.getSeq[Any](2))
+    }
+    assert(!rows(1).isNullAt(1) &&
+      rows(1).getSeq[Any](1).forall(_ == null)) // empty → 8 null lanes
+    assert(rows(2).isNullAt(1)) // null array → null
+  }
+
   test("simhash rejects radii beyond the banding's useful range") {
     intercept[IllegalArgumentException] {
       Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 16)
