@@ -229,6 +229,24 @@ object StreamingJobs {
       .option("path", tablePath)
       .start()
 
+  /** Streaming exact dedup (SURVEY §2.13 L1, streaming form): keep the
+    * FIRST-arriving document per normalized-content hash, dropping
+    * later duplicates that arrive within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` bounds the dedup state to the
+    * watermark window, so state is O(arrival rate × watermark), not
+    * O(corpus) — the property that makes streaming ingest dedup viable at
+    * 100 TB/day (a full-history dedup belongs in the batch layer, L1).
+    * The content hash matches the batch `Dedup.exactDupGroups` key, so a
+    * batch compaction pass downstream dedups across horizons with the
+    * same identity. */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash",
+        md5(graft.ops.Dedup.normalizeText(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** T8: TTL freshness filter on read of an online store (ref TTLs in
     * `feature_definitions.py`; cache expiry `retrieval.py:643-657`). */
   def freshOnly(store: DataFrame, tsCol: String, now: Column,

@@ -195,6 +195,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((1L, 300L, 9.0), (2L, 100L, 2.0)))
   }
 
+  test("streaming exact dedup keeps first arrival per content hash (L1 stream form)") {
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    Seq(
+      (1L, 10L, "the quick brown fox"),
+      (2L, 20L, "THE  quick brown FOX"), // dup of 1 after normalization
+      (3L, 30L, "a different document"),
+      (4L, 40L, "the quick brown fox")) // dup of 1 again
+      .toDF("doc_id", "ts_s", "text")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .select("doc_id", "ts", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(dir)
+    val deduped = StreamingJobs.dedupStream(stream, "text", "ts")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("sdedup_out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L)) // first arrival survives per content group
+  }
+
   test("TTL freshness filter drops expired rows (T8)") {
     val store = Seq((1L, 100L), (2L, 240L)).toDF("k", "ts_s")
       .withColumn("ts", timestamp_seconds(col("ts_s")))
