@@ -51,16 +51,31 @@ object QueriesEval {
     * a gt user whose ENTIRE candidate list was excluded by the seen-item
     * anti-join is KEPT with an empty pred (zero metrics) — the reference
     * evaluates such users too, it never drops them. */
+  /** One-scan split: (u, it, in_train, in_test) membership flags from a
+    * single groupBy over the fact base. trainPairs/testPairs/users each
+    * used to re-scan and re-distinct the lineitem⋈orders join — three
+    * passes over the fact table; at 100 TB the fact scans ARE the cost, so
+    * the tranche derives all three sets from this one aggregation (whose
+    * identical subplans Catalyst de-duplicates via exchange reuse). */
+  private def pairsSplit(s: SparkSession, d: String): DataFrame =
+    pairs(s, d).groupBy(col("u"), col("it"))
+      .agg(
+        max(when(col("sd") < lit(Cutoff).cast("timestamp"), 1).otherwise(0))
+          .as("in_train"),
+        max(when(col("sd") >= lit(Cutoff).cast("timestamp"), 1).otherwise(0))
+          .as("in_test"))
+
   private def predGt(s: SparkSession, d: String): DataFrame = {
-    val train = trainPairs(s, d)
-    val test = testPairs(s, d)
+    val split = pairsSplit(s, d)
+    val train = split.filter(col("in_train") === 1).select(col("u"), col("it"))
+    val test = split.filter(col("in_test") === 1).select(col("u"), col("it"))
     val pop = train.groupBy(col("it")).agg(count(lit(1)).as("c"))
     val top100 = pop
       .withColumn("rnk",
         row_number().over(Window.orderBy(col("c").desc, col("it"))))
       .filter(col("rnk") <= 100)
       .select(col("it"), col("rnk"))
-    val users = pairs(s, d).select(col("u")).distinct()
+    val users = split.select(col("u")).distinct()
     val pred = users.crossJoin(broadcast(top100))
       .join(train, Seq("u", "it"), "left_anti") // E8/R6: exclude seen
       .groupBy(col("u"))
