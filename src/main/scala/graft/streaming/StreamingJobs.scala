@@ -229,6 +229,37 @@ object StreamingJobs {
       .option("path", tablePath)
       .start()
 
+  /** T11 streaming form: gap-based sessionization with
+    * `flatMapGroupsWithState` — per key, a session index increments when
+    * the gap since the previous event exceeds `gapSeconds`. Matches the
+    * batch lag+cumulative-sum form (`Features.sessionize`) row-for-row on
+    * in-order data (asserted in StreamingSpec); state per key is two longs
+    * (last ts, session counter) — O(keys), not O(events). */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(
+      col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("ts_s"))
+      .as[(Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (lastTs, sessionIdx) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val out = it.toList.sortBy(e => (e._3, e._2)).map { case (_, id, ts) =>
+            if (lastTs == Long.MinValue || ts - lastTs > gapSeconds)
+              sessionIdx += 1
+            lastTs = ts
+            (user, id, sessionIdx)
+          }
+          state.update((lastTs, sessionIdx))
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "session_idx")
+  }
+
   /** Streaming exact dedup (SURVEY §2.13 L1, streaming form): keep the
     * FIRST-arriving document per normalized-content hash, dropping
     * later duplicates that arrive within the watermark horizon.

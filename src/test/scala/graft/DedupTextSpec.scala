@@ -176,6 +176,23 @@ class DedupTextSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(1)) // null array → null
   }
 
+  test("every near-dup path plans WITHOUT a cartesian product (scale guard)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plans = Map(
+      "minhash" -> Dedup.minHashNearDups(docs, "doc_id", "text",
+        shingleLen = 2, numHashes = 16, bands = 8, threshold = 0.5),
+      "simhash" -> Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3),
+      "jaccard" -> Dedup.tokenJaccardPairs(docs, "doc_id", "text", 0.5),
+      "embedding" -> graft.ops.Similarity.embeddingNearDups(
+        emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        threshold = 0.5, nlist = 4))
+    plans.foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name near-dup path planned a CartesianProduct")
+    }
+  }
+
   test("simhash rejects radii beyond the banding's useful range") {
     intercept[IllegalArgumentException] {
       Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 16)

@@ -195,6 +195,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((1L, 300L, 9.0), (2L, 100L, 2.0)))
   }
 
+  test("streaming sessionization matches the batch lag+cumsum form (T11)") {
+    val dir = Files.createTempDirectory("graft-sess").toString
+    eventsFixture(dir) // user 1: ts 10,70,290,310; user 2: ts 20,330
+    val stream = StreamingJobs.sessionizeStream(
+      StreamingJobs.fileEvents(spark, dir), gapSeconds = 100L)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sess_out")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Features.sessionize(
+      spark.read.parquet(dir), "user_id", "ts", 100L)
+      .select(col("user_id"), col("event_id"), col("session_idx"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === batch)
+    // golden: user 1 gaps 60,220,20 → sessions 1,1,2,2; user 2 gap 310 → 1,2
+    assert(got.contains((1L, 1L, 1L)) && got.contains((1L, 3L, 2L)))
+    assert(got.contains((2L, 6L, 2L)))
+  }
+
   test("streaming exact dedup keeps first arrival per content hash (L1 stream form)") {
     val dir = Files.createTempDirectory("graft-sdedup").toString
     Seq(
