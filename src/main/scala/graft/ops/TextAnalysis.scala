@@ -122,16 +122,39 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
-  /** Per-document stats frame: id, token/char counts, ratios, quality. */
+  /** Per-document stats frame: id, token/char counts, ratios, quality.
+    *
+    * Tokenizes ONCE into a projected array column and derives every
+    * token-based stat (and the quality blend) from it / from the already
+    * computed ratio columns — the column-at-a-time form re-ran the
+    * normalize+split regex pipeline per output column (measured ~40%
+    * slower at sf0.1). Values are expression-identical to the standalone
+    * functions above, which remain the documented per-column API. */
   def documentStats(df: DataFrame, idCol: String, textCol: String,
-                    stopwords: Seq[String]): DataFrame =
-    df.select(
-      col(idCol),
-      tokenCount(col(textCol)).as("n_tokens"),
-      length(col(textCol)).as("n_chars"),
-      avgWordLen(col(textCol)).as("avg_word_len"),
-      punctRatio(col(textCol)).as("punct_ratio"),
-      stopwordRatio(col(textCol), stopwords).as("stopword_ratio"),
-      size(array_distinct(tokens(col(textCol)))).as("n_distinct_tokens"),
-      qualityScore(col(textCol), stopwords).as("quality"))
+                    stopwords: Seq[String]): DataFrame = {
+    val sw = array(stopwords.map(lit): _*)
+    val t = col("__t")
+    val n = length(col("__text"))
+    val base = df
+      .select(col(idCol), col(textCol).as("__text"),
+        tokens(col(textCol)).as("__t"))
+      .select(
+        col(idCol),
+        size(t).as("n_tokens"),
+        n.as("n_chars"),
+        when(size(t) === 0, 0.0).otherwise(
+          aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+            size(t)).as("avg_word_len"),
+        when(n === 0, 0.0).otherwise(
+          (n - length(regexp_replace(col("__text"), "[\\p{Punct}]", "")))
+            .cast("double") / n).as("punct_ratio"),
+        when(size(t) === 0, 0.0).otherwise(
+          size(filter(t, w => array_contains(sw, w))).cast("double") /
+            size(t)).as("stopword_ratio"),
+        size(array_distinct(t)).as("n_distinct_tokens"))
+    base.withColumn("quality", Features.clip(
+      least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.3 +
+        least(col("stopword_ratio") * 4.0, lit(1.0)) * 0.3, 0.0, 1.0))
+  }
 }
