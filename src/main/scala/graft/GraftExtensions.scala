@@ -2,12 +2,13 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expr.{SimHash64, VectorDot, VectorNormSq}
+import graft.functions.expr.{MinHashSignature, SimHash64, VectorDot, VectorNormSq}
 
 /** Catalyst extension entry point (SURVEY §7.3): exposes graft's native
-  * expressions to SQL as `vector_dot` / `vector_norm_sq` / `sim_hash64`.
+  * expressions to SQL as `vector_dot` / `vector_norm_sq` / `sim_hash64` /
+  * `min_hash_signature(hashes, numHashes, seed)`.
   *
   * Cluster use: `--conf spark.sql.extensions=graft.GraftExtensions` or
   * `SparkSession.builder().withExtensions(new GraftExtensions)`. For an
@@ -25,10 +26,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("sim_hash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "sim_hash64"),
       (args: Seq[Expression]) => SimHash64(args.head)))
+    e.injectFunction((FunctionIdentifier("min_hash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName,
+        "min_hash_signature"),
+      GraftExtensions.buildMinHash))
   }
 }
 
 object GraftExtensions {
+
+  /** min_hash_signature(hashes, numHashes[, seed]) — numHashes/seed must be
+    * foldable integer literals (they parameterize the generated kernel). */
+  private[graft] val buildMinHash: Seq[Expression] => Expression = { args =>
+    require(args.length == 2 || args.length == 3,
+      "min_hash_signature(hashes, numHashes[, seed])")
+    def intLit(e: Expression, what: String): Long = e match {
+      case Literal(v: Int, _) => v.toLong
+      case Literal(v: Long, _) => v
+      case other => throw new IllegalArgumentException(
+        s"min_hash_signature: $what must be an integer literal, got $other")
+    }
+    val numHashes = intLit(args(1), "numHashes").toInt
+    val seed = if (args.length == 3) intLit(args(2), "seed") else 42L
+    val params = graft.ops.Dedup.minHashParamsFor(numHashes, seed)
+    MinHashSignature(args.head, params.map(_._1), params.map(_._2))
+  }
+
   /** Register the graft SQL functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -38,5 +61,7 @@ object GraftExtensions {
       (args: Seq[Expression]) => VectorNormSq(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("sim_hash64",
       (args: Seq[Expression]) => SimHash64(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("min_hash_signature", buildMinHash,
+      "scala_udf")
   }
 }

@@ -63,6 +63,12 @@ object Dedup {
     * never leaves the row until banding. */
   private val MinHashPrime = 2147483647L // 2^31 - 1 (Mersenne)
 
+  /** Affine permutation parameters for [[minHashSignatureNative]] /
+    * the SQL `min_hash_signature` builder (GraftExtensions). */
+  private[graft] def minHashParamsFor(numHashes: Int,
+                                      seed: Long): Seq[(Long, Long)] =
+    minHashParams(numHashes, seed)
+
   private def minHashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numHashes)(

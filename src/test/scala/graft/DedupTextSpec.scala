@@ -176,6 +176,29 @@ class DedupTextSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(1)) // null array → null
   }
 
+  test("min_hash_signature usable from SQL and equals the library form") {
+    GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("__mh_docs")
+    val viaSql = spark.sql(
+      """SELECT min_hash_signature(
+        |  transform(split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' '),
+        |            t -> pmod(xxhash64(t), 2147483647L)), 16, 42) AS sig
+        |FROM __mh_docs ORDER BY doc_id""".stripMargin)
+      .collect().map(_.getSeq[Long](0))
+    val direct = docs.orderBy(col("doc_id"))
+      .select(Dedup.minHashSignatureNative(
+        Dedup.shingleHashes(Dedup.tokens(col("text"))), 16, 42).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(viaSql.toSeq.map(_.toSeq) === direct.toSeq.map(_.toSeq))
+    // non-literal numHashes is rejected with a clear error
+    val err = intercept[Exception] {
+      spark.sql("SELECT min_hash_signature(array(1L), doc_id) FROM __mh_docs")
+        .collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
   test("every near-dup path plans WITHOUT a cartesian product (scale guard)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plans = Map(
