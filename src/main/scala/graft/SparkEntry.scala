@@ -224,6 +224,28 @@ object SparkEntry {
              | ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_event_id
              |FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin)),
 
+    // --- S9/J8 scale path: same as-of semantics via union + one window
+    //     pass (no range-join fan-out); SAME oracle as j8 — both
+    //     implementations must produce identical rows ---
+    ("j8b_asof_sorted", (s, d) => {
+      val ev = E(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val view = FeatureStore.FeatureView("clicks", Seq("user_id"), "ts", 3600L)
+      FeatureStore.asOfJoinSorted(purchases, Seq("user_id"), "ts", clicks,
+        view, "event_id")
+        .select(col("event_id"), col("f_event_id").as("click_event_id"))
+        .orderBy(col("event_id"))
+    },
+      Some("""SELECT p.event_id,
+             |(SELECT c.event_id FROM events c
+             | WHERE c.event_type = 'click' AND c.user_id = p.user_id
+             |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 3600 SECONDS
+             | ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_event_id
+             |FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin)),
+
     // --- A1/A4/A7: grouped count + distinct count (value_counts idiom) ---
     ("a1_grouped_counts", (s, d) =>
       E(s, d).groupBy(col("user_id"))

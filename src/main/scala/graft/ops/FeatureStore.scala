@@ -81,6 +81,70 @@ object FeatureStore {
       .drop(view.entityCols.map(c => s"f_$c"): _*)
   }
 
+  /** S9/J8 at 100 TB: the as-of join as a union + single window pass ("sort
+    * merge as-of") instead of a range-condition join. The range form's
+    * fan-out is bounded only by the TTL width — a hot entity with a wide
+    * TTL joins against every feature row in the window before dedup; this
+    * form unions feature and entity rows per key, sorts once by
+    * (ts, kind, tiebreak) with feature rows ordered before entity rows at
+    * equal ts (as-of is inclusive), and takes the running `last_value`
+    * (ignoring nulls) of the feature payload — each entity row sees exactly
+    * the latest feature at-or-before its timestamp. One shuffle + sort,
+    * zero join fan-out. TTL is applied afterward by nulling payloads older
+    * than `entityTs − ttl`. Result row-for-row equal to [[asOfJoin]]
+    * (asserted differentially in SourcesSpec; both forms are oracle-checked
+    * by the same DuckDB SQL). */
+  def asOfJoinSorted(entityDf: DataFrame, entityKeyCols: Seq[String],
+                     entityTsCol: String, features: DataFrame,
+                     view: FeatureView, featureTiebreak: String): DataFrame = {
+    val featPayloadCols = features.columns
+      .filterNot(view.entityCols.contains)
+    val entity = entityDf.withColumn("__row_id", monotonically_increasing_id())
+    val fTagged = features.select(
+      view.entityCols.map(col) ++ Seq(
+        col(view.tsCol).as("__ts"),
+        col(featureTiebreak).as("__tb"),
+        lit(0).as("__kind"),
+        struct(featPayloadCols.map(col): _*).as("__payload"),
+        lit(null).cast("long").as("__row_id")): _*)
+    val eTagged = entity.select(
+      entityKeyCols.zip(view.entityCols).map { case (ek, fk) =>
+        col(ek).as(fk)
+      } ++ Seq(
+        col(entityTsCol).as("__ts"),
+        lit(null).cast(features.schema(featureTiebreak).dataType).as("__tb"),
+        lit(1).as("__kind"),
+        lit(null).cast(fTagged.schema("__payload").dataType).as("__payload"),
+        col("__row_id")): _*)
+    val unioned = fTagged.unionByName(eTagged)
+    // feature rows first at equal ts (inclusive as-of); among same-ts
+    // features the highest tiebreak sorts last and wins last_value
+    val w = Window
+      .partitionBy(view.entityCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__kind").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("__f", last(
+        when(col("__kind") === 0,
+          struct(col("__ts").as("fts"), col("__payload").as("p"))),
+        ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1)
+      .withColumn("__fresh",
+        col("__f").isNotNull &&
+        col("__f.fts") >= col("__ts") -
+          expr(s"INTERVAL ${view.ttlSeconds} SECONDS"))
+    val withPayload = featPayloadCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"f_$c", when(col("__fresh"), col(s"__f.p.$c")))
+    }
+    // re-attach the original entity columns by row id (the union carried
+    // only the key/ts projection); column order matches [[asOfJoin]]
+    withPayload
+      .select(col("__row_id") +: featPayloadCols.map(c => col(s"f_$c")): _*)
+      .join(entity, Seq("__row_id"))
+      .select(entityDf.columns.map(col) ++
+        featPayloadCols.map(c => col(s"f_$c")): _*)
+  }
+
   /** T10: materialization — recompute a view's feature table over an event
     * range and emit the latest-per-key online snapshot
     * (ref `simple_feature_store.py:82-90`). */

@@ -90,6 +90,40 @@ class SourcesSpec extends AnyFunSuite {
       (2L, 300L, None)))     // 10 is outside [180, 300]
   }
 
+  test("as-of join sorted form equals the range-join form (goldens + random)") {
+    val view = FeatureStore.FeatureView("f", Seq("user_id"), "ts", 120L)
+    val entity = Seq((1L, 300L), (1L, 150L), (2L, 300L))
+      .toDF("user_id", "ets")
+      .withColumn("ts", timestamp_seconds(col("ets")))
+    val feats = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 10L, "c"))
+      .toDF("user_id", "fts", "v")
+      .withColumn("ts", timestamp_seconds(col("fts")))
+    val sorted = FeatureStore.asOfJoinSorted(entity, Seq("user_id"), "ts",
+      feats, view, "fts")
+      .select(col("user_id"), col("ets"), col("f_v"))
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(sorted === Set(
+      (1L, 300L, Some("b")), (1L, 150L, Some("a")), (2L, 300L, None)))
+    // differential on a larger deterministic random frame, incl. ties at
+    // equal timestamps (tiebreak must pick the same winner in both forms)
+    val rnd = new scala.util.Random(7)
+    val e2 = (1 to 400).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("user_id", "ets", "eid")
+      .withColumn("ts", timestamp_seconds(col("ets")))
+    val f2 = (1 to 600).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("user_id", "fts_s", "fid")
+      .withColumn("ts", timestamp_seconds(col("fts_s")))
+    val view2 = FeatureStore.FeatureView("f", Seq("user_id"), "ts", 200L)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("eid"), col("f_fid"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val a = norm(FeatureStore.asOfJoin(e2, Seq("user_id"), "ts", f2, view2, "fid"))
+    val b = norm(FeatureStore.asOfJoinSorted(e2, Seq("user_id"), "ts", f2, view2, "fid"))
+    assert(a === b, s"diff: ${(a.diff(b) ++ b.diff(a)).take(5)}")
+  }
+
   test("request-time source: one-row frame of request literals (S7, feature_definitions.py:259-272)") {
     val req = Readers.requestSource(spark,
       Map("device_type" -> "mobile", "time_of_day" -> 14, "is_weekend" -> false))
