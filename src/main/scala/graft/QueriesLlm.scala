@@ -75,6 +75,13 @@ object QueriesLlm {
     // Radius 8 → 9 banding blocks (pigeonhole-complete candidate recall;
     // the round-2 radius-16-over-4-blocks call was unsound and is fixed by
     // deriving blocks from the radius in simHashNearDups). ---
+    // blockCombos left at 1 (classic banding) DELIBERATELY: this corpus is
+    // near-dup-heavy, so candidates are dominated by true collisions and
+    // pair-of-blocks banding only re-generates each of them in C(10,2)=45
+    // buckets instead of 9 before the distinct — measured 6s → 15s at
+    // sf0.1. blockCombos=2 is the right knob for the opposite regime
+    // (uniform fingerprints, rare dups) where bucket-accidental candidates
+    // dominate; see simHashNearDups scaladoc. ---
     ("d_simhash", (s, d) =>
       Dedup.simHashNearDups(SparkEntry.T(s, d, "documents"), "doc_id", "text",
         maxHamming = 8)

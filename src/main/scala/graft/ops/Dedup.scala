@@ -275,26 +275,48 @@ object Dedup {
     * volume grows toward all-pairs as the radius approaches 63. Radii above
     * `maxRadius` (default 15) are rejected rather than silently exploding. */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, maxRadius: Int = 15): DataFrame = {
+                      maxHamming: Int = 3, maxRadius: Int = 15,
+                      blockCombos: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= maxRadius,
       s"maxHamming=$maxHamming outside [0, $maxRadius]: banding keys get " +
         "too coarse to prune; raise maxRadius explicitly if you accept that")
-    val numBlocks = maxHamming + 1
+    require(blockCombos >= 1 && blockCombos <= 3,
+      s"blockCombos=$blockCombos outside [1, 3]")
+    // Pigeonhole with combinations (Manku et al., WWW'07 §3): with
+    // b = maxHamming + c blocks, a pair within Hamming radius maxHamming
+    // differs in ≤ maxHamming blocks, so it AGREES on ≥ c blocks — at least
+    // one c-subset of blocks matches exactly. Bucketing on every c-subset
+    // (key = the c block values packed into one long) keeps candidate
+    // recall complete while widening the bucket key from 64/(r+1) bits to
+    // c·64/(r+c) bits. Regime guidance (measured at sf0.1, r=8):
+    //  - uniform fingerprints, rare dups → c=2 shrinks bucket-accidental
+    //    candidates exponentially (2^7 → 2^13 key space) and wins;
+    //  - near-dup-heavy corpora → candidates are mostly TRUE collisions,
+    //    which c>1 re-emits in C(b,c) buckets instead of b before the
+    //    distinct (6s → 15s on the driver testdata) — keep c=1.
+    // c=1 is exactly classic banding.
+    val numBlocks = maxHamming + blockCombos
+    require(numBlocks <= 64, s"maxHamming + blockCombos > 64")
     // distribute 64 bits as evenly as possible: first (64 mod b) blocks one
     // bit wider
     val baseW = 64 / numBlocks
     val widths = Seq.tabulate(numBlocks)(i =>
       if (i < 64 % numBlocks) baseW + 1 else baseW)
     val offsets = widths.scanLeft(0)(_ + _).init
+    def blockVal(blk: Int): Column = {
+      val mask = if (widths(blk) == 64) -1L else (1L << widths(blk)) - 1L
+      shiftright(col("fp"), offsets(blk)).bitwiseAND(lit(mask))
+    }
+    val combos = (0 until numBlocks).combinations(blockCombos).toSeq
     val withFp = df
       .select(col(idCol), tokenHashes(col(textCol)).as("__th"))
       .select(col(idCol), simHash64Native(col("__th")).as("fp"))
     val banded = withFp.select(col(idCol), col("fp"),
-      explode(array((0 until numBlocks).map { blk =>
-        val mask = if (widths(blk) == 64) -1L else (1L << widths(blk)) - 1L
-        struct(lit(blk).as("block"),
-          shiftright(col("fp"), offsets(blk)).bitwiseAND(lit(mask))
-            .as("key"))
+      explode(array(combos.zipWithIndex.map { case (blks, ci) =>
+        val packed = blks.foldLeft(lit(0L): Column) { (acc, blk) =>
+          shiftleft(acc, widths(blk)).bitwiseOR(blockVal(blk))
+        }
+        struct(lit(ci).as("block"), packed.as("key"))
       }: _*)).as("bb"))
       .select(col(idCol), col("fp"), col("bb.block").as("block"),
         col("bb.key").as("key"))

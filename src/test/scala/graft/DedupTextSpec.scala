@@ -104,18 +104,19 @@ class DedupTextSpec extends AnyFunSuite {
       .select(col("doc_id"), col("text"))
     val fp = docs.select(col("doc_id").as("id"),
       Dedup.simHash64(col("text")).as("fp"))
-    for (radius <- Seq(3, 8)) {
+    for (radius <- Seq(3, 8); combos <- Seq(1, 2, 3)) {
       val brute = fp.select(col("id").as("id1"), col("fp").as("fp1"))
         .crossJoin(fp.select(col("id").as("id2"), col("fp").as("fp2")))
         .filter(col("id1") < col("id2"))
         .filter(Dedup.hamming64(col("fp1"), col("fp2")) <= radius)
         .select("id1", "id2").as[(Long, Long)].collect().toSet
       val banded = Dedup.simHashNearDups(docs, "doc_id", "text",
-        maxHamming = radius)
+        maxHamming = radius, blockCombos = combos)
         .select("id1", "id2").as[(Long, Long)].collect().toSet
       assert(banded === brute,
-        s"radius $radius: banded ${banded.size} vs brute ${brute.size}; " +
-          s"missed=${brute.diff(banded).take(5)} extra=${banded.diff(brute).take(5)}")
+        s"radius $radius combos $combos: banded ${banded.size} vs brute " +
+          s"${brute.size}; missed=${brute.diff(banded).take(5)} " +
+          s"extra=${banded.diff(brute).take(5)}")
     }
   }
 
