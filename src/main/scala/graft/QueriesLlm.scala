@@ -123,6 +123,33 @@ object QueriesLlm {
               |FROM tf JOIN dfq USING(term) CROSS JOIN n
               |ORDER BY doc_id, term""".stripMargin)),
 
+    // --- Corpus-filter pattern counts (C4/RefinedWeb-style heuristics) ---
+    ("t_pattern_counts", (s, d) =>
+      TextAnalysis.patternCounts(SparkEntry.T(s, d, "documents"), "doc_id",
+        "text")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
+             |CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INTEGER) AS n_emails,
+             |CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_digit_runs,
+             |CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             |  (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)
+             |END AS digit_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // --- Unigram log-prob quality score (CCNet-style LM proxy) ---
+    ("t_unigram_logprob", (s, d) =>
+      TextAnalysis.unigramLogProb(SparkEntry.T(s, d, "documents"), "doc_id",
+        "text")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckTokens) AS term FROM documents),
+              |tc AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+              |tot AS (SELECT count(*) AS n_total FROM toks)
+              |SELECT doc_id, count(*) AS n_tokens,
+              |round(avg(ln(tc.c::DOUBLE / n_total)), 6) AS avg_logprob
+              |FROM toks JOIN tc USING(term) CROSS JOIN tot
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // --- Language ID by marker profiles (argmax + alphabetical tiebreak) ---
     ("t_lang_id", (s, d) => {
       val df = SparkEntry.T(s, d, "documents")

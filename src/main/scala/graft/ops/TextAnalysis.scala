@@ -122,6 +122,41 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** Corpus-filter pattern counts per document (the C4/RefinedWeb-style
+    * heuristics): URLs, emails, digit runs, plus the digit-character
+    * ratio. Pure per-row regex expressions — linear, no shuffle. */
+  def patternCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = length(t)
+    df.select(
+      col(idCol),
+      regexp_count(t, lit("https?://[^ ]+")).as("n_urls"),
+      regexp_count(t, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")).as("n_emails"),
+      regexp_count(t, lit("[0-9]+")).as("n_digit_runs"),
+      when(n === 0, 0.0).otherwise(
+        (n - length(regexp_replace(t, "[0-9]", ""))).cast("double") / n)
+        .as("digit_ratio"))
+  }
+
+  /** Unigram log-probability score per document (the cheap LM-quality
+    * proxy used by CCNet-style corpus filters): mean over the doc's tokens
+    * of ln(corpusFreq(token) / totalTokens). More negative = rarer
+    * vocabulary. Two aggregations over ONE exploded pass (the per-token
+    * frame feeds both the vocabulary counts and the per-doc mean via a
+    * window join on term); corpus total rides along as a broadcast one-row
+    * frame. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.withColumn("c", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c").cast("double") / col("n_total"))), 6)
+          .as("avg_logprob"))
+  }
+
   /** Per-document stats frame: id, token/char counts, ratios, quality.
     *
     * Tokenizes ONCE into a projected array column and derives every
