@@ -486,6 +486,25 @@ object SparkEntry {
              |  UNION ALL SELECT * FROM events WHERE event_type = 'signup') t
              |GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    // --- X6 (scale op): deterministic per-group down-sampling — cap each
+    //     class to n rows by multiplicative-hash order (training-mix
+    //     rebalancing; engine-independent unlike RNG sampleBy) ---
+    ("x6_group_cap", (s, d) => {
+      val li = T(s, d, "lineitem")
+        .withColumn("rid", col("l_orderkey") * 8 + col("l_linenumber"))
+      Relational.capPerGroup(li, Seq("l_returnflag"), 500, col("rid"))
+        .select(col("l_returnflag"), col("rid").cast("long").as("rid"))
+        .orderBy(col("l_returnflag"), col("rid"))
+    },
+      Some("""WITH t AS (SELECT l_returnflag,
+             |  l_orderkey * 8 + l_linenumber AS rid,
+             |  ((l_orderkey * 8 + l_linenumber) % 1000003) * 2654435761 % 2147483647 AS h
+             |  FROM lineitem),
+             |r AS (SELECT l_returnflag, rid,
+             |  row_number() OVER (PARTITION BY l_returnflag ORDER BY h, rid) AS rn FROM t)
+             |SELECT l_returnflag, CAST(rid AS BIGINT) AS rid FROM r
+             |WHERE rn <= 500 ORDER BY l_returnflag, rid""".stripMargin)),
+
     // --- F1-F6: string/regex scalar functions ---
     ("f_string_ops", (s, d) =>
       T(s, d, "part").select(

@@ -169,6 +169,24 @@ object Relational {
     *    seeded buckets, giving an expected candidate pool of
     *    `probes * |catalog| / k ~= oversample * n` per user before the
     *    anti-join and window. */
+  /** Deterministic per-group down-sampling (class cap) for training-data
+    * mixes: keep at most `n` rows per group, chosen by a multiplicative
+    * hash over a unique row id — unbiased w.r.t. storage order, identical
+    * on every engine/run/partitioning (unlike `sampleBy`, whose RNG is
+    * partition-order-dependent), and skew-proof: one shuffle on the group
+    * key, `WindowGroupLimit` prunes each partition to `n` before the final
+    * sort. Hash is `((id mod 1000003) * 2654435761) mod (2^31−1)` — every
+    * intermediate < 2.7e15, so it never overflows 64-bit math on any
+    * engine (a bare `id * prime` would at real-scale ids). */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], n: Int,
+                  idCol: Column): DataFrame = {
+    val h = pmod(pmod(idCol, lit(1000003L)) * lit(2654435761L),
+      lit(2147483647L))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(h, idCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
   def negativeSample(positives: DataFrame, userCol: String, itemCol: String,
                      items: DataFrame, n: Int, seed: Long = 42,
                      maxExactCatalog: Long = 100000,
