@@ -664,8 +664,11 @@ object SparkEntry {
     * popularity scoring → per-user top-k with seen-item exclusion →
     * Recall/Precision/NDCG/HitRate/MRR/AP/Coverage — one Catalyst-planned
     * job returning the metric row. */
+  /** Flagship: the composed §3.3 recommend-request flow (lookup →
+    * retrieve → exclude → re-rank → top-n → metadata) — the reference's
+    * `POST /recommend` pipeline as one query. */
   def entry(spark: SparkSession): DataFrame =
-    queries("e_means_coverage")(spark, "/root/testdata/sf0.001")
+    queries("c_recommend_request")(spark, "/root/testdata/sf0.001")
 
   private def allRegistries =
     registry ++ QueriesEval.registry ++ QueriesLlm.registry
