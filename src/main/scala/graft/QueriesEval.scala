@@ -38,19 +38,15 @@ object QueriesEval {
       .select(col("o_custkey").as("u"), col("l_partkey").as("it"),
         col("l_shipdate").as("sd"))
 
+  // Derived from [[pairsSplit]] so every consumer shares the ONE fact
+  // scan + aggregation shape (the filter-then-distinct forms each re-scan
+  // the lineitem⋈orders join).
   private def trainPairs(s: SparkSession, d: String): DataFrame =
-    pairs(s, d).filter(col("sd") < lit(Cutoff).cast("timestamp"))
-      .select(col("u"), col("it")).distinct()
+    pairsSplit(s, d).filter(col("in_train") === 1).select(col("u"), col("it"))
 
   private def testPairs(s: SparkSession, d: String): DataFrame =
-    pairs(s, d).filter(col("sd") >= lit(Cutoff).cast("timestamp"))
-      .select(col("u"), col("it")).distinct()
+    pairsSplit(s, d).filter(col("in_test") === 1).select(col("u"), col("it"))
 
-  /** Per-user (pred array, gt array) frame. Scope = users with ground
-    * truth (E9's skip-users-without-ground-truth, `metrics.py:275-276`);
-    * a gt user whose ENTIRE candidate list was excluded by the seen-item
-    * anti-join is KEPT with an empty pred (zero metrics) — the reference
-    * evaluates such users too, it never drops them. */
   /** One-scan split: (u, it, in_train, in_test) membership flags from a
     * single groupBy over the fact base. trainPairs/testPairs/users each
     * used to re-scan and re-distinct the lineitem⋈orders join — three
@@ -65,6 +61,11 @@ object QueriesEval {
         max(when(col("sd") >= lit(Cutoff).cast("timestamp"), 1).otherwise(0))
           .as("in_test"))
 
+  /** Per-user (pred array, gt array) frame. Scope = users with ground
+    * truth (E9's skip-users-without-ground-truth, `metrics.py:275-276`);
+    * a gt user whose ENTIRE candidate list was excluded by the seen-item
+    * anti-join is KEPT with an empty pred (zero metrics) — the reference
+    * evaluates such users too, it never drops them. */
   private def predGt(s: SparkSession, d: String): DataFrame = {
     val split = pairsSplit(s, d)
     val train = split.filter(col("in_train") === 1).select(col("u"), col("it"))
@@ -210,7 +211,7 @@ object QueriesEval {
       val cov = df
         .select(explode(slice(col("pred"), 1, 100)).as("it"))
         .agg(countDistinct(col("it")).as("nd"))
-      val cat = pairs(s, d).agg(countDistinct(col("it")).as("nc"))
+      val cat = pairsSplit(s, d).agg(countDistinct(col("it")).as("nc"))
       means.crossJoin(cov).crossJoin(cat)
         .withColumn("coverage", col("nd") / col("nc"))
         .drop("nd", "nc")
