@@ -122,6 +122,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(split.columns.toSeq === Seq("id", "ts", "split"))
   }
 
+  test("capPerGroup: deterministic across partitionings, exact cap, no bias to storage order") {
+    val rows = (1L to 500L).map(i => (if (i % 3 == 0) "a" else "b", i))
+    val base = rows.toDF("g", "id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Relational.capPerGroup(df, Seq("g"), 40, col("id"))
+        .select("g", "id").as[(String, Long)].collect().toSet
+    val r1 = run(base.repartition(1))
+    val r17 = run(base.repartition(17))
+    val shuffled = run(base.orderBy(col("id").desc).repartition(5))
+    assert(r1 === r17 && r1 === shuffled) // physical layout never matters
+    assert(r1.count(_._1 == "a") === 40 && r1.count(_._1 == "b") === 40)
+    // hash order ≠ id order: the kept set is not just the lowest ids
+    val lowestIds = rows.filter(_._1 == "b").map(_._2).sorted.take(40).toSet
+    assert(r1.filter(_._1 == "b").map(_._2).toSet !== lowestIds)
+  }
+
   test("z-score normalize: mean ~0, unit-ish std (movielens.py:421-422)") {
     val df = (1 to 100).map(_.toDouble).toDF("x")
     val z = Relational.zscore(df, Seq("x"))
