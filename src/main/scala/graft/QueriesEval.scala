@@ -211,7 +211,10 @@ object QueriesEval {
       val cov = df
         .select(explode(slice(col("pred"), 1, 100)).as("it"))
         .agg(countDistinct(col("it")).as("nd"))
-      val cat = pairsSplit(s, d).agg(countDistinct(col("it")).as("nc"))
+      // deliberately the RAW scan, not pairsSplit: a global countDistinct
+      // partial-aggregates map-side; routing it through the (u,it) groupBy
+      // would add a full pair shuffle just to count distinct items
+      val cat = pairs(s, d).agg(countDistinct(col("it")).as("nc"))
       means.crossJoin(cov).crossJoin(cat)
         .withColumn("coverage", col("nd") / col("nc"))
         .drop("nd", "nc")
