@@ -505,6 +505,30 @@ object SparkEntry {
              |SELECT l_returnflag, CAST(rid AS BIGINT) AS rid FROM r
              |WHERE rn <= 500 ORDER BY l_returnflag, rid""".stripMargin)),
 
+    // --- P12: feature-vector assembly + padding (movielens.py feature
+    //     matrices / VectorAssembler idiom) — arrays hash-match fine ---
+    ("p_vector_assembly", (s, d) =>
+      T(s, d, "customer").select(
+        col("c_custkey"),
+        graft.functions.Vectors.padTo(
+          array(col("c_acctbal"),
+            col("c_nationkey").cast("double"),
+            (col("c_custkey") % 7).cast("double")), 6)
+          .as("fvec"))
+        // exploded to scalar rows: the harness compares cell values, and
+        // padding correctness shows up as the (pos, v) pairs per key
+        .select(col("c_custkey"), posexplode(col("fvec")).as(Seq("pos", "v")))
+        .select(col("c_custkey"), col("pos").cast("long").as("pos"), col("v"))
+        .orderBy(col("c_custkey"), col("pos")),
+      Some("""WITH f AS (SELECT c_custkey,
+             |  [c_acctbal, CAST(c_nationkey AS DOUBLE),
+             |   CAST(c_custkey % 7 AS DOUBLE), 0.0, 0.0, 0.0] AS fvec
+             |  FROM customer)
+             |SELECT c_custkey, CAST(pos - 1 AS BIGINT) AS pos, v
+             |FROM (SELECT c_custkey, unnest(fvec) AS v,
+             |      generate_subscripts(fvec, 1) AS pos FROM f) t
+             |ORDER BY c_custkey, pos""".stripMargin)),
+
     // --- F1-F6: string/regex scalar functions ---
     ("f_string_ops", (s, d) =>
       T(s, d, "part").select(
