@@ -465,6 +465,45 @@ object QueriesEval {
              |FROM g WHERE n_pairs >= 3 AND n_pairs > n1 AND n_pairs > n2
              |ORDER BY u""".stripMargin)),
 
+    // --- R12 (co-occurrence item-item CF — the classic candidate
+    //     generator): items sharing an order, pair counts + lift. The
+    //     self-join is on the ORDER key, so pair fan-out is bounded by
+    //     C(items-per-order, 2) — a small constant — and the whole thing
+    //     stays linear at fact-table scale; top-200 by support via
+    //     TakeOrdered. ---
+    ("r12_cooccurrence", (s, d) => {
+      val li = SparkEntry.T(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("it"))
+        .distinct()
+      val a = li.select(col("o"), col("it").as("it1"))
+      val b = li.select(col("o"), col("it").as("it2"))
+      val pairCnt = a.join(b, Seq("o")).filter(col("it1") < col("it2"))
+        .groupBy(col("it1"), col("it2")).agg(count(lit(1)).as("c"))
+      val itemCnt = li.groupBy(col("it")).agg(count(lit(1)).as("ic"))
+      val nOrders = li.select(col("o")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      pairCnt
+        .join(itemCnt.select(col("it").as("it1"), col("ic").as("c1")), Seq("it1"))
+        .join(itemCnt.select(col("it").as("it2"), col("ic").as("c2")), Seq("it2"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("it1"), col("it2"), col("c"),
+          round(col("c") * col("n_orders") /
+            (col("c1") * col("c2")).cast("double"), 6).as("lift"))
+        .orderBy(col("c").desc, col("it1"), col("it2"))
+        .limit(200)
+    },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS it FROM lineitem),
+             |pc AS (SELECT a.it AS it1, b.it AS it2, count(*) AS c
+             |       FROM li a JOIN li b ON a.o = b.o AND a.it < b.it
+             |       GROUP BY 1, 2),
+             |ic AS (SELECT it, count(*) AS ic FROM li GROUP BY it),
+             |n AS (SELECT count(DISTINCT o) AS n_orders FROM li)
+             |SELECT it1, it2, pc.c,
+             |round(pc.c * n_orders / (i1.ic * i2.ic)::DOUBLE, 6) AS lift
+             |FROM pc JOIN ic i1 ON i1.it = pc.it1 JOIN ic i2 ON i2.it = pc.it2
+             |CROSS JOIN n
+             |ORDER BY pc.c DESC, it1, it2 LIMIT 200""".stripMargin)),
+
     // --- §3.3 composed recommend request (service.py:183-266 template):
     //     embedding lookup → retrieve(k = n*10) → seen-item exclusion →
     //     re-rank (U5 linear scorer standing in for XGBoost) → top-n →
