@@ -32,7 +32,13 @@ object Bench {
         .groupBy("l_returnflag").count()
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args beyond the sf dir: a query-name subset for targeted
+    // perf iteration (the driver passes only the dir → full suite).
+    val subset = args.drop(1).toSet
+    val selected =
+      if (subset.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(subset).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try {

@@ -101,9 +101,13 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * minimums in a local long[].
   *
   * Math is exactly the HOF's: lane j = min over hashes h of
-  * `(a_j*h + b_j) mod p`, p = 2^31−1. Inputs are already reduced mod p and
-  * `a_j < p`, so `a_j*h + b_j < 2^62` — no 64-bit overflow, plain `%` is
-  * `pmod`. Null-element and empty-array semantics mirror
+  * `(a_j*h + b_j) mod p`, p = 2^31−1. The kernel computes Java `%` and
+  * adds p when the remainder is negative — identical to Spark's `pmod` on
+  * the same (64-bit-wrapped) product for ALL inputs, so callers of the SQL
+  * surface `min_hash_signature` who pass raw `xxhash64` values (not
+  * pre-reduced mod p, as `Dedup.shingleHashes` does) still get the
+  * documented pmod math rather than silently-negative lanes.
+  * Null-element and empty-array semantics mirror
   * `array_min`+`transform`: null hashes are skipped; if no non-null hash
   * exists every lane is null (null input array → null result).
   * Bit-for-bit equivalence is asserted in DedupTextSpec.
@@ -146,7 +150,8 @@ case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long])
         val h = arr.getLong(j)
         var i = 0
         while (i < k) {
-          val m = (aArr(i) * h + bArr(i)) % P
+          var m = (aArr(i) * h + bArr(i)) % P
+          if (m < 0) m += P // Java % → pmod (raw-xxhash64 inputs go negative)
           if (m < mins(i)) mins(i) = m
           i += 1
         }
@@ -189,6 +194,7 @@ case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long])
          |    long $h = $arr.getLong($j);
          |    for (int $i = 0; $i < $k; $i++) {
          |      long $m = ($aRef[$i] * $h + $bRef[$i]) % ${P}L;
+         |      if ($m < 0) $m += ${P}L;
          |      if ($m < $mins[$i]) $mins[$i] = $m;
          |    }
          |  }

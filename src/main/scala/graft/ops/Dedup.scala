@@ -273,10 +273,30 @@ object Dedup {
     * <= 3). Trade-off: larger radii mean more, narrower blocks (radius 15 →
     * 16 four-bit blocks), whose coarse keys collide more — candidate
     * volume grows toward all-pairs as the radius approaches 63. Radii above
-    * `maxRadius` (default 15) are rejected rather than silently exploding. */
+    * `maxRadius` (default 15) are rejected rather than silently exploding.
+    *
+    * Hot-group posture: the banded candidate join runs over DISTINCT
+    * fingerprints only — a group of g identical-fingerprint docs (the
+    * dup-heavy case that dominates real corpora) contributes ONE row per
+    * block to the join, not g, so candidate generation never goes quadratic
+    * in dup-group size. Identical-fingerprint pairs are emitted by a single
+    * equi-join on the full 64-bit key (exact-dedup shape — no banding
+    * multiplier, no distinct). The OUTPUT pair set is still C(g,2) per
+    * identical group by definition; callers wanting a linear representation
+    * at extreme scale should group on the fingerprint itself
+    * (`groupBy(simHash64(text))`, the [[exactDupGroups]] shape) instead of
+    * materializing pairs.
+    *
+    * `maxBucketSize` (default 0 = off) additionally caps each residual
+    * (block, key) bucket to a deterministic hash-ordered sample of DISTINCT
+    * fingerprints, the same knob as [[minHashNearDups]] — for corpora where
+    * many *near*-identical fingerprints share a coarse block key. Recall
+    * consequence mirrors MinHash's: a true pair is lost only if evicted
+    * from every block it collides in; eviction order is salted per block so
+    * evictions decorrelate across blocks. */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxRadius: Int = 15,
-                      blockCombos: Int = 1): DataFrame = {
+                      blockCombos: Int = 1, maxBucketSize: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= maxRadius,
       s"maxHamming=$maxHamming outside [0, $maxRadius]: banding keys get " +
         "too coarse to prune; raise maxRadius explicitly if you accept that")
@@ -311,24 +331,57 @@ object Dedup {
     val withFp = df
       .select(col(idCol), tokenHashes(col(textCol)).as("__th"))
       .select(col(idCol), simHash64Native(col("__th")).as("fp"))
-    val banded = withFp.select(col(idCol), col("fp"),
+    // One shuffle by fp; every branch below hangs off this same subplan, so
+    // the exchange is planned once and reused (ReuseExchange) — the
+    // fingerprint pass is not recomputed per branch. Null fingerprints
+    // (null text) never pair: SQL equality semantics, same as the join form.
+    val fpGroups = withFp.filter(col("fp").isNotNull).groupBy(col("fp"))
+      .agg(collect_list(col(idCol)).as("__ids"))
+    // Identical fingerprints: all within-group pairs at hamming 0, emitted
+    // directly from the member array — no banding, no distinct, no join.
+    val identical = fpGroups
+      .filter(size(col("__ids")) > 1)
+      .select(col("fp"), explode(col("__ids")).as("ida"), col("__ids"))
+      .select(col("ida"), explode(col("__ids")).as("idb"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("id1"), col("idb").as("id2"),
+        lit(0).as("hamming"))
+    // Banded candidate join over DISTINCT fingerprints only.
+    val bandedAll = fpGroups.select(col("fp"),
       explode(array(combos.zipWithIndex.map { case (blks, ci) =>
         val packed = blks.foldLeft(lit(0L): Column) { (acc, blk) =>
           shiftleft(acc, widths(blk)).bitwiseOR(blockVal(blk))
         }
         struct(lit(ci).as("block"), packed.as("key"))
       }: _*)).as("bb"))
-      .select(col(idCol), col("fp"), col("bb.block").as("block"),
-        col("bb.key").as("key"))
-    val a = banded.select(col(idCol).as("id1"), col("fp").as("fp1"),
-      col("block"), col("key"))
-    val b = banded.select(col(idCol).as("id2"), col("fp").as("fp2"),
-      col("block"), col("key"))
-    a.join(b, Seq("block", "key"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        hamming64(col("fp1"), col("fp2")).as("hamming"))
-      .distinct()
+      .select(col("fp"), col("bb.block").as("block"), col("bb.key").as("key"))
+    val banded =
+      if (maxBucketSize <= 0) bandedAll
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("block"), col("key"))
+          .orderBy(xxhash64(col("fp"), col("block")), col("fp"))
+        bandedAll.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxBucketSize).drop("__rn")
+      }
+    val fpPairs = banded.select(col("fp").as("fp1"), col("block"), col("key"))
+      .join(banded.select(col("fp").as("fp2"), col("block"), col("key")),
+        Seq("block", "key"))
+      .filter(col("fp1") < col("fp2"))
+      .select("fp1", "fp2").distinct()
+      .withColumn("hamming", hamming64(col("fp1"), col("fp2")))
       .filter(col("hamming") <= maxHamming)
+    // Expand distinct-fp pairs to member id pairs (g1 × g2 — the output
+    // size itself, nothing more).
+    val cross = fpPairs
+      .join(fpGroups.select(col("fp").as("fp1"), col("__ids").as("ids1")),
+        Seq("fp1"))
+      .join(fpGroups.select(col("fp").as("fp2"), col("__ids").as("ids2")),
+        Seq("fp2"))
+      .select(explode(col("ids1")).as("ida"), col("ids2"), col("hamming"))
+      .select(col("ida"), explode(col("ids2")).as("idb"), col("hamming"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"), col("hamming"))
+    identical.unionByName(cross)
   }
 }

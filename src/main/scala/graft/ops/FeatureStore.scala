@@ -99,23 +99,35 @@ object FeatureStore {
                      view: FeatureView, featureTiebreak: String): DataFrame = {
     val featPayloadCols = features.columns
       .filterNot(view.entityCols.contains)
-    val entity = entityDf.withColumn("__row_id", monotonically_increasing_id())
-    val fTagged = features.select(
-      view.entityCols.map(col) ++ Seq(
-        col(view.tsCol).as("__ts"),
-        col(featureTiebreak).as("__tb"),
-        lit(0).as("__kind"),
-        struct(featPayloadCols.map(col): _*).as("__payload"),
-        lit(null).cast("long").as("__row_id")): _*)
-    val eTagged = entity.select(
+    // Entity rows carry their FULL original row through the union as a
+    // struct — no row-id tagging, no re-attach join. (An earlier form
+    // tagged with monotonically_increasing_id and self-joined on it; the
+    // id is nondeterministic under re-evaluation after a shuffle, so the
+    // two branches could disagree and drop/misattach payloads.)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      featPayloadCols.map(c => features.schema(c)))
+    val eTagged = entityDf.select(
       entityKeyCols.zip(view.entityCols).map { case (ek, fk) =>
         col(ek).as(fk)
       } ++ Seq(
         col(entityTsCol).as("__ts"),
         lit(null).cast(features.schema(featureTiebreak).dataType).as("__tb"),
         lit(1).as("__kind"),
-        lit(null).cast(fTagged.schema("__payload").dataType).as("__payload"),
-        col("__row_id")): _*)
+        lit(null).cast(payloadType).as("__payload"),
+        struct(entityDf.columns.map(col): _*).as("__erow")): _*)
+    // Null-key feature rows are dropped before the union: the window
+    // partitions group NULLs together, so a null-key feature payload could
+    // otherwise attach to a null-key entity row — the range-join form's SQL
+    // equality never matches on NULL, and the two forms must agree.
+    val fTagged = features
+      .filter(view.entityCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        view.entityCols.map(col) ++ Seq(
+          col(view.tsCol).as("__ts"),
+          col(featureTiebreak).as("__tb"),
+          lit(0).as("__kind"),
+          struct(featPayloadCols.map(col): _*).as("__payload"),
+          lit(null).cast(eTagged.schema("__erow").dataType).as("__erow")): _*)
     val unioned = fTagged.unionByName(eTagged)
     // feature rows first at equal ts (inclusive as-of); among same-ts
     // features the highest tiebreak sorts last and wins last_value
@@ -136,12 +148,9 @@ object FeatureStore {
     val withPayload = featPayloadCols.foldLeft(carried) { (df, c) =>
       df.withColumn(s"f_$c", when(col("__fresh"), col(s"__f.p.$c")))
     }
-    // re-attach the original entity columns by row id (the union carried
-    // only the key/ts projection); column order matches [[asOfJoin]]
-    withPayload
-      .select(col("__row_id") +: featPayloadCols.map(c => col(s"f_$c")): _*)
-      .join(entity, Seq("__row_id"))
-      .select(entityDf.columns.map(col) ++
+    // unpack the carried entity row; column order matches [[asOfJoin]]
+    withPayload.select(
+      entityDf.columns.map(c => col(s"__erow.$c").as(c)) ++
         featPayloadCols.map(c => col(s"f_$c")): _*)
   }
 

@@ -142,10 +142,14 @@ object StreamingJobs {
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // Only a genuinely absent store falls back to empty; any other read
+        // failure (FS hiccup, corrupt footer) propagates and fails the
+        // micro-batch — a catch-all here would silently overwrite the store
+        // with just the incoming batch, destroying prior keys.
         val existing =
-          try spark.read.parquet(storePath)
-          catch { case _: Throwable => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+          if (pathExists(spark, storePath)) spark.read.parquet(storePath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
         val merged = FeatureStore.latestPerKey(
           existing.unionByName(batch, allowMissingColumns = true),
           keyCols, tsCol, tiebreakCol)
@@ -192,14 +196,16 @@ object StreamingJobs {
       pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets)).cast("int"))
     val touched = incoming.select(col("__bucket")).distinct()
       .collect().map(_.getInt(0))
+    // Explicit existence check, NOT a catch-all: a transient read failure on
+    // an existing store must fail the micro-batch (checkpoint retries it),
+    // never silently rewrite touched buckets from the batch alone.
     val existing =
-      try spark.read.parquet(storePath)
-        .filter(col("__bucket").isin(touched.map(Integer.valueOf): _*))
-      catch {
-        case _: Throwable => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          incoming.schema)
-      }
+      if (pathExists(spark, storePath))
+        spark.read.parquet(storePath)
+          .filter(col("__bucket").isin(touched.map(Integer.valueOf): _*))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        incoming.schema)
     val merged = FeatureStore.latestPerKey(
       existing.unionByName(incoming, allowMissingColumns = true),
       keyCols, tsCol, tiebreakCol)
@@ -214,6 +220,13 @@ object StreamingJobs {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket")
       .parquet(storePath)
+  }
+
+  /** Does `path` exist on its filesystem? (Hadoop FS — works for any
+    * scheme the session is configured for, not just local files.) */
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** T7/R7: streaming embedding-index append — item_update events append to

@@ -231,6 +231,71 @@ class DedupTextSpec extends AnyFunSuite {
     assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)))
   }
 
+  test("simhash: 10K-row identical-text corpus completes without quadratic " +
+    "candidate generation (pairs emitted = C(n,2), all hamming 0)") {
+    // Every row shares one fingerprint: the banded join sees ONE distinct
+    // fp (1 row/block), so candidate generation is constant; only the
+    // OUTPUT (the C(n,2) pair set itself) is quadratic. The pre-round-5
+    // form generated numBlocks × C(n,2) candidate rows then distinct'd.
+    val n = 10000
+    val dupes = spark.range(n)
+      .select(col("id").as("doc_id"), lit("the same text every time").as("text"))
+    val got = Dedup.simHashNearDups(dupes, "doc_id", "text", maxHamming = 3)
+    assert(got.filter(col("hamming") =!= 0).count() === 0L)
+    assert(got.count() === n.toLong * (n - 1) / 2)
+  }
+
+  test("simhash maxBucketSize: no-op below cap; tiny cap yields a subset") {
+    def pairs(cap: Int) = Dedup.simHashNearDups(docs, "doc_id", "text",
+      maxHamming = 8, maxBucketSize = cap)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val uncapped = pairs(0)
+    // distinct-fp buckets in this corpus are far below 64 → identical output
+    assert(pairs(64) === uncapped)
+    // a severe cap can only LOSE pairs (and never identical-fp ones, which
+    // bypass the banded join entirely)
+    val capped = pairs(1)
+    assert(capped.subsetOf(uncapped))
+    val identical = Dedup.simHashNearDups(docs, "doc_id", "text",
+      maxHamming = 8).filter(col("hamming") === 0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(identical.subsetOf(capped))
+  }
+
+  test("native MinHashSignature matches the HOF pmod math on RAW xxhash64 " +
+    "inputs (negative values, not pre-reduced mod p)") {
+    // The SQL surface accepts any array<bigint>; callers passing raw
+    // xxhash64 values get negative wrapped products — the kernel
+    // normalizes Java % to pmod so lanes stay in [0, p) for ALL inputs.
+    // (The HOF form can't be the reference here: under ANSI mode its
+    // `h * a` multiply overflow-errors on raw inputs — one more reason the
+    // native kernel owns this path.) Reference = driver-side Scala with the
+    // same 64-bit wrapping.
+    val P = 2147483647L
+    val params = Dedup.minHashParamsFor(32, 42)
+    val raw = docs.limit(50).select(col("doc_id"),
+      transform(Dedup.tokens(col("text")), t => xxhash64(t)).as("hs"))
+    val rawRows = raw.as[(Long, Seq[Long])].collect()
+    assert(rawRows.exists(_._2.exists(_ < 0)), "corpus has no raw negatives")
+    val expected = rawRows.map { case (id, hs) =>
+      id -> params.map { case (a, b) =>
+        hs.foldLeft(Long.MaxValue) { (mn, h) =>
+          var m = (a * h + b) % P // Long wrap, then Java %
+          if (m < 0) m += P
+          math.min(mn, m)
+        }
+      }
+    }.toMap
+    val got = raw
+      .select(col("doc_id"),
+        Dedup.minHashSignatureNative(col("hs"), 32, 42).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    rawRows.foreach { case (id, _) =>
+      assert(got(id) === expected(id), s"doc $id")
+      assert(got(id).forall(v => v >= 0 && v < P), s"doc $id lane out of range")
+    }
+  }
+
   test("token stats golden") {
     val df = Seq("Hello world, hello Spark!").toDF("t")
     val row = TextAnalysis.documentStats(

@@ -41,7 +41,12 @@ class Ml1mEndToEndSpec extends AnyFunSuite {
     * `::`-delimited ratings.dat and read back through Readers.loadRatings,
     * so the S1 scan path is part of the surface under test. */
   private def synthesizeRatingsDat(movies: DataFrame, users: DataFrame): String = {
-    val out = Paths.get(sys.props("java.io.tmpdir"), "graft_ml1m_ratings.dat")
+    // Synthesis parameters are part of the cache filename — change PerUser
+    // or the hashing scheme and bump the version suffix, else a stale
+    // cached file silently survives and golden failures point at the
+    // wrong stage.
+    val out = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_ml1m_ratings_p${PerUser}_v1.dat")
     if (!Files.exists(out)) {
       val nMovies = movies.count() // 3883
       val movieIdx = movies.select(col("movie_id"))

@@ -122,6 +122,23 @@ class SourcesSpec extends AnyFunSuite {
     val a = norm(FeatureStore.asOfJoin(e2, Seq("user_id"), "ts", f2, view2, "fid"))
     val b = norm(FeatureStore.asOfJoinSorted(e2, Seq("user_id"), "ts", f2, view2, "fid"))
     assert(a === b, s"diff: ${(a.diff(b) ++ b.diff(a)).take(5)}")
+    // null keys: SQL equality never matches NULL, so a null-key entity row
+    // must get a null payload in BOTH forms (the sorted form's window would
+    // otherwise group null keys together and leak a null-key feature row)
+    val e3 = Seq((Some(1L), 300L, 1L), (None, 300L, 2L))
+      .toDF("user_id", "ets", "eid")
+      .withColumn("ts", timestamp_seconds(col("ets")))
+    val f3 = Seq((Some(1L), 200L, 10L), (None, 250L, 11L))
+      .toDF("user_id", "fts_s", "fid")
+      .withColumn("ts", timestamp_seconds(col("fts_s")))
+    def norm3(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("eid"), col("f_fid"))
+      .as[(Long, Option[Long])].collect().toSet
+    val expected = Set((1L, Some(10L)), (2L, None))
+    assert(norm3(FeatureStore.asOfJoin(
+      e3, Seq("user_id"), "ts", f3, view2, "fid")) === expected)
+    assert(norm3(FeatureStore.asOfJoinSorted(
+      e3, Seq("user_id"), "ts", f3, view2, "fid")) === expected)
   }
 
   test("request-time source: one-row frame of request literals (S7, feature_definitions.py:259-272)") {
