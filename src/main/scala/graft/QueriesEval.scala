@@ -370,6 +370,47 @@ object QueriesEval {
               |FROM dt d JOIN nrm n1 ON n1.vec_id = d.i1 JOIN nrm n2 ON n2.vec_id = d.i2
               |GROUP BY d.label ORDER BY d.label""".stripMargin)),
 
+    // --- R9 at the reference's true call shape (metrics.py:402-446):
+    //     mean pairwise cosine DISTANCE among each USER's top-10 recs.
+    //     Items map to embedding rows by modulo id (R5 id-mapping — the
+    //     catalog and the embedding table are different id spaces in this
+    //     testdata, as they are behind the reference's item_encoder).
+    //     Scale shape: embeddings broadcast once; per-user pair fan-out is
+    //     C(10,2) = 45, linear in users. Overall diversity = avg(diversity)
+    //     over these rows (the reference's final np.mean). ---
+    ("r9b_user_diversity", (s, d) => {
+      val emb = SparkEntry.T(s, d, "embeddings")
+      val nv = emb.agg(count(lit(1)).as("nv"))
+      val recs = predGtShared(s, d)
+        .crossJoin(broadcast(nv))
+        .select(col("u"),
+          transform(slice(col("pred"), 1, 10), x => pmod(x, col("nv")))
+            .as("pv"))
+      Similarity.intraListDiversity(recs, "u", "pv", 10,
+        emb, "vec_id", "embedding")
+        .select(col("u"), round(col("diversity"), 6).as("diversity"))
+        .orderBy(col("u"))
+    },
+      Some(s"""$EvalCtes,
+              |ea AS (SELECT vec_id, unnest(range(len(embedding))) AS pos,
+              |       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+              |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ea GROUP BY vec_id),
+              |nv AS (SELECT count(*) AS n FROM embeddings),
+              |sel AS (SELECT p.u, p.pos AS rnk, p.it % nv.n AS vid
+              |        FROM predr p, nv
+              |        WHERE p.pos <= 10 AND p.u IN (SELECT u FROM gts)),
+              |pr AS (SELECT a.u, a.rnk AS r1, b.rnk AS r2, a.vid AS v1, b.vid AS v2
+              |       FROM sel a JOIN sel b ON a.u = b.u AND a.rnk < b.rnk),
+              |dt AS (SELECT r.u, r.r1, r.r2, r.v1, r.v2, sum(x.v * y.v) AS dot
+              |       FROM pr r JOIN ea x ON x.vec_id = r.v1
+              |       JOIN ea y ON y.vec_id = r.v2 AND y.pos = x.pos
+              |       GROUP BY 1, 2, 3, 4, 5)
+              |SELECT d.u AS u,
+              |round(avg(1.0 - d.dot / (n1.nrm * n2.nrm)), 6) AS diversity
+              |FROM dt d JOIN nrm n1 ON n1.vec_id = d.v1
+              |JOIN nrm n2 ON n2.vec_id = d.v2
+              |GROUP BY d.u ORDER BY u""".stripMargin)),
+
     // --- R10/E10/F13: popularity-weighted novelty of the top-100 list ---
     ("r10_novelty", (s, d) => {
       val train = trainPairs(s, d)
@@ -464,6 +505,70 @@ object QueriesEval {
              |round((c - dc) / sqrt((n_pairs - n1) * (n_pairs - n2)), 6) AS kendall
              |FROM g WHERE n_pairs >= 3 AND n_pairs > n1 AND n_pairs > n2
              |ORDER BY u""".stripMargin)),
+
+    // --- R11c: Kendall tau-b at the reference's exact call shape
+    //     (metrics.py:481-527): per user, tau between the PREDICTED score
+    //     (pred-list rank, negated so rank 1 = highest) and the TRUE
+    //     preference (test-period purchase frequency as implicit rating)
+    //     over their COMMON items — reference computes kendalltau(
+    //     predicted_scores, true_ratings) on common_items, skipping users
+    //     with < 3 of them and zero-variance groups. Common items per user
+    //     are bounded by the pred-list length (≤ 100), so the per-user
+    //     pair self-join is C(common, 2) ≤ 4950 — linear in users. ---
+    ("r11b_kendall", (s, d) => {
+      val predPos = predGtShared(s, d)
+        .select(col("u"), posexplode(col("pred")).as(Seq("p", "it")))
+        .select(col("u"), col("it"), (-col("p")).cast("long").as("x"))
+      val yf = pairs(s, d)
+        .filter(col("sd") >= lit(Cutoff).cast("timestamp"))
+        .groupBy(col("u"), col("it")).agg(count(lit(1)).as("y"))
+      val common = predPos.join(yf, Seq("u", "it"))
+      val a = common.alias("a")
+      val b = common.alias("b")
+      val pr = a.join(b,
+          col("a.u") === col("b.u") && col("a.it") < col("b.it"))
+        .select(col("a.u").as("u"),
+          when((col("a.x") < col("b.x") && col("a.y") < col("b.y")) ||
+               (col("a.x") > col("b.x") && col("a.y") > col("b.y")), 1L)
+            .otherwise(0L).as("conc"),
+          when((col("a.x") < col("b.x") && col("a.y") > col("b.y")) ||
+               (col("a.x") > col("b.x") && col("a.y") < col("b.y")), 1L)
+            .otherwise(0L).as("disc"),
+          when(col("a.x") === col("b.x"), 1L).otherwise(0L).as("tx"),
+          when(col("a.y") === col("b.y"), 1L).otherwise(0L).as("ty"))
+      pr.groupBy(col("u"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("conc")).as("c"),
+          sum(col("disc")).as("dc"), sum(col("tx")).as("n1"),
+          sum(col("ty")).as("n2"))
+        .filter(col("n_pairs") >= 3 &&
+          col("n_pairs") > col("n1") && col("n_pairs") > col("n2"))
+        .select(col("u"), col("n_pairs"),
+          round((col("c") - col("dc")) /
+            sqrt((col("n_pairs") - col("n1")) * (col("n_pairs") - col("n2"))), 6)
+            .as("kendall"))
+        .orderBy(col("u"))
+    },
+      Some(s"""$EvalCtes,
+              |tf AS (SELECT u, it, count(*) AS y FROM li
+              |       WHERE sd >= TIMESTAMP '$Cutoff' GROUP BY u, it),
+              |cm AS (SELECT p.u, p.it, -p.pos AS x, t.y
+              |       FROM predr p JOIN tf t ON t.u = p.u AND t.it = p.it),
+              |pp AS (SELECT a.u,
+              |  CASE WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)
+              |       THEN 1 ELSE 0 END AS conc,
+              |  CASE WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)
+              |       THEN 1 ELSE 0 END AS disc,
+              |  CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+              |  CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+              |  FROM cm a JOIN cm b ON a.u = b.u AND a.it < b.it),
+              |g AS (SELECT u, count(*) AS n_pairs,
+              |      CAST(sum(conc) AS BIGINT) AS c, CAST(sum(disc) AS BIGINT) AS dc,
+              |      CAST(sum(tx) AS BIGINT) AS n1, CAST(sum(ty) AS BIGINT) AS n2
+              |      FROM pp GROUP BY u)
+              |SELECT u, n_pairs,
+              |round((c - dc) / sqrt((n_pairs - n1) * (n_pairs - n2)), 6) AS kendall
+              |FROM g WHERE n_pairs >= 3 AND n_pairs > n1 AND n_pairs > n2
+              |ORDER BY u""".stripMargin)),
 
     // --- R12 (co-occurrence item-item CF — the classic candidate
     //     generator): items sharing an order, pair counts + lift. The

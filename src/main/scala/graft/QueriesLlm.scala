@@ -71,6 +71,26 @@ object QueriesLlm {
           countDistinct(col("id1")).as("n_docs_with_dup"),
           round(avg(col("jaccard")), 4).as("avg_jaccard")), None),
 
+    // --- MinHash cap recall self-check (same shape as ann_cluster_recall):
+    // the maxBucketSize=64 cap d_minhash_lsh opts into is a recall
+    // trade-off; this query MEASURES it on the same corpus and parameters —
+    // capped pair set vs the uncapped ground truth — so the cap's cost is
+    // a number in every round's output, not a scaladoc promise. Floor
+    // asserted in DedupTextSpec. ---
+    ("d_minhash_cap_recall", (s, d) => {
+      val docs = SparkEntry.T(s, d, "documents")
+      def run(cap: Int) = Dedup.minHashNearDups(docs, "doc_id", "text",
+        shingleLen = 3, numHashes = 64, bands = 16, threshold = 0.5,
+        maxBucketSize = cap).select(col("id1"), col("id2"))
+      val kept = run(0).join(run(64), Seq("id1", "id2"), "left_semi")
+        .agg(count(lit(1)).as("n_kept"))
+      val tot = run(0).agg(count(lit(1)).as("n_uncapped"))
+      kept.crossJoin(tot)
+        .select(col("n_kept"), col("n_uncapped"),
+          round(col("n_kept").cast("double") / col("n_uncapped"), 4)
+            .as("recall"))
+    }, None),
+
     // --- SimHash near-dup summary (xxhash-seeded; invariants in tests).
     // Radius 8 → 9 banding blocks (pigeonhole-complete candidate recall;
     // the round-2 radius-16-over-4-blocks call was unsound and is fixed by

@@ -296,6 +296,13 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash cap-recall self-check query reports recall above the floor") {
+    val row = SparkEntry.queries("d_minhash_cap_recall")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(row.getAs[Long]("n_uncapped") > 0L)
+    assert(row.getAs[Double]("recall") >= 0.9)
+  }
+
   test("token stats golden") {
     val df = Seq("Hello world, hello Spark!").toDF("t")
     val row = TextAnalysis.documentStats(
