@@ -96,9 +96,19 @@ object StreamingJobs {
     * (`Features.trailingActivity`) for in-order data. Buffer is pruned to
     * the window width on every batch, so state is O(events-per-window).
     * Events arriving across batches out of order see the buffer as-of
-    * arrival (the reference processes in arrival order too — T9). */
-  def trailingActivityStream(events: DataFrame,
-                             windowSeconds: Long): DataFrame = {
+    * arrival (the reference processes in arrival order too — T9).
+    *
+    * `idleStateTimeout`: opt-in processing-time TTL for idle keys — a key
+    * silent that long has its buffer dropped (the buffer only describes a
+    * window in the past, so expiry is lossless for future events). Set it
+    * on unbounded key spaces, where NoTimeout state grows O(distinct keys
+    * ever seen). Opt-in rather than default because once processing-time
+    * timers exist the engine schedules timer-check batches FOREVER — the
+    * query never self-terminates (`Trigger.AvailableNow` included) and
+    * `processAllAvailable` never latches; that trade belongs to long-lived
+    * production queries, not batch drains. */
+  def trailingActivityStream(events: DataFrame, windowSeconds: Long,
+                             idleStateTimeout: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     val spark = events.sparkSession
     import spark.implicits._
@@ -108,22 +118,30 @@ object StreamingJobs {
       .as[(Long, Long, Long, String)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[List[(Long, String)], (Long, Long, Long, Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append,
+        if (idleStateTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[(Long, Long, Long, String)],
          state: GroupState[List[(Long, String)]]) =>
-          var buf = state.getOption.getOrElse(Nil)
-          val incoming = it.toList.sortBy(e => (e._3, e._2))
-          val out = incoming.map { case (_, id, ts, tp) =>
-            buf = (ts, tp) :: buf
-            val win = buf.filter(e => e._1 >= ts - windowSeconds && e._1 <= ts)
-            (user, id,
-              win.count(_._2 == "click").toLong,
-              win.count(_._2 == "view").toLong,
-              win.size.toLong)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var buf = state.getOption.getOrElse(Nil)
+            val incoming = it.toList.sortBy(e => (e._3, e._2))
+            val out = incoming.map { case (_, id, ts, tp) =>
+              buf = (ts, tp) :: buf
+              val win = buf.filter(e => e._1 >= ts - windowSeconds && e._1 <= ts)
+              (user, id,
+                win.count(_._2 == "click").toLong,
+                win.count(_._2 == "view").toLong,
+                win.size.toLong)
+            }
+            val maxTs = incoming.lastOption.map(_._3).getOrElse(Long.MinValue)
+            state.update(buf.filter(_._1 >= maxTs - windowSeconds))
+            idleStateTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          val maxTs = incoming.lastOption.map(_._3).getOrElse(Long.MinValue)
-          state.update(buf.filter(_._1 >= maxTs - windowSeconds))
-          out.iterator
       }
       .toDF("user_id", "event_id", "clicks_5min", "views_5min", "events_5min")
   }
@@ -247,8 +265,18 @@ object StreamingJobs {
     * the gap since the previous event exceeds `gapSeconds`. Matches the
     * batch lag+cumulative-sum form (`Features.sessionize`) row-for-row on
     * in-order data (asserted in StreamingSpec); state per key is two longs
-    * (last ts, session counter) — O(keys), not O(events). */
-  def sessionizeStream(events: DataFrame, gapSeconds: Long): DataFrame = {
+    * (last ts, session counter) — O(keys), not O(events).
+    *
+    * `idleStateTimeout`: opt-in processing-time TTL — a key idle that long
+    * has its (last ts, counter) state dropped, bounding state to ACTIVE
+    * keys rather than every key ever seen. A key that reappears after
+    * expiry re-sessionizes from index 1 (sessionization state is
+    * reconstructible; pick the timeout ≥ the longest session gap you care
+    * to bridge). Same never-self-terminating caveat as
+    * [[trailingActivityStream]] — set it on long-lived queries over
+    * unbounded key spaces, leave None for batch drains. */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long,
+                       idleStateTimeout: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
@@ -257,18 +285,26 @@ object StreamingJobs {
       .as[(Long, Long, Long)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append,
+        if (idleStateTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[(Long, Long, Long)],
          state: GroupState[(Long, Long)]) =>
-          var (lastTs, sessionIdx) = state.getOption.getOrElse((Long.MinValue, 0L))
-          val out = it.toList.sortBy(e => (e._3, e._2)).map { case (_, id, ts) =>
-            if (lastTs == Long.MinValue || ts - lastTs > gapSeconds)
-              sessionIdx += 1
-            lastTs = ts
-            (user, id, sessionIdx)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (lastTs, sessionIdx) = state.getOption.getOrElse((Long.MinValue, 0L))
+            val out = it.toList.sortBy(e => (e._3, e._2)).map { case (_, id, ts) =>
+              if (lastTs == Long.MinValue || ts - lastTs > gapSeconds)
+                sessionIdx += 1
+              lastTs = ts
+              (user, id, sessionIdx)
+            }
+            state.update((lastTs, sessionIdx))
+            idleStateTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update((lastTs, sessionIdx))
-          out.iterator
       }
       .toDF("user_id", "event_id", "session_idx")
   }

@@ -32,6 +32,25 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("rank-limit pushdown: WindowGroupLimit in the physical plan (W3/R3/W7)") {
+    // These operators are O(n·k) ONLY because Spark rewrites
+    // row_number-then-filter into WindowGroupLimit (partial per-partition
+    // top-k before the shuffle). A Spark upgrade silently losing the
+    // rewrite must fail here, not surface as a bench regression.
+    val sf = "/root/testdata/sf0.001"
+    val plans = Map(
+      "w3_topk_per_group" -> SparkEntry.queries("w3_topk_per_group")(spark, sf),
+      "r3_vec_topk" -> SparkEntry.queries("r3_vec_topk")(spark, sf),
+      "latestPerKey" -> graft.ops.FeatureStore.latestPerKey(
+        (1 to 100).map(i => (i % 10, i, i * 2)).toDF("k", "ts", "tb"),
+        Seq("k"), "ts", "tb"))
+    plans.foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"),
+        s"$name lost the rank-limit pushdown; plan:\n$p")
+    }
+  }
+
   test("salted aggregation equals direct groupBy exactly (skew handling)") {
     // one hot key (90% of rows) + a long tail
     val df = ((0 until 9000).map(i => ("hot", i.toDouble)) ++

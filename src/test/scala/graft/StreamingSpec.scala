@@ -215,6 +215,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((2L, 6L, 2L)))
   }
 
+  test("idle-key state TTL: a key silent past the timeout re-sessionizes " +
+    "from a fresh index (T11 state bound)") {
+    val dir = Files.createTempDirectory("graft-sess-ttl").toString
+    def append(rows: Seq[(Long, Long, Long)]): Unit = // (event_id, user, ts_s)
+      rows.toDF("event_id", "user_id", "ts_s")
+        .withColumn("ts", timestamp_seconds(col("ts_s")))
+        .withColumn("event_type", lit("click"))
+        .withColumn("value", lit(1.0))
+        .withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // With a processing-time timeout set the query runs timer-check
+    // batches continuously and never reaches a no-new-data state, so this
+    // test POLLS the sink instead of processAllAvailable/AvailableNow
+    // (both would wait forever — see the scaladoc caveat).
+    val stream = StreamingJobs.sessionizeStream(
+      StreamingJobs.fileEvents(spark, dir), gapSeconds = 100L,
+      idleStateTimeout = Some("1 second"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("sess_ttl_out").start()
+    def sink(): Set[(Long, Long, Long)] =
+      spark.table("sess_ttl_out").as[(Long, Long, Long)].collect().toSet
+    def waitFor(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(200)
+      assert(cond, s"condition not reached; sink=${sink()}")
+    }
+    try {
+      append(Seq((1L, 1L, 10L), (2L, 1L, 20L)))
+      waitFor(sink() === Set((1L, 1L, 1L), (1L, 2L, 1L)))
+      // idle past the timeout: the continuously-running timer batches
+      // expire user 1's state (no new data needed to trigger them)
+      Thread.sleep(3000)
+      // user 1 returns: with state expired it restarts at session 1 (the
+      // huge ts gap would have made it session 2 had state survived)
+      append(Seq((4L, 1L, 100000L)))
+      waitFor(sink().contains((1L, 4L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps first arrival per content hash (L1 stream form)") {
     val dir = Files.createTempDirectory("graft-sdedup").toString
     Seq(
