@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSignature].getName,
         "min_hash_signature"),
       GraftExtensions.buildMinHash))
+    // Whole-operator escalation: per-group top-k-by-score planned as
+    // partial heap → exchange → final heap (graft.plans.TopKByScore).
+    e.injectPlannerStrategy(_ => graft.plans.TopKByScoreStrategy)
   }
 }
 
