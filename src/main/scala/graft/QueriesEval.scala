@@ -370,6 +370,38 @@ object QueriesEval {
               |FROM dt d JOIN nrm n1 ON n1.vec_id = d.i1 JOIN nrm n2 ON n2.vec_id = d.i2
               |GROUP BY d.label ORDER BY d.label""".stripMargin)),
 
+    // --- A-family: grouped distribution describe — count/mean/std/min/
+    //     quartiles/max per group, the pandas `.describe()` the reference
+    //     leans on for feature stats (feature_engineering.py uses pandas
+    //     aggregation frames throughout). Exact `percentile` here because
+    //     the oracle needs exact; at 100 TB swap in `approx_percentile`
+    //     (t-digest sketch, same call shape) — exact percentile is the one
+    //     agg in this file that buffers per-group values. ---
+    ("a10_describe", (s, d) => {
+      val li = SparkEntry.T(s, d, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(avg(col("l_quantity")), 6).as("mean_qty"),
+          round(stddev(col("l_quantity")), 6).as("std_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+      Some("""SELECT l_returnflag, count(*) AS cnt,
+             |round(avg(l_quantity), 6) AS mean_qty,
+             |round(stddev(l_quantity), 6) AS std_qty,
+             |min(l_quantity) AS min_qty,
+             |round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+             |round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+             |round(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
+             |max(l_quantity) AS max_qty
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // --- R9 at the reference's true call shape (metrics.py:402-446):
     //     mean pairwise cosine DISTANCE among each USER's top-10 recs.
     //     Items map to embedding rows by modulo id (R5 id-mapping — the

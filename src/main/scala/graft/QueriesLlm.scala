@@ -170,6 +170,31 @@ object QueriesLlm {
               |FROM toks JOIN tc USING(term) CROSS JOIN tot
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // --- Repetition ratio (MassiveText/Gopher-style quality signal): the
+    //     fraction of duplicate word n-grams within each document — high
+    //     values flag boilerplate/looping text for corpus filtering. Pure
+    //     per-row HOFs over the existing shingle kernel, zero shuffles. ---
+    ("t_repetition", (s, d) => {
+      def rep(n: Int) = {
+        val sh = Dedup.wordShingles(col("text"), n)
+        round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 6)
+      }
+      SparkEntry.T(s, d, "documents")
+        .select(col("doc_id"), rep(2).as("rep_2gram"), rep(3).as("rep_3gram"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH t AS (SELECT doc_id, $DuckTokens AS ts FROM documents),
+              |g AS (SELECT doc_id,
+              |  CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
+              |       ELSE list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) END AS g2,
+              |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+              |       ELSE list_transform(range(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS g3
+              |  FROM t)
+              |SELECT doc_id,
+              |round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6) AS rep_2gram,
+              |round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 6) AS rep_3gram
+              |FROM g ORDER BY doc_id""".stripMargin)),
+
     // --- Language ID by marker profiles (argmax + alphabetical tiebreak) ---
     ("t_lang_id", (s, d) => {
       val df = SparkEntry.T(s, d, "documents")

@@ -309,6 +309,66 @@ object StreamingJobs {
       .toDF("user_id", "event_id", "session_idx")
   }
 
+  /** T11 on the Spark 4 `transformWithState` API: same gap-based
+    * sessionization as [[sessionizeStream]], with the idle-key bound
+    * expressed as DECLARATIVE state TTL (`TTLConfig`) instead of a
+    * hand-rolled timeout branch — the state store treats expired (last ts,
+    * counter) values as absent by itself. TTL requires
+    * `TimeMode.ProcessingTime`, which (like flatMapGroupsWithState
+    * timers) makes the engine schedule batches forever — so the TTL is
+    * opt-in here too: None → `TimeMode.None`, the query drains and
+    * terminates normally. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`). Semantics parity with the
+    * batch form and TTL expiry are asserted in StreamingSpec. */
+  def sessionizeStreamTws(events: DataFrame, gapSeconds: Long,
+                          idleStateTtl: Option[java.time.Duration] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(
+      col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("ts_s"))
+      .as[(Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .transformWithState(new SessionizeProcessor(gapSeconds, idleStateTtl),
+        if (idleStateTtl.isDefined) TimeMode.ProcessingTime()
+        else TimeMode.None(),
+        OutputMode.Append())
+      .toDF("user_id", "event_id", "session_idx")
+  }
+
+  /** The [[sessionizeStreamTws]] stateful processor: per key a single
+    * (last ts, session counter) value with TTL — state logic identical to
+    * the flatMapGroupsWithState form, minus the hand-rolled timeout
+    * branch. */
+  private class SessionizeProcessor(gapSeconds: Long,
+                                    ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    override def handleInputRows(
+        user: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      var (lastTs, sessionIdx) =
+        if (st.exists()) st.get() else (Long.MinValue, 0L)
+      val out = rows.toList.sortBy(e => (e._3, e._2)).map { case (_, id, ts) =>
+        if (lastTs == Long.MinValue || ts - lastTs > gapSeconds)
+          sessionIdx += 1
+        lastTs = ts
+        (user, id, sessionIdx)
+      }
+      st.update((lastTs, sessionIdx))
+      out.iterator
+    }
+  }
+
   /** Streaming exact dedup (SURVEY §2.13 L1, streaming form): keep the
     * FIRST-arriving document per normalized-content hash, dropping
     * later duplicates that arrive within the watermark horizon.

@@ -255,6 +255,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization matches the batch form (T11, Spark 4 API)") {
+    val dir = Files.createTempDirectory("graft-tws").toString
+    eventsFixture(dir)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = StreamingJobs.sessionizeStreamTws(
+        StreamingJobs.fileEvents(spark, dir), gapSeconds = 100L)
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName("tws_out").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("tws_out").as[(Long, Long, Long)].collect().toSet
+      val batch = Features.sessionize(
+        spark.read.parquet(dir), "user_id", "ts", 100L)
+        .select(col("user_id"), col("event_id"), col("session_idx"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === batch)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("transformWithState declarative TTL: idle key's state expires and " +
+    "re-sessionizes fresh") {
+    val dir = Files.createTempDirectory("graft-tws-ttl").toString
+    def append(rows: Seq[(Long, Long, Long)]): Unit = // (event_id, user, ts_s)
+      rows.toDF("event_id", "user_id", "ts_s")
+        .withColumn("ts", timestamp_seconds(col("ts_s")))
+        .withColumn("event_type", lit("click"))
+        .withColumn("value", lit(1.0))
+        .withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // TTL forces TimeMode.ProcessingTime → continuous batches (same caveat
+    // as the flatMapGroupsWithState timers) → poll the sink, don't drain.
+    val stream = StreamingJobs.sessionizeStreamTws(
+      StreamingJobs.fileEvents(spark, dir), gapSeconds = 100L,
+      idleStateTtl = Some(java.time.Duration.ofSeconds(1)))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("tws_ttl_out").start()
+    def sink(): Set[(Long, Long, Long)] =
+      spark.table("tws_ttl_out").as[(Long, Long, Long)].collect().toSet
+    def waitFor(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(200)
+      assert(cond, s"condition not reached; sink=${sink()}")
+    }
+    try {
+      append(Seq((1L, 1L, 10L), (2L, 1L, 20L)))
+      waitFor(sink() === Set((1L, 1L, 1L), (1L, 2L, 1L)))
+      Thread.sleep(2000) // past the TTL: the stored value reads as absent
+      // user 1 returns after expiry → fresh index 1 (a surviving state
+      // would have produced session 2 given the huge ts gap)
+      append(Seq((4L, 1L, 100000L)))
+      waitFor(sink().contains((1L, 4L, 1L)))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming exact dedup keeps first arrival per content hash (L1 stream form)") {
     val dir = Files.createTempDirectory("graft-sdedup").toString
     Seq(
