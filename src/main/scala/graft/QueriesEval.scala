@@ -402,6 +402,31 @@ object QueriesEval {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // --- Sketch-accuracy self-check (same shape as ann_cluster_recall):
+    //     the 100 TB posture swaps exact countDistinct / percentile for
+    //     HyperLogLog++ / t-digest sketches (single-pass, mergeable,
+    //     bounded memory). This query runs BOTH on the same scan and emits
+    //     the relative errors, so the swap's cost is a measured number per
+    //     round rather than a scaladoc claim. No SQL oracle (sketch
+    //     estimates are implementation-defined); the error bounds are the
+    //     asserted contract (MetricsSpec). ---
+    ("x7_sketch_accuracy", (s, d) => {
+      val li = SparkEntry.T(s, d, "lineitem")
+      li.agg(
+        countDistinct(col("l_partkey")).as("nd_exact"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("nd_approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"))
+        .select(
+          col("nd_exact"), col("nd_approx"),
+          round(abs(col("nd_approx") - col("nd_exact")) /
+            col("nd_exact").cast("double"), 6).as("nd_rel_err"),
+          round(col("p50_exact"), 6).as("p50_exact"),
+          round(col("p50_approx"), 6).as("p50_approx"),
+          round(abs(col("p50_approx") - col("p50_exact")) /
+            col("p50_exact"), 6).as("p50_rel_err"))
+    }, None),
+
     // --- R9 at the reference's true call shape (metrics.py:402-446):
     //     mean pairwise cosine DISTANCE among each USER's top-10 recs.
     //     Items map to embedding rows by modulo id (R5 id-mapping — the

@@ -104,4 +104,16 @@ class MetricsSpec extends AnyFunSuite {
       .orderBy(col("rating").desc).select("label").as[Int].collect().toSeq
     assert(labels === Seq(1, 1, 0, 0))
   }
+
+  test("sketch-accuracy self-check: HLL++ and t-digest inside their bounds") {
+    val row = SparkEntry.queries("x7_sketch_accuracy")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(row.getAs[Long]("nd_exact") > 0L)
+    // approx_count_distinct rsd = 0.02 → generous 5% ceiling
+    assert(row.getAs[Double]("nd_rel_err") <= 0.05,
+      s"HLL rel err ${row.getAs[Double]("nd_rel_err")}")
+    // approx_percentile accuracy 10000 → ~1e-4 rank error; 1% value ceiling
+    assert(row.getAs[Double]("p50_rel_err") <= 0.01,
+      s"t-digest rel err ${row.getAs[Double]("p50_rel_err")}")
+  }
 }
