@@ -59,6 +59,32 @@ object QueriesLlm {
               |SELECT id1, id2, jaccard FROM pairs WHERE jaccard >= 0.7
               |ORDER BY id1, id2""".stripMargin)),
 
+    // --- Dup pairs → dup GROUPS: connected components over the
+    //     token-Jaccard near-dup edges (min-label propagation, converges
+    //     in O(cluster diameter) shuffles). The step every real dedup
+    //     pipeline needs between pair scoring and keep/drop decisions;
+    //     oracle = DuckDB recursive-CTE reachability closure. ---
+    ("d_dup_groups", (s, d) => {
+      val pairs = Dedup.tokenJaccardPairs(SparkEntry.T(s, d, "documents"),
+        "doc_id", "text", 0.7, bucketCols = Seq("lang", "source"))
+      Dedup.connectedComponents(pairs, "id1", "id2").orderBy(col("id"))
+    },
+      Some(s"""WITH RECURSIVE toks AS (SELECT doc_id, lang, source,
+              |  list_distinct($DuckTokens) AS ts FROM documents),
+              |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |  len(list_intersect(a.ts, b.ts))::DOUBLE /
+              |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jaccard
+              |  FROM toks a JOIN toks b
+              |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+              |ok AS (SELECT id1, id2 FROM pr WHERE jaccard >= 0.7),
+              |e AS (SELECT id1 AS a, id2 AS b FROM ok
+              |      UNION SELECT id2, id1 FROM ok),
+              |nodes AS (SELECT DISTINCT a AS n FROM e),
+              |reach(n, m) AS (SELECT n, n FROM nodes
+              |  UNION SELECT e.a, r.m FROM e JOIN reach r ON e.b = r.n)
+              |SELECT n AS id, min(m) AS component FROM reach
+              |GROUP BY n ORDER BY id""".stripMargin)),
+
     // --- MinHash-LSH near-dup summary (xxhash-seeded; invariants in tests).
     // maxBucketSize=64 opted in HERE (not the library default): this corpus
     // is low-entropy word salad with hot LSH buckets — the cap bounds the

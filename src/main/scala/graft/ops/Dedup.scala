@@ -218,6 +218,68 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Dup-pair edges → dup GROUPS: connected components by iterative
+    * min-label propagation. Each node starts labeled with itself; every
+    * iteration each node takes the min of its own label and its
+    * neighbors' labels — after diameter(component) iterations every node
+    * carries its component's minimum id. Near-dup graphs are
+    * small-diameter (dup clusters are dense), so this converges in a
+    * handful of shuffles; the loop stops early when an iteration changes
+    * nothing (the convergence check is one count() job per iteration — a
+    * deliberate driver-side action, same rationale as the k-core loop).
+    * Each iteration persists its frame and unpersists the previous one,
+    * so lineage stays O(1) deep. At extreme scale swap in a
+    * large-star/small-star variant; min-label is the right tool for the
+    * bounded-diameter dedup case. Returns (id, component) for every node
+    * that appears in `edges` — component = min id in the component. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    // No dedup of the doubled edge list: the neighbor-min aggregation is
+    // duplicate-tolerant, so a distinct() here would only add a shuffle.
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Iterative loops MUST truncate lineage each round: a persist/unpersist
+    // chain leaves every iteration's plan referencing its (by then
+    // unpersisted) parents, and re-planning walks — and can re-execute —
+    // the whole history (measured: the naive chain went quadratic, then
+    // OOMed the driver). localCheckpoint materializes AND cuts the plan,
+    // so each iteration is flat-cost over ~|V| rows.
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = und
+        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("component")).as("__nmin"))
+      val hop = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nmin"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      // Pointer jumping: also take the label OF the label (components are
+      // always real node ids, so the self-join hits). One extra join per
+      // iteration turns O(diameter) convergence into O(log diameter).
+      val next = hop
+        .join(hop.select(col("id").as("component"), col("component").as("__cc")),
+          Seq("component"), "left")
+        .select(col("id"),
+          coalesce(col("__cc"), col("component")).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "__old"),
+          Seq("id"))
+        .filter(col("component") =!= col("__old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    und.unpersist(false)
+    labels
+  }
+
   /** Inverted-index n-gram Jaccard: candidate pairs are generated by an
     * explode-join on shared tokens (docs sharing >= 1 token), then Jaccard =
     * common / (|A| + |B| − common). Linear in posting-list sizes, not in

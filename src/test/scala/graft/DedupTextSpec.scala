@@ -296,6 +296,17 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: chains, separate clusters, min-id labels") {
+    // chain 10-11-12-13-14 (diameter 4 → several propagation rounds),
+    // triangle 1-2-3, pair 5-6
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(edges, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
+  }
+
   test("minhash cap-recall self-check query reports recall above the floor") {
     val row = SparkEntry.queries("d_minhash_cap_recall")(
       spark, "/root/testdata/sf0.001").head()
