@@ -196,6 +196,30 @@ object QueriesLlm {
               |FROM toks JOIN tc USING(term) CROSS JOIN tot
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // --- BM25 corpus scoring against a fixed query (Okapi, Lucene idf):
+    //     the classic retrieval scorer over the documents table; one
+    //     exploded pass pre-filtered to the query terms, df via window
+    //     over the tiny tf frame. ---
+    ("t_bm25", (s, d) =>
+      TextAnalysis.bm25(SparkEntry.T(s, d, "documents"), "doc_id", "text",
+        Seq("data", "query", "join"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckTokens AS ts FROM documents),
+              |dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM t),
+              |stats AS (SELECT count(*)::DOUBLE AS n, avg(len(ts)) AS avgdl FROM t),
+              |tok AS (SELECT doc_id, unnest(ts) AS term FROM t),
+              |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+              |       WHERE term IN ('data', 'query', 'join') GROUP BY 1, 2),
+              |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+              |sc AS (SELECT tf.doc_id,
+              |  sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+              |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+              |  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id)
+              |  CROSS JOIN stats GROUP BY 1)
+              |SELECT d.doc_id, round(coalesce(sc.s, 0), 6) AS bm25
+              |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
     // --- Repetition ratio (MassiveText/Gopher-style quality signal): the
     //     fraction of duplicate word n-grams within each document — high
     //     values flag boilerplate/looping text for corpus filtering. Pure

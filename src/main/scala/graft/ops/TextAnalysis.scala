@@ -122,6 +122,40 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** BM25 relevance of every document against a literal query term set
+    * (Robertson/Okapi with the Lucene idf form
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))`). Same one-scan shape as
+    * [[tfIdf]]: one exploded pass pre-filtered to the query terms builds
+    * tf; df comes from a window over that (already tiny) tf frame; corpus
+    * N and avgdl ride along as a broadcast one-row frame. Docs matching
+    * no query term keep a 0 score (corpus ranking needs the zeros).
+    * Returns (id, bm25). */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           query: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__ts"))
+    val dl = base.select(col(idCol), size(col("__ts")).cast("double").as("__dl"))
+    val stats = base.agg(count(lit(1)).cast("double").as("__n"),
+      avg(size(col("__ts"))).as("__avgdl"))
+    val tf = base.select(col(idCol), explode(col("__ts")).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val scored = tf
+      .withColumn("__df", count(lit(1)).over(wTerm).cast("double"))
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__s",
+        log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)) *
+          col("__tf") * (k1 + 1) /
+          (col("__tf") + (col("__dl") / col("__avgdl") * b + (1.0 - b)) * k1))
+      .groupBy(col(idCol)).agg(sum(col("__s")).as("__sum"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("__sum"), lit(0.0)), 6).as("bm25"))
+  }
+
   /** Corpus-filter pattern counts per document (the C4/RefinedWeb-style
     * heuristics): URLs, emails, digit runs, plus the digit-character
     * ratio. Pure per-row regex expressions — linear, no shuffle. */

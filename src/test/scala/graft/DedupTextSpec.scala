@@ -323,6 +323,22 @@ class DedupTextSpec extends AnyFunSuite {
     assert(row.getAs[Double]("stopword_ratio") === 0.5)
   }
 
+  test("bm25 golden: Okapi scores against the closed-form formula") {
+    val df = Seq((1L, "data data query"), (2L, "join the data"),
+      (3L, "nothing here")).toDF("id", "t")
+    val got = TextAnalysis.bm25(df, "id", "t", Seq("data", "query", "join"))
+      .as[(Long, Double)].collect().toMap
+    // N=3, avgdl=8/3; df(data)=2, df(query)=df(join)=1; k1=1.2, b=0.75
+    val avgdl = 8.0 / 3
+    def idf(dfT: Double) = math.log(1 + (3 - dfT + 0.5) / (dfT + 0.5))
+    def w(tf: Double, dl: Double, dfT: Double) =
+      idf(dfT) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === r6(w(2, 3, 2) + w(1, 3, 1)))
+    assert(got(2L) === r6(w(1, 3, 2) + w(1, 3, 1)))
+    assert(got(3L) === 0.0) // no query term — zero kept for corpus ranking
+  }
+
   test("fingerprint: deterministic and content-sensitive") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "abd")).toDF("id", "t")
     val fps = df.select(col("id"), TextAnalysis.fingerprint(col("t")).as("fp"))
