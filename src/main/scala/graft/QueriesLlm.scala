@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Relational, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline tranche (builder-brief north-star components):
   * deduplication (exact, MinHash-LSH, SimHash, inverted-index Jaccard),
@@ -33,6 +33,11 @@ object QueriesLlm {
 
   private val DuckTokens =
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+  /** Cumulative split fraction → 8-hex-digit threshold, the same rendering
+    * `Relational.hashSplit` uses — keeps the DuckDB oracle pinned to the
+    * identical first-32-bits-of-md5 comparison. */
+  private def hx(f: Double): String = f"${(f * 4294967296.0).toLong}%08x"
 
   val registry: Seq[Q] = Seq(
 
@@ -244,6 +249,55 @@ object QueriesLlm {
               |round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6) AS rep_2gram,
               |round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 6) AS rep_3gram
               |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // --- PII-style redaction (C4/RefinedWeb cleaning): URL → email →
+    //     digit-run placeholders in fixed order; output is the redacted
+    //     text's md5 + length — full-content witness, O(1) row width. ---
+    ("t_redact", (s, d) =>
+      TextAnalysis.redact(SparkEntry.T(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH r AS (SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(text,
+             |    'https?://[^ ]+', '<URL>', 'g'),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+             |    '[0-9]+', '<NUM>', 'g') AS rt FROM documents)
+             |SELECT doc_id, md5(rt) AS redacted_md5,
+             |length(rt)::BIGINT AS redacted_len
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // --- Deterministic train/val/test split by content hash: lexicographic
+    //     compare of md5's first 8 hex chars against cumulative-fraction
+    //     thresholds — reproducible bit-for-bit on any engine with md5,
+    //     stable under corpus growth (unlike randomSplit). ---
+    ("x8_hash_split", (s, d) =>
+      Relational.hashSplit(SparkEntry.T(s, d, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${hx(0.8)}' THEN 'train'
+              |     WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${hx(0.8 + 0.1)}' THEN 'val'
+              |     ELSE 'test' END AS split
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // --- Concat-and-chunk sequence packing: docs concatenated by doc_id
+    //     within each lang, sliced into 512-token training sequences; one
+    //     manifest row per (lang, bin). Shard-local at scale: add a hash
+    //     shard to groupCols and the window parallelizes embarrassingly. ---
+    ("x9_pack_sequences", (s, d) =>
+      TextAnalysis.packSequences(SparkEntry.T(s, d, "documents"), "doc_id",
+        "text", 512, groupCols = Seq("lang"))
+        .orderBy(col("lang"), col("bin")),
+      Some(s"""WITH t AS (SELECT doc_id, lang, len($DuckTokens)::BIGINT AS nt
+              |  FROM documents),
+              |o AS (SELECT doc_id, lang, nt,
+              |  CAST(coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+              |  FROM t)
+              |SELECT lang, st // 512 AS bin, count(*) AS n_docs,
+              |CAST(sum(nt) AS BIGINT) AS total_tokens,
+              |min(doc_id) AS first_doc, max(doc_id) AS last_doc
+              |FROM o GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin)),
 
     // --- Language ID by marker profiles (argmax + alphabetical tiebreak) ---
     ("t_lang_id", (s, d) => {

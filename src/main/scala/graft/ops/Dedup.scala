@@ -255,8 +255,10 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "b"), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("component")).as("__nmin"))
+      // Carry the incoming label as __old so convergence is a filter over
+      // the checkpointed frame, not another |V|-vs-|V| shuffle join.
       val hop = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("__nmin"), col("component")))
             .as("component"))
         .localCheckpoint(true)
@@ -266,13 +268,11 @@ object Dedup {
       val next = hop
         .join(hop.select(col("id").as("component"), col("component").as("__cc")),
           Seq("component"), "left")
-        .select(col("id"),
+        .select(col("id"), col("__old"),
           coalesce(col("__cc"), col("component")).as("component"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "__old"),
-          Seq("id"))
-        .filter(col("component") =!= col("__old")).count()
-      labels = next
+      val changed = next.filter(col("component") =!= col("__old")).count()
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }

@@ -187,6 +187,30 @@ object Relational {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Deterministic fractional split assignment (train/val/test) by content
+    * hash — the engine-portable alternative to `randomSplit`, whose RNG is
+    * partition-order-dependent and irreproducible across engines. The first
+    * 32 bits of `md5(key)` are compared lexicographically (as lowercase hex)
+    * against cumulative-fraction thresholds rendered as 8-hex-digit strings:
+    * string order on fixed-width lowercase hex IS numeric order, so any
+    * engine with md5 reproduces the assignment bit-for-bit. Per-row, no
+    * shuffle; a doc's split never changes when the corpus grows — the
+    * property training pipelines need for incremental re-runs. */
+  def hashSplit(df: DataFrame, keyCol: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val h = substring(md5(col(keyCol).cast("string")), 1, 8)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val thresholds = cum.init.map(f => f"${(f * 4294967296.0).toLong}%08x")
+    val first = when(h < lit(thresholds.head), lit(splits.head._1))
+    val assign = thresholds.tail.zip(splits.tail.map(_._1)).foldLeft(first) {
+      case (acc, (th, nm)) => acc.when(h < lit(th), lit(nm))
+    }.otherwise(lit(splits.last._1))
+    df.withColumn("split", assign)
+  }
+
   def negativeSample(positives: DataFrame, userCol: String, itemCol: String,
                      items: DataFrame, n: Int, seed: Long = 42,
                      maxExactCatalog: Long = 100000,

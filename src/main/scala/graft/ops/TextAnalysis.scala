@@ -172,6 +172,53 @@ object TextAnalysis {
         .as("digit_ratio"))
   }
 
+  /** PII-style pattern redaction (the C4/RefinedWeb cleaning step): URLs,
+    * emails, then digit runs replaced with typed placeholders, in that
+    * fixed order (emails before digits so an address's digits are already
+    * gone; URLs first so their query strings don't half-match as emails).
+    * Returns the redacted text's md5 and length rather than the text
+    * itself — a full-content correctness witness at O(1) output width.
+    * Pure per-row regex expressions: linear, no shuffle. */
+  def redact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(col(textCol), "https?://[^ ]+", "<URL>"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+      "[0-9]+", "<NUM>")
+    df.select(col(idCol), md5(clean).as("redacted_md5"),
+      length(clean).cast("bigint").as("redacted_len"))
+  }
+
+  /** Concat-and-chunk sequence packing — the standard way LLM training
+    * data is laid out: documents are concatenated in a deterministic order
+    * (by `idCol` within each group) and sliced into fixed `seqLen`-token
+    * training sequences; a document belongs to the bin where it starts.
+    * Emits one row per (group, bin) with doc count, token mass, and the
+    * doc-id range — the shuffle-ready packing manifest. The prefix sum is
+    * a per-group window: parallelism = number of groups, so at 100 TB the
+    * caller adds a hash-shard column to `groupCols` (packing is
+    * shard-local by construction — sequences never need to cross shards),
+    * making the window embarrassingly parallel. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    seqLen: Int, groupCols: Seq[String] = Nil): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val parts: Seq[Column] =
+      if (groupCols.isEmpty) Seq(lit(1)) else groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(parts: _*)
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withBin = df
+      .select(groupCols.map(col) :+ col(idCol) :+
+        tokenCount(col(textCol)).cast("bigint").as("__nt"): _*)
+      .withColumn("__start", coalesce(sum(col("__nt")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("__start") / seqLen).cast("bigint"))
+    withBin.groupBy(groupCols.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("total_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+  }
+
   /** Unigram log-probability score per document (the cheap LM-quality
     * proxy used by CCNet-style corpus filters): mean over the doc's tokens
     * of ln(corpusFreq(token) / totalTokens). More negative = rarer

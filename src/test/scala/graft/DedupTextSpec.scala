@@ -339,6 +339,26 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got(3L) === 0.0) // no query term — zero kept for corpus ranking
   }
 
+  test("redact golden: URL, email, digit runs replaced in fixed order") {
+    val df = Seq((1L, "see https://x.io/a?b=1 or mail bob@x.io room 42")).toDF("id", "t")
+    val got = TextAnalysis.redact(df, "id", "t").head()
+    val expected = "see <URL> or mail <EMAIL> room <NUM>"
+    assert(got.getAs[Long]("redacted_len") === expected.length.toLong)
+    assert(got.getAs[String]("redacted_md5") ===
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("packSequences golden: docs chunk into bins where they start") {
+    // token counts: 2,3,2,4 — starts 0,2,5,7 — bins at L=5: 0,0,1,1
+    val df = Seq((1L, "a b"), (2L, "c d e"), (3L, "f g"), (4L, "h i j k"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(df, "doc_id", "text", 5)
+      .select("bin", "n_docs", "total_tokens", "first_doc", "last_doc")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((0L, 2L, 5L, 1L, 2L), (1L, 2L, 6L, 3L, 4L)))
+  }
+
   test("fingerprint: deterministic and content-sensitive") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "abd")).toDF("id", "t")
     val fps = df.select(col("id"), TextAnalysis.fingerprint(col("t")).as("fp"))

@@ -138,6 +138,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(r1.filter(_._1 == "b").map(_._2).toSet !== lowestIds)
   }
 
+  test("hashSplit: deterministic, partition-independent, near target fracs") {
+    val base = (1L to 5000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Relational.hashSplit(df, "id", splits)
+        .select("id", "split").as[(Long, String)].collect().toMap
+    val r1 = run(base.repartition(1))
+    val r13 = run(base.repartition(13))
+    assert(r1 === r13) // assignment is content-pure
+    assert(r1.size === 5000) // every row assigned exactly once
+    val frac = r1.values.groupBy(identity).view.mapValues(_.size / 5000.0)
+    assert(math.abs(frac("train") - 0.8) < 0.03)
+    assert(math.abs(frac("val") - 0.1) < 0.02)
+    assert(math.abs(frac("test") - 0.1) < 0.02)
+    // growing the corpus never reassigns an existing key
+    val grown = run((1L to 10000L).toDF("id"))
+    assert(r1.forall { case (k, v) => grown(k) == v })
+  }
+
   test("z-score normalize: mean ~0, unit-ish std (movielens.py:421-422)") {
     val df = (1 to 100).map(_.toDouble).toDF("x")
     val z = Relational.zscore(df, Seq("x"))
