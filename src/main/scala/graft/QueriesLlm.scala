@@ -250,6 +250,76 @@ object QueriesLlm {
               |round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 6) AS rep_3gram
               |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // --- Corpus heavy hitters: global top-50 terms. TakeOrdered top-k
+    //     (no full sort); the rank window then runs over 50 rows only. ---
+    ("t_vocab_topk", (s, d) => {
+      val counts = SparkEntry.T(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(50)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("term"))
+      counts.withColumn("trank", row_number().over(w).cast("bigint"))
+        .orderBy(col("trank"))
+    },
+      Some(s"""WITH toks AS (SELECT unnest($DuckTokens) AS term FROM documents),
+              |c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term)
+              |SELECT term, cnt,
+              |row_number() OVER (ORDER BY cnt DESC, term) AS trank
+              |FROM c ORDER BY trank LIMIT 50""".stripMargin)),
+
+    // --- Vocabulary summary: size, hapax count, type-token ratio — the
+    //     Heaps'-law numbers a corpus report leads with. One exploded
+    //     pass, map-side partial aggs. ---
+    ("t_vocab_stats", (s, d) =>
+      SparkEntry.T(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("__c"))
+        .agg(count(lit(1)).as("vocab_size"),
+          sum(when(col("__c") === 1, 1L).otherwise(0L)).as("hapax_count"),
+          sum(col("__c")).as("total_tokens"))
+        .select(col("vocab_size"), col("hapax_count"), col("total_tokens"),
+          round(col("vocab_size").cast("double") / col("total_tokens"), 6)
+            .as("type_token_ratio")),
+      Some(s"""WITH toks AS (SELECT unnest($DuckTokens) AS term FROM documents),
+              |c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term)
+              |SELECT count(*) AS vocab_size,
+              |count(*) FILTER (cnt = 1) AS hapax_count,
+              |CAST(sum(cnt) AS BIGINT) AS total_tokens,
+              |round(count(*)::DOUBLE / sum(cnt), 6) AS type_token_ratio
+              |FROM c""".stripMargin)),
+
+    // --- Quality filter (CCNet-style tail cut): drop the bottom decile by
+    //     unigram LM score. Rank-based, not threshold-based — ordering on
+    //     the ROUND-6 score + doc_id is bit-identical across engines,
+    //     where a percentile threshold compare could flip docs within FP
+    //     noise of the cut. The global rank window is the sf-scale form;
+    //     at 100 TB swap in an approx_percentile threshold (documented
+    //     trade: boundary docs within sketch error of the cut). ---
+    ("t_quality_filter", (s, d) => {
+      val scored = TextAnalysis.unigramLogProb(
+        SparkEntry.T(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("avg_logprob"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("avg_logprob"), col("doc_id"))
+      scored.withColumn("qrank", row_number().over(w).cast("bigint"))
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("__n"))))
+        .filter(col("qrank") > floor(col("__n") / 10))
+        .select(col("doc_id"), col("avg_logprob"), col("qrank"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckTokens) AS term FROM documents),
+              |tc AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+              |tot AS (SELECT count(*) AS n_total FROM toks),
+              |sc AS (SELECT doc_id,
+              |  round(avg(ln(tc.c::DOUBLE / n_total)), 6) AS avg_logprob
+              |  FROM toks JOIN tc USING(term) CROSS JOIN tot GROUP BY doc_id),
+              |r AS (SELECT doc_id, avg_logprob,
+              |  row_number() OVER (ORDER BY avg_logprob, doc_id) AS qrank,
+              |  count(*) OVER () AS n FROM sc)
+              |SELECT doc_id, avg_logprob, qrank FROM r
+              |WHERE qrank > n // 10 ORDER BY doc_id""".stripMargin)),
+
     // --- PII-style redaction (C4/RefinedWeb cleaning): URL → email →
     //     digit-run placeholders in fixed order; output is the redacted
     //     text's md5 + length — full-content witness, O(1) row width. ---
