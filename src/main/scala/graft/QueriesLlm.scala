@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Vectors
 import graft.multimodal.Multimodal
 import graft.ops.{Dedup, Relational, Similarity, TextAnalysis}
 
@@ -249,6 +250,58 @@ object QueriesLlm {
               |round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6) AS rep_2gram,
               |round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 6) AS rep_3gram
               |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // --- Token containment (Broder): asymmetric near-dup score
+    //     |A∩B| / |A| — catches subset duplication (quotes, boilerplate
+    //     wrappers, truncations) that Jaccard under-scores when |B| ≫ |A|.
+    //     Same bucketed posting-list join as d_token_jaccard; directed
+    //     pairs. ---
+    ("d_containment", (s, d) =>
+      Dedup.tokenContainmentPairs(SparkEntry.T(s, d, "documents"), "doc_id",
+        "text", 0.9, bucketCols = Seq("lang", "source"))
+        .orderBy(col("id1"), col("id2")),
+      Some(s"""WITH toks AS (SELECT doc_id, lang, source,
+              |  list_distinct($DuckTokens) AS ts FROM documents),
+              |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |  len(list_intersect(a.ts, b.ts))::DOUBLE / len(a.ts) AS containment
+              |  FROM toks a JOIN toks b
+              |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id)
+              |SELECT id1, id2, containment FROM pairs WHERE containment >= 0.9
+              |ORDER BY id1, id2""".stripMargin)),
+
+    // --- Int8 embedding quantization recall self-check: exact cosine
+    //     top-5 vs top-5 over int8-quantized-then-reconstructed vectors,
+    //     plus the mean reconstruction error — the 4× memory cut's
+    //     accuracy cost as a measured number (same shape as
+    //     ann_cluster_recall). ---
+    ("r13_int8_recall", (s, d) => {
+      val e = SparkEntry.T(s, d, "embeddings")
+      val recon = e
+        .withColumn("__sc", Vectors.int8Scale(col("embedding")))
+        .withColumn("__qv", Vectors.int8Dequantize(
+          Vectors.int8Quantize(col("embedding"), col("__sc")), col("__sc")))
+      val exact = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
+        "vec_id", "vec_id", "embedding", 5, "cosine", excludeSelf = true)
+        .select(col("query_id"), col("item_id"))
+      val items8 = recon.select(col("vec_id"), col("__qv").as("embedding"))
+      val approx = Similarity.bruteForceTopK(
+        items8.filter(col("vec_id") < 50), items8,
+        "vec_id", "vec_id", "embedding", 5, "cosine", excludeSelf = true)
+        .select(col("query_id"), col("item_id"))
+      val hits = exact.join(approx, Seq("query_id", "item_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val tot = exact.agg(count(lit(1)).as("n_exact"))
+      val err = recon.select(
+        avg(aggregate(
+          zip_with(col("embedding"), col("__qv"),
+            (a, b) => abs(a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x) / size(col("embedding")))
+          .as("__mae"))
+      hits.crossJoin(tot).crossJoin(err)
+        .select(col("n_hits"), col("n_exact"),
+          round(col("n_hits").cast("double") / col("n_exact"), 4).as("recall"),
+          round(col("__mae"), 6).as("mean_abs_err"))
+    }, None),
 
     // --- Corpus heavy hitters: global top-50 terms. TakeOrdered top-k
     //     (no full sort); the rank window then runs over 50 rows only. ---

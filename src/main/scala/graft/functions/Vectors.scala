@@ -98,4 +98,23 @@ object Vectors {
   def padTo(a: Column, targetDim: Int, fill: Double = 0.0): Column =
     concat(a, array_repeat(lit(fill),
       greatest(lit(targetDim) - size(a), lit(0))))
+
+  /** Per-vector symmetric int8 scale: max|x| / 127 (floored away from
+    * zero so all-zero vectors quantize to zeros instead of NaN). The
+    * standard 4× memory cut for embedding tables at retrieval scale. */
+  def int8Scale(a: Column): Column =
+    greatest(array_max(transform(a, x => abs(x))).cast("double"),
+      lit(1e-12)) / 127.0
+
+  /** Quantize to int8 lanes given the vector's [[int8Scale]]. round()
+    * half-up matches the common reference implementations; lanes land in
+    * [−127, 127] by construction of the scale. */
+  def int8Quantize(a: Column, scale: Column): Column =
+    transform(a, x => round(x.cast("double") / scale).cast("int"))
+
+  /** Reconstruct the float vector from int8 lanes + scale. Quantization
+    * error per lane ≤ scale/2; downstream dot/cosine error is what
+    * `r13_int8_recall` measures in-query. */
+  def int8Dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
 }

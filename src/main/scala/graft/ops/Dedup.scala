@@ -310,6 +310,36 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Inverted-index token CONTAINMENT (Broder): c(A→B) = |A∩B| / |A| — the
+    * asymmetric near-dup score that catches subset duplication (quoted
+    * passages, boilerplate wrappers, truncated copies) which Jaccard
+    * under-scores when |B| ≫ |A|. Same posting-list candidate join as
+    * [[tokenJaccardPairs]] — linear in posting sizes, never all-pairs —
+    * but pairs are DIRECTED (id1 ≠ id2, score = containment of id1's
+    * token set in id2's). */
+  def tokenContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            threshold: Double,
+                            bucketCols: Seq[String] = Nil): DataFrame = {
+    val toks = df.select((Seq(col(idCol), col(textCol)) ++ bucketCols.map(col)): _*)
+      .withColumn("__t", array_distinct(tokens(col(textCol))))
+      .withColumn("__n", size(col("__t")))
+      .drop(textCol)
+    val posting = toks.select(
+      (Seq(col(idCol), col("__n"), explode(col("__t")).as("__tok")) ++
+        bucketCols.map(col)): _*)
+    val joinKeys = "__tok" +: bucketCols
+    val p1 = posting.withColumnRenamed(idCol, "id1")
+      .withColumnRenamed("__n", "n1")
+    val p2 = posting.drop("__n").withColumnRenamed(idCol, "id2")
+    p1.join(p2, joinKeys)
+      .filter(col("id1") =!= col("id2"))
+      .groupBy(col("id1"), col("id2"), col("n1"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment", col("common").cast("double") / col("n1"))
+      .filter(col("containment") >= threshold)
+      .select("id1", "id2", "containment")
+  }
+
   /** SimHash 64-bit fingerprint (packed Long). Per-token xxhash64; bit i of
     * the fingerprint is 1 iff the sum over tokens of (+1 if token-hash bit i
     * set else −1) is positive. All per-row HOFs — no UDF, no shuffle.

@@ -339,6 +339,24 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got(3L) === 0.0) // no query term — zero kept for corpus ranking
   }
 
+  test("containment golden: directed, catches subset dup Jaccard misses") {
+    val df = Seq((1L, "a b c"), (2L, "a b c d e f")).toDF("id", "t")
+    val got = Dedup.tokenContainmentPairs(df, "id", "t", 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    // c(1→2) = 3/3 = 1.0 kept; c(2→1) = 3/6 = 0.5 dropped at 0.6 —
+    // and Jaccard (3/6 = 0.5) would have missed the pair entirely
+    assert(got === Set((1L, 2L, 1.0)))
+    assert(Dedup.tokenJaccardPairs(df, "id", "t", 0.6).count() === 0L)
+  }
+
+  test("int8 quantization recall self-check: high recall, bounded error") {
+    val row = SparkEntry.queries("r13_int8_recall")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(row.getAs[Long]("n_exact") > 0L)
+    assert(row.getAs[Double]("recall") >= 0.9)
+    assert(row.getAs[Double]("mean_abs_err") < 0.01)
+  }
+
   test("redact golden: URL, email, digit runs replaced in fixed order") {
     val df = Seq((1L, "see https://x.io/a?b=1 or mail bob@x.io room 42")).toDF("id", "t")
     val got = TextAnalysis.redact(df, "id", "t").head()

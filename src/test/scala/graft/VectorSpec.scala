@@ -13,6 +13,29 @@ class VectorSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("int8 quantize round-trip: golden lanes, error <= scale/2") {
+    val df = Seq(Tuple1(Seq(1.0f, -0.5f, 0.25f, 0.0f))).toDF("v")
+    val row = df.select(
+      V.int8Scale(col("v")).as("sc"),
+      V.int8Quantize(col("v"), V.int8Scale(col("v"))).as("q"),
+      V.int8Dequantize(V.int8Quantize(col("v"), V.int8Scale(col("v"))),
+        V.int8Scale(col("v"))).as("r")).head()
+    val sc = row.getAs[Double]("sc")
+    assert(math.abs(sc - 1.0 / 127) < 1e-12)
+    assert(row.getAs[Seq[Int]]("q") === Seq(127, -64, 32, 0))
+    row.getAs[Seq[Double]]("r").zip(Seq(1.0, -0.5, 0.25, 0.0)).foreach {
+      case (rec, orig) => assert(math.abs(rec - orig) <= sc / 2 + 1e-12)
+    }
+  }
+
+  test("int8 quantize: all-zero vector stays zero (no NaN scale)") {
+    val df = Seq(Tuple1(Seq(0.0f, 0.0f))).toDF("v")
+    val r = df.select(V.int8Dequantize(
+      V.int8Quantize(col("v"), V.int8Scale(col("v"))),
+      V.int8Scale(col("v")))).head().getSeq[Double](0)
+    assert(r.toList === List(0.0, 0.0))
+  }
+
   test("vecDot golden: [1,2,3]·[4,5,6] = 32") {
     val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
     assert(df.select(V.vecDot(col("a"), col("b"))).head().getDouble(0) === 32.0)
