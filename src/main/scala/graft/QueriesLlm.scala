@@ -202,6 +202,31 @@ object QueriesLlm {
               |FROM toks JOIN tc USING(term) CROSS JOIN tot
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // --- Bigram LM log-prob (one step up from the unigram CCNet proxy):
+    //     mean ln(c(w1,w2)/c(w1·)) per doc, conditional counts as
+    //     bigram-starts so table rows sum to 1; MLE safe (corpus scores
+    //     itself). Docs with < 2 tokens keep 0/0. ---
+    ("t_bigram_logprob", (s, d) =>
+      TextAnalysis.bigramLogProb(SparkEntry.T(s, d, "documents"), "doc_id",
+        "text")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckTokens AS ts FROM documents),
+              |e AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+              |        i -> ts[i] || ' ' || ts[i+1])) AS b
+              |      FROM t WHERE len(ts) >= 2),
+              |w AS (SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM e),
+              |c AS (SELECT doc_id,
+              |        count(*) OVER (PARTITION BY b) AS cb,
+              |        count(*) OVER (PARTITION BY w1) AS cw FROM w),
+              |sc AS (SELECT doc_id,
+              |  round(avg(ln(cb::DOUBLE / cw)), 6) AS avg_bigram_logprob,
+              |  count(*) AS n_bigrams FROM c GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |coalesce(sc.avg_bigram_logprob, 0.0) AS avg_bigram_logprob,
+              |coalesce(sc.n_bigrams, 0) AS n_bigrams
+              |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
     // --- BM25 corpus scoring against a fixed query (Okapi, Lucene idf):
     //     the classic retrieval scorer over the documents table; one
     //     exploded pass pre-filtered to the query terms, df via window

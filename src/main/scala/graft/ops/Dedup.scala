@@ -280,21 +280,51 @@ object Dedup {
     labels
   }
 
+  /** Shared posting-list builder for the token-overlap pair generators:
+    * (id, __n, __tok, buckets…) with one row per distinct doc token.
+    * `maxPostingSize > 0` enables STOP-TOKEN pruning — tokens whose
+    * bucket-local posting list exceeds the cap are dropped from the token
+    * sets and `__n` is recomputed on the filtered sets (the classic
+    * dedup-pipeline stopword cut, made deterministic). A token shared by
+    * g docs contributes C(g,2) candidate rows, so one corpus-wide token
+    * turns the join quadratic; the cap bounds it at C(cap,2) per token.
+    * Scores are then over the filtered sets — consistent, documented
+    * semantics, tested against the uncapped form. */
+  private def tokenPostings(df: DataFrame, idCol: String, textCol: String,
+                            bucketCols: Seq[String],
+                            maxPostingSize: Int): DataFrame = {
+    val toks = df.select((Seq(col(idCol), col(textCol)) ++ bucketCols.map(col)): _*)
+      .withColumn("__t", array_distinct(tokens(col(textCol))))
+      .drop(textCol)
+    if (maxPostingSize <= 0) {
+      toks.withColumn("__n", size(col("__t")))
+        .select((Seq(col(idCol), col("__n"), explode(col("__t")).as("__tok")) ++
+          bucketCols.map(col)): _*)
+    } else {
+      val exploded = toks.select(
+        (Seq(col(idCol), explode(col("__t")).as("__tok")) ++
+          bucketCols.map(col)): _*)
+      val wTok = org.apache.spark.sql.expressions.Window
+        .partitionBy(("__tok" +: bucketCols).map(col): _*)
+      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      exploded.withColumn("__pc", count(lit(1)).over(wTok))
+        .filter(col("__pc") <= maxPostingSize).drop("__pc")
+        .withColumn("__n", count(lit(1)).over(wDoc))
+    }
+  }
+
   /** Inverted-index n-gram Jaccard: candidate pairs are generated by an
     * explode-join on shared tokens (docs sharing >= 1 token), then Jaccard =
     * common / (|A| + |B| − common). Linear in posting-list sizes, not in
-    * doc-pairs; hot tokens (stopword-like) should be filtered upstream at
-    * extreme scale. Returns (id1, id2, jaccard >= threshold). */
+    * doc-pairs. `maxPostingSize` (opt-in) drops corpus-hot tokens from the
+    * token sets before the join — see [[tokenPostings]] — bounding any one
+    * token's candidate contribution at C(cap,2). Returns
+    * (id1, id2, jaccard >= threshold). */
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double,
-                        bucketCols: Seq[String] = Nil): DataFrame = {
-    val toks = df.select((Seq(col(idCol), col(textCol)) ++ bucketCols.map(col)): _*)
-      .withColumn("__t", array_distinct(tokens(col(textCol))))
-      .withColumn("__n", size(col("__t")))
-      .drop(textCol)
-    val posting = toks.select(
-      (Seq(col(idCol), col("__n"), explode(col("__t")).as("__tok")) ++
-        bucketCols.map(col)): _*)
+                        bucketCols: Seq[String] = Nil,
+                        maxPostingSize: Int = 0): DataFrame = {
+    val posting = tokenPostings(df, idCol, textCol, bucketCols, maxPostingSize)
     val joinKeys = "__tok" +: bucketCols
     val p1 = posting.withColumnRenamed(idCol, "id1")
       .withColumnRenamed("__n", "n1")
@@ -319,14 +349,9 @@ object Dedup {
     * token set in id2's). */
   def tokenContainmentPairs(df: DataFrame, idCol: String, textCol: String,
                             threshold: Double,
-                            bucketCols: Seq[String] = Nil): DataFrame = {
-    val toks = df.select((Seq(col(idCol), col(textCol)) ++ bucketCols.map(col)): _*)
-      .withColumn("__t", array_distinct(tokens(col(textCol))))
-      .withColumn("__n", size(col("__t")))
-      .drop(textCol)
-    val posting = toks.select(
-      (Seq(col(idCol), col("__n"), explode(col("__t")).as("__tok")) ++
-        bucketCols.map(col)): _*)
+                            bucketCols: Seq[String] = Nil,
+                            maxPostingSize: Int = 0): DataFrame = {
+    val posting = tokenPostings(df, idCol, textCol, bucketCols, maxPostingSize)
     val joinKeys = "__tok" +: bucketCols
     val p1 = posting.withColumnRenamed(idCol, "id1")
       .withColumnRenamed("__n", "n1")

@@ -238,6 +238,36 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Bigram LM log-probability per document — the next step up from
+    * [[unigramLogProb]] toward CCNet's LM-perplexity corpus filter:
+    * mean over the doc's bigrams of ln(c(w1,w2) / c(w1·)), with c(w1·)
+    * counted as bigram-start occurrences so rows of the conditional
+    * table sum to 1. MLE is safe (no smoothing needed) because the
+    * corpus scores itself — every observed bigram has count ≥ 1. One
+    * exploded bigram pass; both count tables via windows over it (two
+    * shuffles — the standard exploded-token layout at any scale). Docs
+    * with < 2 tokens keep score 0 / count 0. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__ts"))
+    val bgs = base.filter(size(col("__ts")) >= 2)
+      .select(col(idCol),
+        explode(Dedup.wordShinglesFromTokens(col("__ts"), 2)).as("b"))
+      .withColumn("w1", element_at(split(col("b"), " "), 1))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+    val wW = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val scored = bgs
+      .withColumn("cb", count(lit(1)).over(wB))
+      .withColumn("cw", count(lit(1)).over(wW))
+      .groupBy(col(idCol))
+      .agg(round(avg(log(col("cb").cast("double") / col("cw"))), 6)
+          .as("avg_bigram_logprob"),
+        count(lit(1)).as("n_bigrams"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("avg_bigram_logprob"), lit(0.0)).as("avg_bigram_logprob"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+  }
+
   /** Per-document stats frame: id, token/char counts, ratios, quality.
     *
     * Tokenizes ONCE into a projected array column and derives every

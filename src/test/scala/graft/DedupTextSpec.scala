@@ -357,6 +357,46 @@ class DedupTextSpec extends AnyFunSuite {
     assert(row.getAs[Double]("mean_abs_err") < 0.01)
   }
 
+  test("posting cap: no-op above max posting; hot token bounded below it") {
+    // 20 docs all share "common"; pairs (1,2) and (3,4) also share a rare token
+    val docs = (1L to 20L).map { i =>
+      val rare = i match {
+        case 1 | 2 => "rareA rareA2 rareA3"
+        case 3 | 4 => "rareB rareB2 rareB3"
+        case _     => s"only$i x$i y$i"
+      }
+      (i, s"common $rare")
+    }.toDF("id", "t")
+    val uncapped = Dedup.tokenJaccardPairs(docs, "id", "t", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // cap above every posting size (common appears in 20 docs) → identical
+    val bigCap = Dedup.tokenJaccardPairs(docs, "id", "t", 0.5,
+      maxPostingSize = 100).as[(Long, Long, Double)].collect().toSet
+    assert(bigCap === uncapped)
+    // cap at 4: "common" (posting 20) drops from the token sets — planted
+    // pairs survive on their rare tokens with jaccard 3/3 = 1.0
+    val capped = Dedup.tokenJaccardPairs(docs, "id", "t", 0.5,
+      maxPostingSize = 4).as[(Long, Long, Double)].collect().toSet
+    assert(capped === Set((1L, 2L, 1.0), (3L, 4L, 1.0)))
+    // the scale point: docs sharing ONLY the hot token generate no
+    // candidates at all under the cap (C(20,2) rows without it)
+    val onlyHot = (1L to 20L).map(i => (i, "common")).toDF("id", "t")
+    assert(Dedup.tokenJaccardPairs(onlyHot, "id", "t", 0.0,
+      maxPostingSize = 4).count() === 0L)
+  }
+
+  test("bigram logprob golden: conditional counts over bigram starts") {
+    // corpus: "a b a b" and "a c" — bigrams: (a b)x2, (b a)x1, (a c)x1
+    // c(a·)=3, c(b·)=1; doc1 = avg(ln(2/3), ln(1/1), ln(2/3)); doc2 = ln(1/3)
+    val df = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo")).toDF("id", "t")
+    val got = TextAnalysis.bigramLogProb(df, "id", "t")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = r6((2 * math.log(2.0 / 3) + math.log(1.0)) / 3)
+    val d2 = r6(math.log(1.0 / 3))
+    assert(got === Seq((1L, d1, 3L), (2L, d2, 1L), (3L, 0.0, 0L)))
+  }
+
   test("redact golden: URL, email, digit runs replaced in fixed order") {
     val df = Seq((1L, "see https://x.io/a?b=1 or mail bob@x.io room 42")).toDF("id", "t")
     val got = TextAnalysis.redact(df, "id", "t").head()
