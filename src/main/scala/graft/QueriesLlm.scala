@@ -346,6 +346,27 @@ object QueriesLlm {
               |row_number() OVER (ORDER BY cnt DESC, term) AS trank
               |FROM c ORDER BY trank LIMIT 50""".stripMargin)),
 
+    // --- Zipf slope: least-squares slope of ln(freq) on ln(rank) over
+    //     the term-frequency table (natural corpora ≈ −1; strong
+    //     deviation flags synthetic/templated text). regr_slope is a
+    //     single distributive aggregate — one pass over the vocab. ---
+    ("t_zipf_slope", (s, d) => {
+      val counts = SparkEntry.T(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("term"))
+      counts.withColumn("r", row_number().over(w))
+        .agg(round(regr_slope(log(col("cnt")), log(col("r"))), 6)
+            .as("zipf_slope"),
+          count(lit(1)).as("n_terms"))
+    },
+      Some(s"""WITH toks AS (SELECT unnest($DuckTokens) AS term FROM documents),
+              |c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+              |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS r FROM c)
+              |SELECT round(regr_slope(ln(cnt), ln(r)), 6) AS zipf_slope,
+              |count(*) AS n_terms FROM r""".stripMargin)),
+
     // --- Vocabulary summary: size, hapax count, type-token ratio — the
     //     Heaps'-law numbers a corpus report leads with. One exploded
     //     pass, map-side partial aggs. ---
