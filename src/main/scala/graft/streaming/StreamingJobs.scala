@@ -379,6 +379,22 @@ object StreamingJobs {
     * The content hash matches the batch `Dedup.exactDupGroups` key, so a
     * batch compaction pass downstream dedups across horizons with the
     * same identity. */
+  /** Streaming corpus-ingest term counts over tumbling event-time windows
+    * (the trending-terms monitor — the text tranche's streaming member).
+    * Explode → windowed count; the watermark lets closed windows emit and
+    * their state drop, so state is O(active-window vocab), not corpus
+    * vocab. Batch parity with the identical static groupBy is asserted
+    * in StreamingSpec. */
+  def termCountStream(docs: DataFrame, textCol: String, tsCol: String,
+                      windowSeconds: Long,
+                      watermark: String = "10 minutes"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(graft.ops.TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(window(col(tsCol), s"$windowSeconds seconds"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("term"), col("cnt"))
+
   def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
                   watermark: String = "10 minutes"): DataFrame =
     docs

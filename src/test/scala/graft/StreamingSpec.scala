@@ -29,6 +29,37 @@ class StreamingSpec extends AnyFunSuite {
     rows.coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
+  test("streaming term counts match the batch windowed counts (text tranche)") {
+    val dir = Files.createTempDirectory("graft-docs-stream").toString
+    Seq((1L, 10L, "alpha beta alpha"), (2L, 20L, "beta gamma"),
+      (3L, 310L, "alpha alpha"), (4L, 620L, "gamma"))
+      .toDF("doc_id", "ts_s", "text")
+      .withColumn("ts", timestamp_seconds(col("ts_s"))).drop("ts_s")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val agg = StreamingJobs.termCountStream(stream, "text", "ts", 300)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("term_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("term_out")
+        .select(col("win_start").cast("long").as("ws"), col("term"), col("cnt"))
+        .as[(Long, String, Long)].collect().toSet
+      val batch = spark.read.parquet(dir)
+        .select(col("ts"),
+          explode(graft.ops.TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(window(col("ts"), "300 seconds"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").cast("long").as("ws"), col("term"), col("cnt"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(got === batch)
+      // golden: window [0,300) — alpha 2, beta 2, gamma 1
+      assert(got((0L, "alpha", 2L)) && got((0L, "beta", 2L)) && got((0L, "gamma", 1L)))
+      assert(got((300L, "alpha", 2L)) && got((600L, "gamma", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming 5-min window features match the batch form row-for-row (T3/T4)") {
     val dir = Files.createTempDirectory("graft-stream").toString
     eventsFixture(dir)
