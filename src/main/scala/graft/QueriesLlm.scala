@@ -346,6 +346,19 @@ object QueriesLlm {
               |row_number() OVER (ORDER BY cnt DESC, term) AS trank
               |FROM c ORDER BY trank LIMIT 50""".stripMargin)),
 
+    // --- Hashing-trick vectorizer summary (murmur3-seeded → no DuckDB
+    //     oracle; invariants in RelationalSpec): sparse triple counts and
+    //     mass over the documents corpus at dim=1024. ---
+    ("x10_feature_hash", (s, d) => {
+      val sparse = Relational.hashedFeatures(
+        SparkEntry.T(s, d, "documents"), "doc_id", "text", 1024)
+      sparse.agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_triples"),
+        countDistinct(col("slot")).as("n_slots_used"),
+        round(sum(abs(col("value"))), 1).as("total_mass"))
+    }, None),
+
     // --- Zipf slope: least-squares slope of ln(freq) on ln(rank) over
     //     the term-frequency table (natural corpora ≈ −1; strong
     //     deviation flags synthetic/templated text). regr_slope is a

@@ -211,6 +211,30 @@ object Relational {
     df.withColumn("split", assign)
   }
 
+  /** Hashing-trick feature vectorizer (Weinberger et al. 2009): token →
+    * dimension `pmod(murmur3(token), dim)` with a ±1 sign from a second
+    * hash, summed per (row, slot). The dictionary-FREE encode: P11's
+    * [[idEncode]] needs a fitted vocabulary (a full corpus pass + a
+    * broadcast dict); this needs neither, which is what survives at
+    * 100 TB with an unbounded vocab. Output is sparse (id, slot, value)
+    * triples — the layout downstream training shards want; zero-sum
+    * collision cancellations are dropped. Murmur3 is deterministic
+    * across runs/partitions but has no DuckDB analog, so the op is
+    * invariant-tested rather than oracle-checked (same treatment as the
+    * xxhash64-seeded sketches). */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+                     dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    df.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .withColumn("slot", pmod(hash(col("__tok")), lit(dim)))
+      .withColumn("__sign",
+        when(pmod(hash(col("__tok"), lit(1)), lit(2)) === 0, 1L).otherwise(-1L))
+      .groupBy(col(idCol), col("slot"))
+      .agg(sum(col("__sign")).cast("double").as("value"))
+      .filter(col("value") =!= 0.0)
+  }
+
   def negativeSample(positives: DataFrame, userCol: String, itemCol: String,
                      items: DataFrame, n: Int, seed: Long = 42,
                      maxExactCatalog: Long = 100000,

@@ -138,6 +138,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(r1.filter(_._1 == "b").map(_._2).toSet !== lowestIds)
   }
 
+  test("hashedFeatures: slot bounds, determinism, signed mass conservation") {
+    val df = Seq((1L, "a a b"), (2L, "c d c d"), (3L, "")).toDF("id", "t")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Relational.hashedFeatures(d, "id", "t", 64)
+        .as[(Long, Int, Double)].collect().toSet
+    val r1 = run(df.repartition(1))
+    assert(r1 === run(df.repartition(7))) // partition-independent
+    assert(r1.forall { case (_, s, _) => s >= 0 && s < 64 })
+    // same token always lands on one (slot, sign): doc 1 has |a|=2, |b|=1
+    // as absolute mass unless a and b collide with opposite signs
+    val d1 = r1.filter(_._1 == 1L)
+    assert(d1.toSeq.map(t => math.abs(t._3)).sum === 3.0 ||
+      d1.toSeq.map(t => math.abs(t._3)).sum === 1.0) // collision fallback
+    // repeated tokens accumulate: doc 2's values are all even
+    assert(r1.filter(_._1 == 2L).forall(t => t._3 % 2 == 0))
+  }
+
   test("hashSplit: deterministic, partition-independent, near target fracs") {
     val base = (1L to 5000L).toDF("id")
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
