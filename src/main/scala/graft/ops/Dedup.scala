@@ -355,14 +355,23 @@ object Dedup {
     val joinKeys = "__tok" +: bucketCols
     val p1 = posting.withColumnRenamed(idCol, "id1")
       .withColumnRenamed("__n", "n1")
-    val p2 = posting.drop("__n").withColumnRenamed(idCol, "id2")
+    val p2 = posting.withColumnRenamed(idCol, "id2")
+      .withColumnRenamed("__n", "n2")
+    // Join each unordered pair ONCE (id1 < id2 halves the candidate rows
+    // and the aggregate) and fan out both directed scores from the single
+    // grouped row — same output as joining both orders at twice the cost.
     p1.join(p2, joinKeys)
-      .filter(col("id1") =!= col("id2"))
-      .groupBy(col("id1"), col("id2"), col("n1"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("common"))
-      .withColumn("containment", col("common").cast("double") / col("n1"))
+      .select(explode(array(
+        struct(col("id1").as("a"), col("id2").as("b"),
+          (col("common").cast("double") / col("n1")).as("c")),
+        struct(col("id2").as("a"), col("id1").as("b"),
+          (col("common").cast("double") / col("n2")).as("c")))).as("p"))
+      .select(col("p.a").as("id1"), col("p.b").as("id2"),
+        col("p.c").as("containment"))
       .filter(col("containment") >= threshold)
-      .select("id1", "id2", "containment")
   }
 
   /** SimHash 64-bit fingerprint (packed Long). Per-token xxhash64; bit i of
