@@ -660,6 +660,21 @@ object SparkEntry {
              |SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions
              |FROM l GROUP BY 1 ORDER BY user_id""".stripMargin)),
 
+    // --- W8: per-user EWMA of event values (decayed activity; ordered
+    //     fold per key, oracle = DuckDB list_reduce over the same order).
+    //     1−α spelled as (1.0 − 0.1) in BOTH engines so the fold constants
+    //     are bit-identical. ---
+    ("w8_ewma", (s, d) =>
+      Features.ewma(E(s, d), "user_id", "ts", "event_id", "value", 0.1)
+        .orderBy(col("user_id")),
+      Some("""WITH o AS (SELECT user_id,
+             |  list(value ORDER BY ts, event_id) AS vs
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+             |round(list_reduce(vs,
+             |  (acc, x) -> 0.1::DOUBLE * x + (1.0::DOUBLE - 0.1::DOUBLE) * acc), 6) AS ewma
+             |FROM o ORDER BY user_id""".stripMargin)),
+
     // --- S10: deterministic synthetic generator (rows-only; Spark RNG) ---
     ("s10_synthetic_gen", (s, d) => {
       val inter = SyntheticData.interactions(s, 100, 50, 10000, 0.3, 42)

@@ -135,4 +135,27 @@ object Features {
     * weighted linear combination clipped to [0,1]. */
   def qualityBlend(terms: Seq[(Column, Double)]): Column =
     clip(terms.map { case (c, w) => c * w }.reduce(_ + _), 0.0, 1.0)
+
+  /** Per-key exponentially weighted moving average of `valueCol` in event
+    * order — the cumulative form of the reference's exp-decay idiom:
+    * y₁ = x₁; yᵢ = α·xᵢ + (1−α)·yᵢ₋₁. EWMA is inherently sequential per
+    * key, so it folds one ORDERED collected list per key with a single
+    * HOF — state is the bounded per-user history (the bound
+    * sessionization already assumes) and keys fold shuffle-parallel.
+    * `tiebreakCol` must make (ts, tiebreak) a total order or the fold is
+    * nondeterministic. Returns (key, n_events, ewma round 6). */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, tiebreakCol: String,
+           valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val ordered = df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tsCol), col(tiebreakCol),
+        col(valueCol).cast("double").as("__v")))).as("__evs"))
+    val vals = transform(col("__evs"), e => e.getField("__v"))
+    ordered.select(col(keyCol),
+      size(col("__evs")).cast("bigint").as("n_events"),
+      round(aggregate(slice(vals, lit(2), size(col("__evs")) - 1),
+        element_at(vals, 1),
+        (acc, x) => lit(alpha) * x + (lit(1.0) - lit(alpha)) * acc), 6)
+        .as("ewma"))
+  }
 }

@@ -222,4 +222,17 @@ class SourcesSpec extends AnyFunSuite {
       .agg(max("session_idx").as("n")).as[(Long, Long)].collect().toMap
     assert(counts === Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("ewma golden: ordered fold, single-event key, storage-order blind") {
+    // user 1: [10, 20, 30] in ts order; α=0.5 → 10, 15, 22.5
+    val ev = Seq((1L, 2L, 20.0), (1L, 3L, 30.0), (1L, 1L, 10.0), (2L, 1L, 7.0))
+      .toDF("user_id", "e", "value")
+      .withColumn("ts", timestamp_seconds(col("e")))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Features.ewma(df, "user_id", "ts", "e", "value", 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+    val got = run(ev)
+    assert(got === Set((1L, 3L, 22.5), (2L, 1L, 7.0)))
+    assert(got === run(ev.orderBy(col("e").desc).repartition(5)))
+  }
 }
