@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
 
 /** Large-scale deduplication operators (builder-brief north-star components;
   * no direct reference analog — designed for the 100 TB training-data
@@ -250,6 +251,10 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
+    // Superseded checkpoints from the previous iteration — freed once the
+    // current iteration's frames are materialized (each round checkpoints
+    // ~2·|V| rows; without the release an N-round run holds 2N copies).
+    var retired: Seq[DataFrame] = Nil
     while (!converged && iter < maxIter) {
       val neighborMin = und
         .join(labels.withColumnRenamed("id", "b"), Seq("b"))
@@ -272,11 +277,21 @@ object Dedup {
           coalesce(col("__cc"), col("component")).as("component"))
         .localCheckpoint(true)
       val changed = next.filter(col("component") =!= col("__old")).count()
+      // `next` is eagerly materialized above, so everything it was derived
+      // from (last round's labels and this round's hop) can be released.
+      retired.foreach(ColumnBridge.unpersistCheckpoint)
+      retired = Seq(labels, hop)
       labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }
     und.unpersist(false)
+    retired.foreach(ColumnBridge.unpersistCheckpoint)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations — " +
+          "with pointer jumping that needs a component of diameter " +
+          s"> 2^$maxIter; raise maxIter or check the edge generator")
     labels
   }
 

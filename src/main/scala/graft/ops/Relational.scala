@@ -195,13 +195,18 @@ object Relational {
     * string order on fixed-width lowercase hex IS numeric order, so any
     * engine with md5 reproduces the assignment bit-for-bit. Per-row, no
     * shuffle; a doc's split never changes when the corpus grows — the
-    * property training pipelines need for incremental re-runs. */
+    * property training pipelines need for incremental re-runs. Null keys
+    * are an error (`raise_error` at eval time): md5(null) is null, which
+    * would silently fall through every threshold into the last split. */
   def hashSplit(df: DataFrame, keyCol: String,
                 splits: Seq[(String, Double)]): DataFrame = {
     require(splits.size >= 2, "need at least two splits")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
-    val h = substring(md5(col(keyCol).cast("string")), 1, 8)
+    val key = when(col(keyCol).isNull,
+        raise_error(lit(s"hashSplit: null key in column $keyCol")))
+      .otherwise(col(keyCol).cast("string"))
+    val h = substring(md5(key), 1, 8)
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
     val thresholds = cum.init.map(f => f"${(f * 4294967296.0).toLong}%08x")
     val first = when(h < lit(thresholds.head), lit(splits.head._1))

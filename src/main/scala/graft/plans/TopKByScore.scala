@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences,
   Cast, Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
-  Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples,
+  ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.DoubleType
 
@@ -100,8 +100,11 @@ case class TopKPerGroupFinalExec(groupExprs: Seq[Expression],
                                  scoreExpr: Expression, k: Int,
                                  child: SparkPlan)
     extends UnaryExecNode with TopKHeapKernel {
+  // Empty grouping = global top-k: every partial survivor must land on ONE
+  // task (AllTuples, the same requirement Spark's BaseAggregateExec states
+  // for an empty grouping) or each partition would emit its own k rows.
   override def requiredChildDistribution: Seq[Distribution] =
-    if (groupExprs.isEmpty) UnspecifiedDistribution :: Nil
+    if (groupExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] =

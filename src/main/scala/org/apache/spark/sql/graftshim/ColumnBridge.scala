@@ -16,6 +16,19 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Free the block-manager storage behind a `localCheckpoint(eager=true)`
+    * Dataset. The checkpointed data lives on the RDD inside the plan's
+    * `LogicalRDD` — `Dataset.unpersist` cannot reach it (the checkpoint is
+    * not registered with the CacheManager), so iterative algorithms that
+    * checkpoint per round must release superseded rounds through the RDD
+    * itself. No-op on plans that are not checkpoint scans. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Wrap a raw logical plan as a DataFrame (`Dataset.ofRows` went
     * `private[sql]` in Spark 4, same rationale as the Column bridge).
     * Used by graft's custom logical operators (`graft.plans`). */

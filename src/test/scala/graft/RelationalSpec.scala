@@ -174,6 +174,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(r1.forall { case (k, v) => grown(k) == v })
   }
 
+  test("hashSplit: a null key is a loud error, not a silent last-split row") {
+    val df = Seq(Some("a"), Some("b"), None).toDF("k")
+    val ex = intercept[Exception] {
+      Relational.hashSplit(df, "k", Seq("train" -> 0.9, "test" -> 0.1)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("null key in column k")), ex.toString)
+  }
+
   test("z-score normalize: mean ~0, unit-ish std (movielens.py:421-422)") {
     val df = (1 to 100).map(_.toDouble).toDF("x")
     val z = Relational.zscore(df, Seq("x"))

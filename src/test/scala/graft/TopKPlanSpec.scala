@@ -42,6 +42,18 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(top1 === Set((1, "b"), (2, "c")))
   }
 
+  test("TopKByScore with no group columns is a GLOBAL top-k (k rows total)") {
+    // 8000 rows spread over every input partition — with the old
+    // UnspecifiedDistribution each partition leaked its own k rows; AllTuples
+    // must force a single-task final phase returning exactly k overall.
+    val df = (1 to 8000).map(i => (((i * 131) % 7919).toDouble + i * 1e-7, i))
+      .toDF("score", "payload").repartition(16)
+    val got = TopK.topKByScore(df, Nil, "score", 7)
+    val expected = df.orderBy(col("score").desc).limit(7)
+    assert(got.count() === 7)
+    assert(got.collect().toSet === expected.collect().toSet)
+  }
+
   test("TopKByScore matches w3's shape on driver testdata (multi-column group)") {
     val sf = "/root/testdata/sf0.001"
     val li = SparkEntry.T(spark, sf, "lineitem")
