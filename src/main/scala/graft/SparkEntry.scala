@@ -691,7 +691,116 @@ object SparkEntry {
       val items = ev.select(col("k")).distinct()
       Relational.negativeSample(positives, "user_id", "k", items, 5, 42)
         .orderBy(col("user_id"), col("k"))
-    }, None)
+    }, None),
+
+    // --- A11: exact grouped percentiles (single sort-based agg; the
+    //     summary-statistics row the reference computes per feature —
+    //     feature_engineering.py percentile-style stats). Quantities are
+    //     integer-valued doubles and the probe points are binary
+    //     fractions, so the linear interpolation is exact on both
+    //     engines — no rounding needed. ---
+    ("a11_percentiles", (s, d) =>
+      T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |quantile_cont(l_quantity, 0.25) AS p25,
+             |quantile_cont(l_quantity, 0.5) AS p50,
+             |quantile_cont(l_quantity, 0.75) AS p75,
+             |count(*) AS cnt
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // --- A13: pivot (wide conditional aggregation) — one shuffle on the
+    //     row key; the pivoted statuses are a fixed small domain given
+    //     up front, so no extra values-discovery job runs. ---
+    ("a13_pivot", (s, d) =>
+      T(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+             |count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             |count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             |count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+             |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // --- A14: rollup (hierarchical subtotals in ONE pass — Spark plans
+    //     a single Expand + aggregate, not one job per level). 'ALL'
+    //     sentinels are safe: flag/status columns are non-null enums. ---
+    ("a14_rollup", (s, d) =>
+      T(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("cnt"))
+        .orderBy(col("rflag"), col("lstatus")),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+             |coalesce(l_linestatus, 'ALL') AS lstatus,
+             |round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY rflag, lstatus""".stripMargin)),
+
+    // --- A12: event funnel (view → click-after-view → purchase-after-
+    //     click). Each stage is a keyed min-timestamp aggregation joined
+    //     forward — shuffles only on user_id, stage frames shrink
+    //     monotonically, final counts are three broadcastable scalars. ---
+    ("a12_funnel", (s, d) => {
+      val e = E(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+        .join(views, Seq("user_id"))
+        .filter(col("ts") >= col("view_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+        .join(clicks, Seq("user_id"))
+        .filter(col("ts") >= col("click_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+      views.agg(count(lit(1)).as("users_view"))
+        .crossJoin(clicks.agg(count(lit(1)).as("users_click")))
+        .crossJoin(purchases.agg(count(lit(1)).as("users_purchase")))
+    },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events
+             |          WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+             |      JOIN v ON e.user_id = v.user_id AND e.ts >= v.view_ts
+             |      WHERE e.event_type = 'click' GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+             |      JOIN c ON e.user_id = c.user_id AND e.ts >= c.click_ts
+             |      WHERE e.event_type = 'purchase' GROUP BY 1)
+             |SELECT (SELECT count(*) FROM v) AS users_view,
+             |(SELECT count(*) FROM c) AS users_click,
+             |(SELECT count(*) FROM p) AS users_purchase""".stripMargin)),
+
+    // --- X11: deterministic stratified sampling (per-segment rates; the
+    //     class-rebalancing primitive for training-data mixes). Content-
+    //     pure md5 thresholds — the oracle reproduces the exact row set,
+    //     not just the proportions. ---
+    ("x11_stratified_sample", (s, d) =>
+      Relational.stratifiedSample(T(s, d, "customer"), "c_mktsegment",
+          "c_custkey", Map("AUTOMOBILE" -> 0.5, "BUILDING" -> 0.25), 0.1)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey")),
+      Some(s"""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) <
+             |  CASE c_mktsegment
+             |    WHEN 'AUTOMOBILE' THEN '${graft.ops.Relational.rateThreshold(0.5)}'
+             |    WHEN 'BUILDING' THEN '${graft.ops.Relational.rateThreshold(0.25)}'
+             |    ELSE '${graft.ops.Relational.rateThreshold(0.1)}' END
+             |ORDER BY c_custkey""".stripMargin))
   )
 
   // ====================================================================

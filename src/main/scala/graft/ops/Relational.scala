@@ -216,6 +216,35 @@ object Relational {
     df.withColumn("split", assign)
   }
 
+  /** Deterministic stratified sampling: each stratum is kept at its own
+    * rate, decided per row by the same md5-hex threshold device as
+    * [[hashSplit]] (content-pure — no RNG, no partition-order dependence,
+    * rerunnable, and an engine with md5 reproduces it exactly). The
+    * per-stratum alternative to `df.stat.sampleBy`, whose Bernoulli draws
+    * change with partitioning. Per-row filter, no shuffle; rates are
+    * capped at `(2^32−1)/2^32` (a rate of exactly 1.0 keeps all but the
+    * one-in-4-billion key hashing to ffffffff). Null keys error loudly
+    * (same rationale as hashSplit); null strata take `defaultRate`. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val key = when(col(keyCol).isNull,
+        raise_error(lit(s"stratifiedSample: null key in column $keyCol")))
+      .otherwise(col(keyCol).cast("string"))
+    val h = substring(md5(key), 1, 8)
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(null).cast("string")) {
+      case (acc, (stratum, r)) =>
+        when(col(strataCol) === stratum, lit(rateThreshold(r))).otherwise(acc)
+    }
+    df.filter(h < coalesce(threshold, lit(rateThreshold(defaultRate))))
+  }
+
+  /** A sampling rate as the 8-hex-digit md5-prefix threshold it implies. */
+  private[graft] def rateThreshold(r: Double): String =
+    f"${math.min((r * 4294967296.0).toLong, 4294967295L)}%08x"
+
   /** Hashing-trick feature vectorizer (Weinberger et al. 2009): token →
     * dimension `pmod(murmur3(token), dim)` with a ±1 sign from a second
     * hash, summed per (row, slot). The dictionary-FREE encode: P11's

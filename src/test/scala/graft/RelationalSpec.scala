@@ -174,6 +174,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(r1.forall { case (k, v) => grown(k) == v })
   }
 
+  test("stratifiedSample: per-stratum rates, deterministic, partition-independent") {
+    val base = (1L to 6000L).map(i => (i, if (i % 3 == 0) "hot" else "cold"))
+      .toDF("id", "seg")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Relational.stratifiedSample(df, "seg", "id", Map("hot" -> 0.5), 0.1)
+        .select("id").as[Long].collect().toSet
+    val r1 = run(base.repartition(1))
+    val r7 = run(base.repartition(7))
+    assert(r1 === r7) // content-pure: same rows whatever the partitioning
+    val segOf = base.as[(Long, String)].collect().toMap
+    val hotKept = r1.count(segOf(_) == "hot") / 2000.0
+    val coldKept = r1.count(segOf(_) == "cold") / 4000.0
+    assert(math.abs(hotKept - 0.5) < 0.05, s"hot rate $hotKept")
+    assert(math.abs(coldKept - 0.1) < 0.03, s"cold rate $coldKept")
+    // growing the table never flips an existing row's keep decision
+    val grown = run((1L to 12000L).map(i => (i, if (i % 3 == 0) "hot" else "cold"))
+      .toDF("id", "seg"))
+    assert(r1.subsetOf(grown))
+    assert((grown -- r1).forall(_ > 6000L))
+  }
+
   test("hashSplit: a null key is a loud error, not a silent last-split row") {
     val df = Seq(Some("a"), Some("b"), None).toDF("k")
     val ex = intercept[Exception] {
