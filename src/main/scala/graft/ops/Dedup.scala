@@ -295,6 +295,81 @@ object Dedup {
     labels
   }
 
+  /** Connected components by ALTERNATING large-star / small-star edge
+    * rewrites (Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond") — the scale path for dup graphs whose diameter or
+    * degree distribution defeats min-label propagation:
+    *
+    *  - large-star: per node u with full neighborhood Γ(u), connect every
+    *    neighbor LARGER than u directly to m = min(Γ(u) ∪ u) — hubs fan
+    *    their neighbors down to their minimum without the hub's whole
+    *    neighborhood ever sitting in one task (the per-u min is an
+    *    aggregate; the emit is a join, both streaming).
+    *  - small-star: per node u over only its smaller neighbors N(u),
+    *    re-hang u and all of N(u) under min(N(u)).
+    *
+    * Each round is two (groupBy + join) stages over the edge set, which
+    * only ever shrinks toward the final star; rounds needed = O(log²n)
+    * worst-case, 2-4 in practice. No per-node label table is carried, so
+    * unlike min-label the memory high-water is the (shrinking) edge list.
+    * Convergence = edge-set fixpoint, detected by a (count, bit_xor of
+    * pair-hash) signature — one agg job, no |E|-vs-|E| anti-join; a false
+    * stop needs a 64-bit xor collision at equal counts.
+    *
+    * Same contract as [[connectedComponents]]: returns (id, component =
+    * min id) for every node appearing in `edges`; differential-tested
+    * against the min-label form. */
+  def connectedComponentsAlternating(edges: DataFrame, srcCol: String,
+                                     dstCol: String,
+                                     maxIter: Int = 30): DataFrame = {
+    var e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def largeStar(df: DataFrame): DataFrame = {
+      val sym = df.unionByName(df.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(df: DataFrame): DataFrame = {
+      val or = df.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = or.groupBy(col("u")).agg(min(col("v")).as("m"))
+      or.join(mins, Seq("u"))
+        .select(col("v").as("node"), col("m"))
+        .unionByName(mins.select(col("u").as("node"), col("m")))
+        .filter(col("node") =!= col("m"))
+        .select(col("node").as("u"), col("m").as("v")).distinct()
+    }
+    var sig = signature(e)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextSig = signature(next)
+      ColumnBridge.unpersistCheckpoint(e)
+      e = next
+      converged = nextSig == sig
+      sig = nextSig
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsAlternating did not converge in $maxIter rounds")
+    // Converged star: every edge is (node, component-min); roots appear
+    // only on the v side.
+    e.select(col("u").as("id"), col("v").as("component"))
+      .unionByName(e.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
   /** Shared posting-list builder for the token-overlap pair generators:
     * (id, __n, __tok, buckets…) with one row per distinct doc token.
     * `maxPostingSize > 0` enables STOP-TOKEN pruning — tokens whose

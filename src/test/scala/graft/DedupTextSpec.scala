@@ -307,6 +307,32 @@ class DedupTextSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
   }
 
+  test("alternating (large-star/small-star) CC equals min-label CC") {
+    // same goldens as the min-label test…
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("id1", "id2")
+    val golden = Dedup.connectedComponentsAlternating(edges, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(golden === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
+    // …and differential vs min-label on deterministic pseudo-random graphs
+    // of different shapes: sparse (forest-ish), denser (few components),
+    // plus a long path (diameter stress) and a star (hub stress).
+    val shapes = Seq(
+      (1 to 300).map(i => (((i * 131) % 97).toLong, ((i * 257) % 97 + 97).toLong)),
+      (1 to 600).map(i => (((i * 37) % 50).toLong, ((i * 113) % 50).toLong)),
+      (0 until 64).map(i => (i.toLong, (i + 1).toLong)),
+      (1 to 200).map(i => (0L, i.toLong)))
+    for ((pairs, idx) <- shapes.zipWithIndex) {
+      val g = pairs.filter(p => p._1 != p._2).toDF("id1", "id2")
+      val a = Dedup.connectedComponentsAlternating(g, "id1", "id2")
+        .as[(Long, Long)].collect().toMap
+      val b = Dedup.connectedComponents(g, "id1", "id2", maxIter = 40)
+        .as[(Long, Long)].collect().toMap
+      assert(a === b, s"shape $idx diverged")
+    }
+  }
+
   test("minhash cap-recall self-check query reports recall above the floor") {
     val row = SparkEntry.queries("d_minhash_cap_recall")(
       spark, "/root/testdata/sf0.001").head()
