@@ -403,6 +403,34 @@ object StreamingJobs {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream interval join — click→view attribution: each click
+    * pairs with the SAME user's views at most `horizonSeconds` before it
+    * (the streaming form of the reference's request-time "recent views"
+    * feature; the funnel query a12 is the batch analog). Both sides carry
+    * event-time watermarks and the join condition time-bounds click_ts
+    * against view_ts, which is exactly what Structured Streaming needs to
+    * expire buffered rows from the join state: state is
+    * O(rate × (watermark + horizon)) per side, never unbounded. Inner
+    * join → attributed clicks only; the same composition with a left
+    * join yields unattributed clicks after the horizon closes. */
+  def attributionStream(views: DataFrame, clicks: DataFrame,
+                        horizonSeconds: Long,
+                        watermark: String = "10 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("view_user"),
+        col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    c.join(v,
+      col("user_id") === col("view_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") +
+          expr(s"INTERVAL $horizonSeconds SECONDS"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   /** T8: TTL freshness filter on read of an online store (ref TTLs in
     * `feature_definitions.py`; cache expiry `retrieval.py:643-657`). */
   def freshOnly(store: DataFrame, tsCol: String, now: Column,

@@ -370,6 +370,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept === Set(1L, 3L)) // first arrival survives per content group
   }
 
+  test("stream-stream interval join (attribution) matches the batch join") {
+    val dir = Files.createTempDirectory("graft-attr-stream").toString
+    // user 1: view@10 → clicks@100 (in horizon) and @400 (out);
+    // view@350 → click@400 (in). user 2: click@50 with no view → dropped.
+    val rows = Seq(
+      (1L, 10L, 1L, "view", 0.0, "{}"),
+      (2L, 100L, 1L, "click", 0.0, "{}"),
+      (3L, 400L, 1L, "click", 0.0, "{}"),
+      (4L, 350L, 1L, "view", 0.0, "{}"),
+      (5L, 50L, 2L, "click", 0.0, "{}"),
+      (6L, 500L, 3L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = StreamingJobs.fileEvents(spark, dir)
+    val views = stream.filter(col("event_type") === "view")
+    val clicks = stream.filter(col("event_type") === "click")
+    val joined = StreamingJobs.attributionStream(views, clicks, 120L)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select("user_id", "click_id", "view_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === Set((1L, 2L, 1L), (1L, 3L, 4L)))
+      // batch parity: identical join over the static frames
+      val batch = spark.read.parquet(dir)
+      val bv = batch.filter(col("event_type") === "view")
+        .select(col("user_id").as("view_user"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val bc = batch.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val expected = bc.join(bv,
+          col("user_id") === col("view_user") &&
+            col("click_ts") >= col("view_ts") &&
+            col("click_ts") <= col("view_ts") + expr("INTERVAL 120 SECONDS"))
+        .select("user_id", "click_id", "view_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("TTL freshness filter drops expired rows (T8)") {
     val store = Seq((1L, 100L), (2L, 240L)).toDF("k", "ts_s")
       .withColumn("ts", timestamp_seconds(col("ts_s")))
