@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout straight through instead of re-logging each
+// line with an "[info] " prefix: the driver parses Bench's one-line JSON
+// summary from the tail of the output, and the prefix (plus sbt's log
+// framing) breaks that parse (BENCH_r01..r05 all show `parsed: null`).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
