@@ -590,6 +590,98 @@ object QueriesLlm {
           round(avg(element_at(col("feats"), 1)), 4).as("avg_feat0"),
           min(size(col("feats"))).as("min_dim"),
           max(size(col("feats"))).as("max_dim"))
-    }, None)
+    }, None),
+
+    // --- Per-doc unigram entropy + type-token ratio (repetitiveness /
+    //     diversity quality signals; entropy as ln(n) − Σc·ln(c)/n so the
+    //     float-op sequence is oracle-reproducible) ---
+    ("t_entropy", (s, d) =>
+      TextAnalysis.tokenEntropy(SparkEntry.T(s, d, "documents"), "doc_id",
+        "text")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckTokens) AS term FROM documents),
+              |tc AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2)
+              |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              |count(*) AS n_types,
+              |round(ln(CAST(sum(c) AS DOUBLE)) -
+              |  sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy,
+              |round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr
+              |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // --- Corpus drift: per-source KL divergence vs the whole corpus
+    //     (Laplace-smoothed over the shared vocab) — the distribution-
+    //     shift check run before mixing sources into a training set ---
+    ("t_kl_drift", (s, d) =>
+      TextAnalysis.klDrift(SparkEntry.T(s, d, "documents"), "source", "text")
+        .orderBy(col("source")),
+      Some(s"""WITH toks AS (SELECT source, unnest($DuckTokens) AS term FROM documents),
+              |vocab AS (SELECT term, count(*) AS cq FROM toks GROUP BY term),
+              |tot AS (SELECT count(*) AS nq, count(DISTINCT term) AS v FROM toks),
+              |bg AS (SELECT source, term, count(*) AS cp FROM toks GROUP BY 1, 2),
+              |gt AS (SELECT source, count(*) AS np FROM toks GROUP BY 1),
+              |ex AS (SELECT gt.source, gt.np, vocab.term, vocab.cq,
+              |         coalesce(bg.cp, 0) AS cp
+              |       FROM gt CROSS JOIN vocab
+              |       LEFT JOIN bg ON bg.source = gt.source AND bg.term = vocab.term)
+              |SELECT source, max(np) AS n_tokens,
+              |round(sum((CAST(cp + 1 AS DOUBLE) / (np + v)) *
+              |  ln((CAST(cp + 1 AS DOUBLE) / (np + v)) /
+              |     (CAST(cq + 1 AS DOUBLE) / (nq + v)))), 6) AS kl
+              |FROM ex CROSS JOIN tot GROUP BY source ORDER BY source""".stripMargin)),
+
+    // --- Train→test n-gram decontamination (GPT-3 appendix-C style
+    //     eval-leakage check): trigram membership of each test doc in the
+    //     train gram set, over the same md5 hash-split both engines
+    //     render identically ---
+    ("x12_decontaminate", (s, d) => {
+      val sp = Relational.hashSplit(SparkEntry.T(s, d, "documents"),
+        "doc_id", Seq("train" -> 0.8, "test" -> 0.2))
+      TextAnalysis.decontaminationReport(
+        sp.filter(col("split") === "test"),
+        sp.filter(col("split") === "train"),
+        "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH sp AS (SELECT doc_id, $DuckTokens AS ts,
+              |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${hx(0.8)}'
+              |       THEN 'train' ELSE 'test' END AS split FROM documents),
+              |g AS (SELECT doc_id, split,
+              |  unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+              |    ELSE list_transform(range(1, len(ts) - 1),
+              |      i -> array_to_string(ts[i:i+2], ' ')) END) AS gram FROM sp),
+              |trg AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+              |teg AS (SELECT DISTINCT doc_id, gram FROM g WHERE split = 'test'),
+              |counts AS (SELECT doc_id, count(*) AS n_grams,
+              |  count(*) FILTER (WHERE gram IN (SELECT gram FROM trg)) AS n_contaminated
+              |  FROM teg GROUP BY doc_id)
+              |SELECT doc_id, n_grams, n_contaminated,
+              |n_contaminated > 0 AS contaminated
+              |FROM counts ORDER BY doc_id""".stripMargin)),
+
+    // --- Edit-distance near-dup verify over bucketed Jaccard candidates
+    //     (fuzzy dedup: O(len²) Levenshtein only on the linear candidate
+    //     set, never all-pairs) ---
+    ("d_lev_neardup", (s, d) =>
+      Dedup.editSimilarityPairs(SparkEntry.T(s, d, "documents"), "doc_id",
+        "text", minSim = 0.35, candidateThreshold = 0.5,
+        bucketCols = Seq("lang", "source"))
+        .orderBy(col("id1"), col("id2")),
+      Some(s"""WITH toks AS (SELECT doc_id, lang, source,
+              |  list_distinct($DuckTokens) AS ts,
+              |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+              |  FROM documents),
+              |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |  a.norm AS n1, b.norm AS n2
+              |  FROM toks a JOIN toks b
+              |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+              |  WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
+              |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.5),
+              |v AS (SELECT id1, id2, levenshtein(n1, n2) AS lev,
+              |  CASE WHEN greatest(len(n1), len(n2)) = 0 THEN 1.0
+              |       ELSE round(1.0 - CAST(levenshtein(n1, n2) AS DOUBLE) /
+              |              greatest(len(n1), len(n2)), 6) END AS edit_sim
+              |  FROM cand)
+              |SELECT id1, id2, CAST(lev AS BIGINT) AS lev, edit_sim
+              |FROM v WHERE edit_sim >= 0.35 ORDER BY id1, id2""".stripMargin))
   )
 }

@@ -800,7 +800,124 @@ object SparkEntry {
              |    WHEN 'AUTOMOBILE' THEN '${graft.ops.Relational.rateThreshold(0.5)}'
              |    WHEN 'BUILDING' THEN '${graft.ops.Relational.rateThreshold(0.25)}'
              |    ELSE '${graft.ops.Relational.rateThreshold(0.1)}' END
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // --- A14 family completion: CUBE — all 2^k grouping combinations in
+    //     one Expand+aggregate pass (no per-combination re-scan). avg as
+    //     exact-sum/count so both engines derive the identical double. ---
+    ("a15_cube", (s, d) =>
+      T(s, d, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang_g"),
+          coalesce(col("source"), lit("ALL")).as("source_g"),
+          col("cnt"), col("avg_chars"))
+        .orderBy(col("lang_g"), col("source_g")),
+      Some("""SELECT coalesce(lang, 'ALL') AS lang_g,
+             |coalesce(source, 'ALL') AS source_g,
+             |count(*) AS cnt,
+             |CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+             |FROM documents GROUP BY CUBE(lang, source)
+             |ORDER BY lang_g, source_g""".stripMargin)),
+
+    // --- A16: fixed-width histogram (data-independent bin edges — no
+    //     min/max pre-scan, so binning stays one linear pass at any
+    //     scale; round(sum,2) exact at the source's decimal precision) ---
+    ("a16_histogram", (s, d) =>
+      T(s, d, "orders")
+        .groupBy(least(floor(col("o_totalprice") / 25000.0), lit(19.0))
+          .cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("bin")),
+      Some("""SELECT CAST(least(floor(o_totalprice / 25000.0), 19.0) AS BIGINT) AS bin,
+             |count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // --- P13: quantile binning (decile discretization) — ntile over a
+    //     total order (value, key) so tie assignment is deterministic.
+    //     Exact global ntile needs the single-partition sort; the scale
+    //     variant bins against a11_percentiles' approx boundaries
+    //     broadcast as a map (linear, no global sort). ---
+    ("p_quantile_bin", (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          ntile(10).over(w).cast("long").as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("decile"))
+    },
+      Some("""WITH t AS (SELECT o_orderkey, o_totalprice,
+             |  ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+             |  FROM orders)
+             |SELECT decile, count(*) AS cnt, min(o_totalprice) AS lo,
+             |max(o_totalprice) AS hi
+             |FROM t GROUP BY decile ORDER BY decile""".stripMargin)),
+
+    // --- W9: per-key activity anomalies — daily event counts z-scored
+    //     within each user's own history (two keyed aggregations, no
+    //     global state; integer sums keep both engines' doubles
+    //     bit-identical before the single rounded division chain) ---
+    ("w9_anomaly", (s, d) => {
+      val daily = E(s, d)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = daily.groupBy(col("user_id"))
+        .agg(sum(col("cnt")).as("s"),
+          sum(col("cnt") * col("cnt")).as("ss"),
+          count(lit(1)).as("n"))
+      val z = (col("cnt") - col("s").cast("double") / col("n")) /
+        sqrt((col("ss").cast("double") - col("s").cast("double") * col("s") / col("n")) /
+          (col("n") - 1))
+      daily.join(stats, Seq("user_id"))
+        .filter(col("n") >= 3)
+        .withColumn("z", round(z, 6))
+        .filter(abs(col("z")) > lit(2.0))
+        .select(col("user_id"), col("day").cast("long").as("day_epoch"),
+          col("cnt"), col("z"))
+        .orderBy(col("user_id"), col("day_epoch"))
+    },
+      Some("""WITH daily AS (SELECT user_id,
+             |  CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+             |  count(*) AS cnt FROM events GROUP BY 1, 2),
+             |st AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS s,
+             |  CAST(sum(cnt * cnt) AS BIGINT) AS ss, count(*) AS n
+             |  FROM daily GROUP BY 1),
+             |z AS (SELECT d.user_id, d.day_epoch, d.cnt,
+             |  round((d.cnt - CAST(s AS DOUBLE) / n) /
+             |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)), 6) AS z
+             |  FROM daily d JOIN st USING (user_id) WHERE n >= 3)
+             |SELECT user_id, day_epoch, cnt, z FROM z
+             |WHERE abs(z) > 2.0 ORDER BY user_id, day_epoch""".stripMargin)),
+
+    // --- T4: hopping (sliding) window aggregation — 10-min windows every
+    //     5 min; each event lands in exactly width/slide windows, the
+    //     same assignment Structured Streaming's window() uses, so the
+    //     batch form here is the stream job's backfill ---
+    ("t4_hopping", (s, d) =>
+      E(s, d)
+        .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").cast("long").as("w_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type")),
+      Some("""WITH e AS (SELECT ts, event_type, value FROM events
+             |  WHERE ts < TIMESTAMP '2024-01-03'),
+             |b AS (SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b5,
+             |  event_type, value FROM e),
+             |w AS (SELECT b5 AS w_start, event_type, value FROM b
+             |  UNION ALL SELECT b5 - 300, event_type, value FROM b)
+             |SELECT w_start, event_type, count(*) AS cnt,
+             |round(sum(value), 2) AS sum_value
+             |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin))
   )
 
   // ====================================================================

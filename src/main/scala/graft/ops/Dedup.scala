@@ -625,4 +625,38 @@ object Dedup {
         greatest(col("ida"), col("idb")).as("id2"), col("hamming"))
     identical.unionByName(cross)
   }
+
+  /** Edit-distance (Levenshtein) near-dup verify over bucketed candidates —
+    * the fuzzy-dedup verifier for corpora where token-set overlap misses
+    * character-level variants (OCR noise, diacritics, small in-place
+    * edits). Levenshtein is O(len²) per pair, far too hot to run all-pairs:
+    * candidates come from the linear inverted-index Jaccard join at a
+    * permissive `candidateThreshold`, and only those pairs pay the exact
+    * verify. Similarity = 1 − dist/max(len) on normalized text. Returns
+    * (id1, id2, lev, edit_sim ≥ minSim).
+    *
+    * The candidate threshold bounds the miss-space deterministically: a
+    * pair with edit_sim ≥ s has token-Jaccard ≥ roughly (2s−1)/(2−s) in the
+    * worst case of single-char edits all landing in distinct tokens, so
+    * candidateThreshold ≈ 0.5 is complete-enough for minSim ≈ 0.8 at a
+    * fraction of all-pairs cost. */
+  def editSimilarityPairs(df: DataFrame, idCol: String, textCol: String,
+                          minSim: Double, candidateThreshold: Double = 0.5,
+                          bucketCols: Seq[String] = Nil,
+                          maxPostingSize: Int = 0): DataFrame = {
+    val cand = tokenJaccardPairs(df, idCol, textCol, candidateThreshold,
+      bucketCols, maxPostingSize).select(col("id1"), col("id2"))
+    val norm = df.select(col(idCol), normalizeText(col(textCol)).as("__norm"))
+    val mx = greatest(length(col("__n1")), length(col("__n2")))
+    cand
+      .join(norm.select(col(idCol).as("id1"), col("__norm").as("__n1")), Seq("id1"))
+      .join(norm.select(col(idCol).as("id2"), col("__norm").as("__n2")), Seq("id2"))
+      .withColumn("lev", levenshtein(col("__n1"), col("__n2")))
+      .withColumn("edit_sim",
+        when(mx === 0, 1.0)
+          .otherwise(round(lit(1.0) - col("lev").cast("double") / mx, 6)))
+      .filter(col("edit_sim") >= minSim)
+      .select(col("id1"), col("id2"), col("lev").cast("long").as("lev"),
+        col("edit_sim"))
+  }
 }

@@ -303,4 +303,85 @@ object TextAnalysis {
         (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.3 +
         least(col("stopword_ratio") * 4.0, lit(1.0)) * 0.3, 0.0, 1.0))
   }
+
+  /** Per-document unigram entropy and type-token ratio — the classic
+    * repetitiveness/diversity quality signals (low entropy = degenerate
+    * boilerplate or keyword stuffing). Entropy is computed as
+    * ln(n) − Σ c·ln(c) / n over per-doc term counts — algebraically
+    * −Σ p·ln(p) but with one fused aggregate per doc, no per-term
+    * division, and a float-op sequence an oracle engine reproduces
+    * exactly. One exploded pass → one (doc,term) aggregation → one
+    * per-doc aggregation; every shuffle key is (doc, term) or doc, so
+    * work is linear in corpus token count at any scale. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        round(log(sum(col("c")).cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            sum(col("c")), 6).as("entropy"),
+        round(count(lit(1)).cast("double") / sum(col("c")), 6).as("ttr"))
+
+  /** Corpus drift: per-group KL divergence of the group's unigram
+    * distribution against the whole-corpus distribution, with add-one
+    * (Laplace) smoothing over the shared vocabulary so unseen terms are
+    * defined. The distribution-shift monitor a training pipeline runs
+    * per source/snapshot before mixing data. Layout: one exploded pass
+    * feeds both count tables; the per-group table left-joins the (small)
+    * vocabulary so each group scores every vocab term — work is
+    * O(groups × vocab), with vocab bounded by the corpus (and cappable
+    * upstream via a heavy-hitters cut if a corpus has an unbounded tail). */
+  def klDrift(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(groupCol), explode(tokens(col(textCol))).as("term"))
+    // Corpus-wide term counts + totals (vocab-sized frames — broadcastable).
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cq"))
+    val nTotal = toks.agg(count(lit(1)).as("nq"), countDistinct(col("term")).as("v"))
+    val byGroup = toks.groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("cp"))
+    val groupTotals = toks.groupBy(col(groupCol)).agg(count(lit(1)).as("np"))
+    // Every group × every vocab term (absent terms get cp=0), smoothed
+    // probabilities, then one sum per group.
+    groupTotals
+      .crossJoin(broadcast(vocab))
+      .join(byGroup, Seq(groupCol, "term"), "left")
+      .na.fill(0L, Seq("cp"))
+      .crossJoin(broadcast(nTotal))
+      .select(col(groupCol), col("np"),
+        ((col("cp") + 1).cast("double") / (col("np") + col("v"))).as("p"),
+        ((col("cq") + 1).cast("double") / (col("nq") + col("v"))).as("q"))
+      .groupBy(col(groupCol))
+      .agg(max(col("np")).as("n_tokens"),
+        round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl"))
+  }
+
+  /** Train→test n-gram decontamination report (the GPT-3 appendix-C /
+    * C4 eval-leakage check): for each test document, how many of its
+    * word n-grams also appear anywhere in the training corpus. Returns
+    * (id, n_grams, n_contaminated, contaminated). Candidate generation
+    * is a distinct-gram equi-join — linear in corpus gram count, never
+    * doc×doc; at 100 TB the gram strings would be xxhash64-bucketed
+    * (ship 8-byte keys, not text) — kept as strings here so an external
+    * SQL oracle can reproduce counts exactly. */
+  def decontaminationReport(test: DataFrame, train: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+        explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+    // Distinct gram set of the training corpus (dedup before the join:
+    // the contaminated-count is per distinct test gram, and the train
+    // side only needs membership).
+    val trainGrams = grams(train).select(col("gram")).distinct()
+    val testGrams = grams(test).distinct()
+    val hits = testGrams.join(trainGrams, Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    testGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .select(col(idCol), col("n_grams"), col("n_contaminated"),
+        (col("n_contaminated") > 0).as("contaminated"))
+  }
 }

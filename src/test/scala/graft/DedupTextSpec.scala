@@ -465,4 +465,60 @@ class DedupTextSpec extends AnyFunSuite {
       .collect().toSeq
     assert(got === Seq("fr", "en", "en")) // tie (0,0) → alphabetically first
   }
+
+  test("token entropy golden: counts, ln-form entropy, ttr") {
+    val df = Seq((1L, "a a b"), (2L, "x x x x")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, n1, t1, e1, ttr1) = got(1L)
+    assert(n1 === 3L && t1 === 2L)
+    // ln(3) − (2·ln2 + 1·ln1)/3
+    assert(math.abs(e1 - (math.log(3) - 2 * math.log(2) / 3)) < 1e-6)
+    assert(math.abs(ttr1 - 2.0 / 3) < 1e-6)
+    val (_, n2, t2, e2, ttr2) = got(2L)
+    assert(n2 === 4L && t2 === 1L && e2 === 0.0 && ttr2 === 0.25)
+  }
+
+  test("KL drift: group identical to corpus mix scores lower than a skewed one") {
+    // two groups over the same 2-word vocab: g1 is large and balanced so
+    // the corpus mix ≈ g1's own distribution; g2 is small and all-one-word
+    // — KL(g2) must exceed KL(g1) ≥ 0.
+    val df = Seq(
+      ("g1", "a b a b a b a b a b"),
+      ("g2", "a a a a")).toDF("src", "text")
+    val kl = TextAnalysis.klDrift(df, "src", "text")
+      .select("src", "kl").as[(String, Double)].collect().toMap
+    assert(kl("g1") >= 0.0 && kl("g2") > kl("g1"))
+  }
+
+  test("decontamination report: planted shared n-gram flagged, clean doc not") {
+    val train = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val test_ = Seq(
+      (1L, "zzz alpha beta gamma qqq"), // shares trigram "alpha beta gamma"
+      (2L, "totally disjoint words here")).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminationReport(test_, train, "doc_id",
+      "text", n = 3)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._4 === true && got(1L)._3 === 1L)
+    assert(got(2L)._4 === false && got(2L)._3 === 0L)
+    assert(got(1L)._2 === 3L) // 5 tokens → 3 distinct trigrams
+  }
+
+  test("edit-similarity near-dups: one-char variant found, reordering scored low") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dot"), // 1 edit
+      (3L, "dog lazy the over jumps fox brown quick the"), // same tokens reordered
+      (4L, "entirely different content"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.editSimilarityPairs(df, "doc_id", "text",
+      minSim = 0.9, candidateThreshold = 0.5)
+      .select("id1", "id2", "edit_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    val sim = pairs.head._3
+    val expected = 1.0 - 1.0 / "the quick brown fox jumps over the lazy dog".length
+    assert(math.abs(sim - expected) < 1e-6)
+  }
 }
