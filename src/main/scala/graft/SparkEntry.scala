@@ -895,6 +895,25 @@ object SparkEntry {
              |SELECT user_id, day_epoch, cnt, z FROM z
              |WHERE abs(z) > 2.0 ORDER BY user_id, day_epoch""".stripMargin)),
 
+    // --- X13: deterministic weighted Bernoulli sampling — per-row keep
+    //     probability ∝ l_quantity (importance/mix weighting, the
+    //     continuous generalization of x11's per-stratum rates); md5
+    //     draw vs a per-row hex-rendered threshold, so the oracle
+    //     reproduces the exact row set ---
+    ("x13_weighted_sample", (s, d) =>
+      Relational.weightedSample(T(s, d, "lineitem"),
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string")),
+          col("l_quantity") / 100.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+             |    CAST(l_linenumber AS VARCHAR)), 1, 8) <
+             |  printf('%08x', CAST(least(floor(greatest(l_quantity / 100.0, 0.0)
+             |    * 4294967296.0), 4294967295.0) AS BIGINT))
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // --- T4: hopping (sliding) window aggregation — 10-min windows every
     //     5 min; each event lands in exactly width/slide windows, the
     //     same assignment Structured Streaming's window() uses, so the

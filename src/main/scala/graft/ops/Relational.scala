@@ -245,6 +245,28 @@ object Relational {
   private[graft] def rateThreshold(r: Double): String =
     f"${math.min((r * 4294967296.0).toLong, 4294967295L)}%08x"
 
+  /** Deterministic WEIGHTED Bernoulli sampling: each row is kept with its
+    * own probability `prob` (any per-row expression in [0,1] — an
+    * importance weight, a quality score, a per-domain mix rate), decided
+    * by the same content-pure md5-prefix device as [[stratifiedSample]]
+    * but with the threshold rendered per row (`format_string("%08x", …)`)
+    * instead of per stratum. The continuous generalization: stratified
+    * sampling is the special case of a per-stratum-constant `prob`.
+    * Per-row filter — no shuffle, no RNG, partition-order independent,
+    * rerunnable, and reproducible by any engine with md5/printf.
+    * Probabilities clamp to [0, (2³²−1)/2³²] (the hex compare needs an
+    * 8-digit threshold, so exactly-1.0 drops the one-in-4-billion key
+    * hashing to ffffffff — same cap as [[rateThreshold]]). `key` must be
+    * non-null and row-unique for the draws to be independent. */
+  def weightedSample(df: DataFrame, key: Column, prob: Column): DataFrame = {
+    val thLong = least(
+      floor(greatest(prob, lit(0.0)) * 4294967296.0), lit(4294967295.0))
+      .cast("long")
+    df.filter(
+      substring(md5(key.cast("string")), 1, 8) <
+        format_string("%08x", thLong))
+  }
+
   /** Hashing-trick feature vectorizer (Weinberger et al. 2009): token →
     * dimension `pmod(murmur3(token), dim)` with a ±1 sign from a second
     * hash, summed per (row, slot). The dictionary-FREE encode: P11's

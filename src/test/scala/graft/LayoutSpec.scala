@@ -69,4 +69,30 @@ class LayoutSpec extends AnyFunSuite {
       assert(math.abs(salted(k)._1 - s) < 1e-6, s"sum mismatch for $k")
     }
   }
+
+  test("round-6 queries plan without cartesian products; pruned scans") {
+    val sf = "/root/testdata/sf0.001"
+    // Candidate-bounded pair generators and the gram semi-join must never
+    // degrade to a cartesian product when Spark re-plans them.
+    Seq("x12_decontaminate", "d_lev_neardup", "w9_anomaly", "t4_hopping")
+      .foreach { name =>
+        val p = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a cartesian product:\n$p")
+      }
+    // The histogram reads exactly its one measure column.
+    val hist = SparkEntry.queries("a16_histogram")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(hist.contains("ReadSchema: struct<o_totalprice:double>"),
+      s"a16_histogram should scan only o_totalprice:\n$hist")
+    // Weighted sampling is a pure per-row filter: no exchange below the
+    // final presentation sort.
+    val ws = graft.ops.Relational.weightedSample(
+      spark.read.parquet(s"$sf/lineitem.parquet"),
+      col("l_orderkey"), col("l_quantity") / 100.0)
+      .queryExecution.executedPlan.toString
+    assert(!ws.contains("Exchange"),
+      s"weightedSample should be shuffle-free:\n$ws")
+  }
 }

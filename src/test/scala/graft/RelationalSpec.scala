@@ -195,6 +195,28 @@ class RelationalSpec extends AnyFunSuite {
     assert((grown -- r1).forall(_ > 6000L))
   }
 
+  test("weightedSample: per-row probability tracked, deterministic, clamped") {
+    val base = (1L to 9000L).map(i => (i, (i % 3) match {
+      case 0 => 0.05; case 1 => 0.5; case _ => 2.0 // >1 clamps to keep-all
+    })).toDF("id", "w")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Relational.weightedSample(df, col("id"), col("w"))
+        .select("id").as[Long].collect().toSet
+    val r1 = run(base.repartition(1))
+    val r5 = run(base.repartition(5))
+    assert(r1 === r5) // content-pure
+    val lo = r1.count(_ % 3 == 0) / 3000.0
+    val mid = r1.count(_ % 3 == 1) / 3000.0
+    val hi = r1.count(_ % 3 == 2) / 3000.0
+    assert(math.abs(lo - 0.05) < 0.02, s"low-weight rate $lo")
+    assert(math.abs(mid - 0.5) < 0.04, s"mid-weight rate $mid")
+    assert(hi === 1.0, s"clamped rate $hi") // p≥1 keeps every row
+    // negative probabilities clamp to keep-none
+    val none = Relational.weightedSample(
+      base.withColumn("w", lit(-0.5)), col("id"), col("w")).count()
+    assert(none === 0L)
+  }
+
   test("hashSplit: a null key is a loud error, not a silent last-split row") {
     val df = Seq(Some("a"), Some("b"), None).toDF("k")
     val ex = intercept[Exception] {
