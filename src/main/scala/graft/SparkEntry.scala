@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Features, FeatureStore, Relational, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Features, FeatureStore, Graph, Relational, Similarity, TextAnalysis}
 import graft.eval.RankingMetrics
 import graft.functions.{Vectors => V}
 import graft.sources.SyntheticData
@@ -913,6 +913,90 @@ object SparkEntry {
              |  printf('%08x', CAST(least(floor(greatest(l_quantity / 100.0, 0.0)
              |    * 4294967296.0), 4294967295.0) AS BIGINT))
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // --- G1: fixed-iteration PageRank over the item co-occurrence graph
+    //     (items sharing an order) — the authority-scoring member of the
+    //     graph family beside j5_kcore and the CC forms. Three unrolled
+    //     join+aggregate rounds, shuffles on node id only; oracle = the
+    //     same three iterations as SQL CTEs, rounded once at the end ---
+    ("g1_pagerank", (s, d) => {
+      val li = T(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.join(li.withColumnRenamed("l_partkey", "p2"), Seq("l_orderkey"))
+        .filter(col("l_partkey") =!= col("p2"))
+        .select(col("l_partkey").as("src"), col("p2").as("dst"))
+        .distinct()
+      Graph.pageRank(e, "src", "dst", iters = 3)
+        .select(col("id"), round(col("pr"), 6).as("pr"))
+        .orderBy(col("id"))
+    },
+      Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM lineitem a JOIN lineitem b
+             |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+             |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+             |nn AS (SELECT count(*) AS n FROM nodes),
+             |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+             |p0 AS (SELECT id, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+             |c1 AS (SELECT e.dst AS id, sum(p0.pr / od.outdeg) AS s
+             |  FROM e JOIN p0 ON e.src = p0.id JOIN od ON e.src = od.src GROUP BY e.dst),
+             |p1 AS (SELECT nodes.id, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c1.s, 0.0) AS pr
+             |  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.id),
+             |c2 AS (SELECT e.dst AS id, sum(p1.pr / od.outdeg) AS s
+             |  FROM e JOIN p1 ON e.src = p1.id JOIN od ON e.src = od.src GROUP BY e.dst),
+             |p2 AS (SELECT nodes.id, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c2.s, 0.0) AS pr
+             |  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id),
+             |c3 AS (SELECT e.dst AS id, sum(p2.pr / od.outdeg) AS s
+             |  FROM e JOIN p2 ON e.src = p2.id JOIN od ON e.src = od.src GROUP BY e.dst),
+             |p3 AS (SELECT nodes.id, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c3.s, 0.0) AS pr
+             |  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.id)
+             |SELECT id, round(pr, 6) AS pr FROM p3 ORDER BY id""".stripMargin)),
+
+    // --- X14: training-mix rebalance — per-source keep rates DERIVED from
+    //     the data (uniform target share, rate_s = min(1, (N/S)/n_s)) and
+    //     applied through the deterministic weighted sampler: the
+    //     composition a real mixing pipeline runs (measure → rate →
+    //     content-pure sample) ---
+    ("x14_mix_rebalance", (s, d) => {
+      val docs = T(s, d, "documents")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("ns"))
+      val tot = counts.agg(sum(col("ns")).as("n"), count(lit(1)).as("s"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          least(col("n").cast("double") / col("s") / col("ns"), lit(1.0))
+            .as("rate"))
+      Relational.weightedSample(
+          docs.join(broadcast(rates), Seq("lang")),
+          col("doc_id"), col("rate"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH c AS (SELECT lang, count(*) AS ns FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(sum(ns) AS BIGINT) AS n, count(*) AS s FROM c),
+             |r AS (SELECT lang, least(CAST(n AS DOUBLE) / s / ns, 1.0) AS rate
+             |      FROM c CROSS JOIN t)
+             |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+             |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+             |  printf('%08x', CAST(least(floor(greatest(rate, 0.0) * 4294967296.0),
+             |    4294967295.0) AS BIGINT))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // --- X15: partitioned-sketch reuse — per-day HLL sketches merged into
+    //     one distinct-user estimate (hll_union_agg), vs the exact count.
+    //     THE 100 TB counting pattern: daily partitions keep fixed-size
+    //     sketches, any date range merges without rescanning raw events.
+    //     DataSketches binary has no DuckDB analog → self-check query. ---
+    ("x15_hll_merge", (s, d) => {
+      val e = E(s, d)
+      val daily = e.groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("nd_merged"))
+      val exact = e.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("nd_exact"))
+      merged.crossJoin(exact)
+        .select(col("nd_merged"), col("nd_exact"),
+          round(abs(col("nd_merged") - col("nd_exact")) /
+            col("nd_exact").cast("double"), 6).as("rel_err"))
+    }, None),
 
     // --- T4: hopping (sliding) window aggregation — 10-min windows every
     //     5 min; each event lands in exactly width/slide windows, the

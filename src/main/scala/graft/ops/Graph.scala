@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators over edge DataFrames — the third member of the graph
+  * family beside the k-core semi-join loop (Relational.kcore) and the two
+  * connected-components forms (Dedup.connectedComponents /
+  * connectedComponentsAlternating). Used on co-occurrence/click graphs for
+  * item authority scoring.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank: pr₀ = 1/N;
+    * prₖ₊₁(v) = (1−d)/N + d·Σ_{u→v} prₖ(u)/outdeg(u).
+    *
+    * The simple (non-dangling-redistributing) formulation: nodes with no
+    * out-edges leak their damped mass, which is the standard behavior of
+    * the join-aggregate form and what an external SQL oracle reproduces
+    * term-for-term. Iterations are UNROLLED (no convergence test): rank
+    * queries run a fixed small k, keeping lineage depth bounded without
+    * checkpoints and making the job exactly k (join + aggregate) rounds —
+    * each round shuffles on node id only, so cost is O(k·|E|) at any
+    * scale. Float ops are ordered so an engine evaluating the same
+    * expression tree reproduces the result to summation-order ulps
+    * (round the final score, not intermediates). Returns (id, pr). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 10,
+      "unrolled pageRank wants 1..10 iterations; for more, checkpoint per round")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nn = nodes.agg(count(lit(1)).as("__n"))
+    var pr = nodes.crossJoin(broadcast(nn))
+      .select(col("id"), (lit(1.0) / col("__n")).as("pr"), col("__n"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.select(col("id").as("src"), col("pr")), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("pr") / col("outdeg")).as("__in"))
+      pr = pr.select(col("id"), col("__n"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) / col("__n") +
+            lit(damping) * coalesce(col("__in"), lit(0.0))).as("pr"),
+          col("__n"))
+    }
+    pr.select(col("id"), col("pr"))
+  }
+}
