@@ -914,6 +914,26 @@ object SparkEntry {
              |    * 4294967296.0), 4294967295.0) AS BIGINT))
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // --- J11: numeric band self-join — all part pairs priced within
+    //     ±0.50 of each other, via delta-width bucketing + adjacent-
+    //     bucket replication (a shuffled equi-join; the naive
+    //     abs(a-b)<=δ theta form plans a nested-loop cross product).
+    //     Oracle runs the inequality join directly — same pair set. ---
+    ("j11_band_join", (s, d) =>
+      Relational.bandJoin(
+          T(s, d, "part").select(col("p_partkey"), col("p_retailprice")),
+          "p_partkey", "p_retailprice", 0.5)
+        .select(least(col("id1"), col("id2")).as("k1"),
+          greatest(col("id1"), col("id2")).as("k2"),
+          round(abs(col("v1") - col("v2")), 2).as("price_diff"))
+        .orderBy(col("k1"), col("k2")),
+      Some("""SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+             |round(abs(a.p_retailprice - b.p_retailprice), 2) AS price_diff
+             |FROM part a JOIN part b
+             |ON a.p_partkey < b.p_partkey
+             |  AND abs(a.p_retailprice - b.p_retailprice) <= 0.5
+             |ORDER BY k1, k2""".stripMargin)),
+
     // --- G1: fixed-iteration PageRank over the item co-occurrence graph
     //     (items sharing an order) — the authority-scoring member of the
     //     graph family beside j5_kcore and the CC forms. Three unrolled

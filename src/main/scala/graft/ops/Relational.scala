@@ -245,6 +245,38 @@ object Relational {
   private[graft] def rateThreshold(r: Double): String =
     f"${math.min((r * 4294967296.0).toLong, 4294967295L)}%08x"
 
+  /** Numeric band self-join: all unordered pairs with |vA − vB| ≤ delta,
+    * WITHOUT the O(n²) theta-join a naive `abs(a.v - b.v) <= delta`
+    * condition plans (BroadcastNestedLoop/cartesian — the classic
+    * similarity-join scale killer). Rows are bucketed at width `delta`;
+    * a qualifying pair is always in the same or adjacent buckets, so one
+    * side joins on its bucket and the other is replicated to (b, b+1) —
+    * a plain shuffled equi-join whose cost is candidate pairs, not n².
+    * Each unordered pair survives exactly once structurally (same-bucket
+    * via id<, adjacent via the +1 replica only) — no distinct needed.
+    * Emits (id1, id2, v1, v2) with id1 < id2 for same-bucket pairs and
+    * bucket order otherwise; callers wanting id order normalize with
+    * least/greatest. Skew note: a bucket holding k rows contributes
+    * O(k²) candidates — for value-concentrated data shrink delta or
+    * pre-aggregate exact ties. */
+  def bandJoin(df: DataFrame, idCol: String, valCol: String,
+               delta: Double): DataFrame = {
+    require(delta > 0, "bandJoin needs a positive delta")
+    val b = floor(col(valCol) / delta).cast("long")
+    val left = df.select(col(idCol).as("id1"), col(valCol).as("v1"),
+      b.as("__b"))
+    val right = df.select(col(idCol).as("id2"), col(valCol).as("v2"),
+      b.as("__ob"),
+      explode(array(b, b + 1)).as("__b"))
+    left.join(right, Seq("__b"))
+      .filter(
+        (col("__ob") === col("__b") && col("id1") < col("id2")) ||
+          col("__ob") === col("__b") - 1)
+      .filter(abs(col("v1") - col("v2")) <= delta)
+      .filter(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"), col("v1"), col("v2"))
+  }
+
   /** Deterministic WEIGHTED Bernoulli sampling: each row is kept with its
     * own probability `prob` (any per-row expression in [0,1] — an
     * importance weight, a quality score, a per-domain mix rate), decided

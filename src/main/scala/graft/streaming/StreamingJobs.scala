@@ -431,6 +431,23 @@ object StreamingJobs {
         col("click_ts"), col("view_ts"))
   }
 
+  /** Hopping-window counts — the stream form of the batch `t4_hopping`
+    * query: width/slide event-time windows, count + value sum per
+    * (window, event type). `window(ts, width, slide)` assigns each event
+    * its width/slide windows up front, so this is an ordinary streaming
+    * aggregation: the watermark closes windows and bounds state to the
+    * ones still open — O(open windows × event types), independent of
+    * stream length. */
+  def hoppingCountsStream(events: DataFrame, widthSeconds: Long,
+                          slideSeconds: Long,
+                          watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$widthSeconds seconds",
+        s"$slideSeconds seconds"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
   /** T8: TTL freshness filter on read of an online store (ref TTLs in
     * `feature_definitions.py`; cache expiry `retrieval.py:643-657`). */
   def freshOnly(store: DataFrame, tsCol: String, now: Column,

@@ -217,6 +217,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(none === 0L)
   }
 
+  test("bandJoin: equals the naive theta-join result, plans as an equi-join") {
+    // deterministic pseudo-random values with plenty of boundary cases
+    val df = (1L to 400L)
+      .map(i => (i, ((i * 2654435761L) % 1000L) / 10.0)).toDF("id", "v")
+    val delta = 1.5
+    val band = Relational.bandJoin(df, "id", "v", delta)
+      .select(least(col("id1"), col("id2")), greatest(col("id1"), col("id2")))
+      .as[(Long, Long)].collect().toSet
+    val naiveRows = df.as[(Long, Double)].collect()
+    val naive = (for {
+      (i1, v1) <- naiveRows; (i2, v2) <- naiveRows
+      if i1 < i2 && math.abs(v1 - v2) <= delta
+    } yield (i1, i2)).toSet
+    assert(band === naive)
+    val plan = Relational.bandJoin(df, "id", "v", delta)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"band join must stay an equi-join:\n$plan")
+  }
+
   test("hashSplit: a null key is a loud error, not a silent last-split row") {
     val df = Seq(Some("a"), Some("b"), None).toDF("k")
     val ex = intercept[Exception] {

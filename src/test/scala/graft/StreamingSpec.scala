@@ -60,6 +60,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hopping windows match the batch t4 form; each event in width/slide windows") {
+    val dir = Files.createTempDirectory("graft-hop-stream").toString
+    eventsFixture(dir)
+    val stream = StreamingJobs.fileEvents(spark, dir)
+    val agg = StreamingJobs.hoppingCountsStream(stream, 600L, 300L)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("hop_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hop_out")
+        .select(col("w_start").cast("long"), col("event_type"), col("cnt"),
+          col("sum_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      val batch = spark.read.parquet(dir)
+        .groupBy(window(col("ts"), "600 seconds", "300 seconds"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").cast("long"), col("event_type"),
+          col("cnt"), col("sum_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(got === batch)
+      // width/slide = 2 → total (window, type) row weight is twice the
+      // per-type event count: every event lands in exactly two windows
+      val perType = spark.read.parquet(dir).groupBy("event_type").count()
+        .as[(String, Long)].collect().toMap
+      perType.foreach { case (t, n) =>
+        assert(got.filter(_._2 == t).toSeq.map(_._3).sum === 2 * n,
+          s"event type $t not in exactly 2 windows each")
+      }
+    } finally q.stop()
+  }
+
   test("streaming 5-min window features match the batch form row-for-row (T3/T4)") {
     val dir = Files.createTempDirectory("graft-stream").toString
     eventsFixture(dir)
