@@ -663,7 +663,7 @@ object QueriesLlm {
     //     set, never all-pairs) ---
     ("d_lev_neardup", (s, d) =>
       Dedup.editSimilarityPairs(SparkEntry.T(s, d, "documents"), "doc_id",
-        "text", minSim = 0.35, candidateThreshold = 0.5,
+        "text", minSim = 0.35, candidateThreshold = 0.7,
         bucketCols = Seq("lang", "source"))
         .orderBy(col("id1"), col("id2")),
       Some(s"""WITH toks AS (SELECT doc_id, lang, source,
@@ -675,7 +675,7 @@ object QueriesLlm {
               |  FROM toks a JOIN toks b
               |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
               |  WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
-              |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.5),
+              |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.7),
               |v AS (SELECT id1, id2, levenshtein(n1, n2) AS lev,
               |  CASE WHEN greatest(len(n1), len(n2)) = 0 THEN 1.0
               |       ELSE round(1.0 - CAST(levenshtein(n1, n2) AS DOUBLE) /

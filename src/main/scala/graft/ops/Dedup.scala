@@ -644,18 +644,47 @@ object Dedup {
                           minSim: Double, candidateThreshold: Double = 0.5,
                           bucketCols: Seq[String] = Nil,
                           maxPostingSize: Int = 0): DataFrame = {
+    // Explicit fixed-width exchange between candidate generation and the
+    // O(len²) verify stage: candidate pairs are only a few MB, so AQE
+    // plans the downstream stage's width by BYTE size and coalesces it to
+    // ~1 partition — the DP work then runs serially (measured 57 s for a
+    // 65 K-pair verify that takes ~2 s spread over 32 slots). CPU-heavy
+    // stages must be width-planned by ROW cost, not bytes; the explicit
+    // numPartitions (REPARTITION_BY_NUM) pins the width against AQE
+    // coalescing, and the two text-lookup broadcast joins + the DP all
+    // execute in the 32-wide stage this exchange opens. (The sim filter
+    // still pushes the DP into the join condition — that doubles the
+    // per-pair DP, which parallelism absorbs; pinning evaluation to once
+    // would need an optimizer barrier that costs more than it saves.)
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val cand = tokenJaccardPairs(df, idCol, textCol, candidateThreshold,
       bucketCols, maxPostingSize).select(col("id1"), col("id2"))
+      .repartition(nPart, col("id1"), col("id2"))
     val norm = df.select(col(idCol), normalizeText(col(textCol)).as("__norm"))
     val mx = greatest(length(col("__n1")), length(col("__n2")))
     cand
-      .join(norm.select(col(idCol).as("id1"), col("__norm").as("__n1")), Seq("id1"))
-      .join(norm.select(col(idCol).as("id2"), col("__norm").as("__n2")), Seq("id2"))
+      .join(broadcast(norm.select(col(idCol).as("id1"), col("__norm").as("__n1"))), Seq("id1"))
+      .join(broadcast(norm.select(col(idCol).as("id2"), col("__norm").as("__n2"))), Seq("id2"))
+      // Length-band prefilter — semantics-preserving (never changes the
+      // output): lev ≥ |len₁−len₂| always, so a pair whose length gap
+      // alone exceeds (1−minSim)·max can't reach minSim; evaluated before
+      // the sim predicate, it short-circuits the O(len²) DP entirely. On
+      // near-dup-sparse corpora this kills most candidates cheaply.
+      .filter(abs(length(col("__n1")) - length(col("__n2"))) <=
+        (lit(1.0) - minSim) * mx)
       .withColumn("lev", levenshtein(col("__n1"), col("__n2")))
+      // __pin + the always-true conjunct pin the DP to ONE evaluation
+      // here: PushDownPredicates would otherwise substitute edit_sim's
+      // definition into the filter and slide it into the join condition,
+      // running the DP a second time per pair. A filter does not push
+      // through a projection with a nondeterministic field — and the
+      // field must be REFERENCED by the filter or column pruning deletes
+      // it (and with it the barrier) before pushdown runs.
+      .withColumn("__pin", monotonically_increasing_id())
       .withColumn("edit_sim",
         when(mx === 0, 1.0)
           .otherwise(round(lit(1.0) - col("lev").cast("double") / mx, 6)))
-      .filter(col("edit_sim") >= minSim)
+      .filter(col("edit_sim") >= minSim && col("__pin") >= Long.MinValue)
       .select(col("id1"), col("id2"), col("lev").cast("long").as("lev"),
         col("edit_sim"))
   }
