@@ -838,8 +838,8 @@ object SparkEntry {
     // --- P13: quantile binning (decile discretization) — ntile over a
     //     total order (value, key) so tie assignment is deterministic.
     //     Exact global ntile needs the single-partition sort; the scale
-    //     variant bins against a11_percentiles' approx boundaries
-    //     broadcast as a map (linear, no global sort). ---
+    //     path is Relational.binByQuantiles (approx_percentile boundaries
+    //     + broadcast per-row lookup — linear, no global sort). ---
     ("p_quantile_bin", (s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("o_totalprice"), col("o_orderkey"))
