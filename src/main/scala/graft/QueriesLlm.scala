@@ -658,6 +658,40 @@ object QueriesLlm {
               |n_contaminated > 0 AS contaminated
               |FROM counts ORDER BY doc_id""".stripMargin)),
 
+    // --- End-to-end near-dup RESOLUTION: pairs → connected components →
+    //     keep the min-id doc per dup group → corpus with non-keeper
+    //     members dropped. The step dedup pipelines actually ship (the
+    //     keep/drop decision d_dup_groups stops short of); untouched
+    //     docs pass through by the anti-join. ---
+    ("x16_dedup_resolve", (s, d) => {
+      val docs = SparkEntry.T(s, d, "documents")
+      val pairs = Dedup.tokenJaccardPairs(docs, "doc_id", "text", 0.7,
+        bucketCols = Seq("lang", "source"))
+      val cc = Dedup.connectedComponents(pairs, "id1", "id2")
+      val drop = cc.filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH RECURSIVE toks AS (SELECT doc_id, lang, source,
+              |  list_distinct($DuckTokens) AS ts FROM documents),
+              |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |  len(list_intersect(a.ts, b.ts))::DOUBLE /
+              |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jaccard
+              |  FROM toks a JOIN toks b
+              |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+              |ok AS (SELECT id1, id2 FROM pr WHERE jaccard >= 0.7),
+              |e AS (SELECT id1 AS a, id2 AS b FROM ok
+              |      UNION SELECT id2, id1 FROM ok),
+              |nodes AS (SELECT DISTINCT a AS n FROM e),
+              |reach(n, m) AS (SELECT n, n FROM nodes
+              |  UNION SELECT e.a, r.m FROM e JOIN reach r ON e.b = r.n),
+              |comp AS (SELECT n, min(m) AS component FROM reach GROUP BY n)
+              |SELECT doc_id, lang, source FROM documents
+              |WHERE doc_id NOT IN (SELECT n FROM comp WHERE component <> n)
+              |ORDER BY doc_id""".stripMargin)),
+
     // --- Edit-distance near-dup verify over bucketed Jaccard candidates
     //     (fuzzy dedup: O(len²) Levenshtein only on the linear candidate
     //     set, never all-pairs) ---

@@ -1018,6 +1018,45 @@ object SparkEntry {
             col("nd_exact").cast("double"), 6).as("rel_err"))
     }, None),
 
+    // --- W9b: robust (median/MAD) anomaly variant of w9 — outliers
+    //     scored against the per-user median and median-absolute-
+    //     deviation, immune to the mean/std masking that a single huge
+    //     spike causes in the z-score form. Two keyed exact-percentile
+    //     aggregations (approx_percentile is the 100 TB swap-in, same
+    //     shape as a10/a11's note). ---
+    ("w9b_mad_anomaly", (s, d) => {
+      val daily = E(s, d)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("day").cast("long").as("day_epoch"),
+          col("cnt"))
+      val med = daily.groupBy(col("user_id"))
+        .agg(expr("percentile(cnt, 0.5)").as("med"), count(lit(1)).as("n"))
+      val dev = daily.join(med, Seq("user_id"))
+        .withColumn("dev", abs(col("cnt") - col("med")))
+      val mad = dev.groupBy(col("user_id"))
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(mad, Seq("user_id"))
+        .filter(col("n") >= 5 && col("mad") > 0 &&
+          abs(col("cnt") - col("med")) > lit(3.0) * col("mad"))
+        .select(col("user_id"), col("day_epoch"), col("cnt"),
+          col("med"), col("mad"))
+        .orderBy(col("user_id"), col("day_epoch"))
+    },
+      Some("""WITH daily AS (SELECT user_id,
+             |  CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+             |  count(*) AS cnt FROM events GROUP BY 1, 2),
+             |med AS (SELECT user_id, quantile_cont(cnt, 0.5) AS med,
+             |  count(*) AS n FROM daily GROUP BY 1),
+             |dev AS (SELECT d.*, med, n, abs(d.cnt - med) AS dev
+             |  FROM daily d JOIN med USING (user_id)),
+             |mad AS (SELECT user_id, quantile_cont(dev, 0.5) AS mad
+             |  FROM dev GROUP BY 1)
+             |SELECT dev.user_id, day_epoch, cnt, med, mad
+             |FROM dev JOIN mad USING (user_id)
+             |WHERE n >= 5 AND mad > 0 AND abs(cnt - med) > 3.0 * mad
+             |ORDER BY user_id, day_epoch""".stripMargin)),
+
     // --- T4: hopping (sliding) window aggregation — 10-min windows every
     //     5 min; each event lands in exactly width/slide windows, the
     //     same assignment Structured Streaming's window() uses, so the
