@@ -28,10 +28,19 @@ object Graph {
                iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1 && iters <= 10,
       "unrolled pageRank wants 1..10 iterations; for more, checkpoint per round")
+    // Materialize the edge set ONCE: every iteration (plus the node/degree
+    // derivations) references it, and exchange reuse does not deduplicate
+    // the upstream derivation across the unrolled plan (a co-occurrence
+    // self-join showed 51 parquet scans in the 3-iteration plan without
+    // this). localCheckpoint = same lineage-truncation device as
+    // connectedComponents; the checkpoint stays referenced by the returned
+    // plan and is GC-freed with it.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
     val nn = nodes.agg(count(lit(1)).as("__n"))
     var pr = nodes.crossJoin(broadcast(nn))
       .select(col("id"), (lit(1.0) / col("__n")).as("pr"), col("__n"))
