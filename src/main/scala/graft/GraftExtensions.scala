@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-operator escalation: per-group top-k-by-score planned as
     // partial heap → exchange → final heap (graft.plans.TopKByScore).
     e.injectPlannerStrategy(_ => graft.plans.TopKByScoreStrategy)
+    // Logical rewrite: abs(a-b) <= δ band theta-joins (nested-loop bound)
+    // become bucketed equi-joins (graft.plans.BandJoinRewrite).
+    e.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }
 

@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Optimizer rule (SURVEY §4.2-style rewrite; the `injectOptimizerRule`
+  * member of the extension trifecta beside the native expressions and the
+  * TopKByScore strategy): rewrites a pure band theta-join
+  *
+  *   A JOIN B ON abs(a − b) <= δ
+  *
+  * — which Spark can only plan as BroadcastNestedLoopJoin / cartesian,
+  * the O(|A|·|B|) similarity-join scale killer — into the bucketed
+  * equi-join [[graft.ops.Relational.bandJoin]] builds by hand: bucket A
+  * at width δ, replicate each B row to its bucket ± 1 (a qualifying pair
+  * is never further than one bucket apart, and the three replica keys are
+  * distinct so each pair meets exactly once), join on bucket equality,
+  * and re-apply the exact band predicate. Null values never match in
+  * either form (null bucket joins nothing; the original predicate is
+  * null-rejecting), and the output schema/attribute ids are preserved, so
+  * the rewrite is semantics-exact.
+  *
+  * Deliberately narrow trigger: inner join whose ENTIRE condition is
+  * `abs(±(a − b)) <= <positive double literal>` with one deterministic
+  * double-typed side-local expression per input. Anything else (extra
+  * conjuncts, equi keys that already make the join hashable, integer
+  * bands) is left untouched. The rewritten join's condition is a
+  * conjunction, so the rule cannot re-fire on its own output.
+  */
+object BandJoinRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner,
+        Some(LessThanOrEqual(Abs(Subtract(x, y, _), _), Literal(d: Double, DoubleType))),
+        hint)
+        if j.resolved && d > 0 =>
+      orient(x, y, left, right) match {
+        case Some((lv, rv)) =>
+          val delta = Literal(d, DoubleType)
+          val bl = Alias(Floor(Divide(lv, delta)), "__band_l")()
+          val leftB = Project(left.output :+ bl, left)
+          val br = Floor(Divide(rv, delta))
+          val one = Literal(1L, LongType)
+          val replicas = CreateArray(Seq(Subtract(br, one), br, Add(br, one)))
+          val gOut = AttributeReference("__band_r", LongType)()
+          val rightB = Generate(Explode(replicas), unrequiredChildIndex = Nil,
+            outer = false, qualifier = None, generatorOutput = Seq(gOut),
+            child = right)
+          val band = LessThanOrEqual(Abs(Subtract(lv, rv)), delta)
+          val joined = Join(leftB, rightB, Inner,
+            Some(And(EqualTo(bl.toAttribute, gOut), band)), hint)
+          Project(left.output ++ right.output, joined)
+        case None => j
+      }
+  }
+
+  /** Returns (leftExpr, rightExpr) if one of x/y is left-side-only and the
+    * other right-side-only, both deterministic doubles (|x−y| = |y−x|, so
+    * either orientation qualifies). */
+  private def orient(x: Expression, y: Expression,
+                     left: LogicalPlan, right: LogicalPlan)
+      : Option[(Expression, Expression)] = {
+    def ok(e: Expression, side: LogicalPlan) =
+      e.deterministic && e.dataType == DoubleType &&
+        e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+    if (ok(x, left) && ok(y, right)) Some((x, y))
+    else if (ok(y, left) && ok(x, right)) Some((y, x))
+    else None
+  }
+}
