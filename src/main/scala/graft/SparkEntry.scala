@@ -934,6 +934,30 @@ object SparkEntry {
              |  AND abs(a.p_retailprice - b.p_retailprice) <= 0.5
              |ORDER BY k1, k2""".stripMargin)),
 
+    // --- J11b: the SAME band join written as the naive theta form and
+    //     re-planned by the BandJoinRewrite optimizer rule (installed on
+    //     the session here; idempotent) — proves the rule end-to-end in
+    //     the oracle gate, not just in plan asserts. Emits directed pairs
+    //     incl. self-pairs (the raw join semantics; j11 is the
+    //     unordered-pair operator form). ---
+    ("j11b_band_rule", (s, d) => {
+      if (!s.experimental.extraOptimizations.contains(graft.plans.BandJoinRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
+      val p = T(s, d, "part")
+      val a = p.select(col("p_partkey").as("k1"), col("p_retailprice").as("v1"))
+      val b = p.select(col("p_partkey").as("k2"), col("p_retailprice").as("v2"))
+      a.join(b, abs(col("v1") - col("v2")) <= lit(0.5))
+        .select(col("k1"), col("k2"),
+          round(abs(col("v1") - col("v2")), 2).as("price_diff"))
+        .orderBy(col("k1"), col("k2"))
+    },
+      Some("""SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+             |round(abs(a.p_retailprice - b.p_retailprice), 2) AS price_diff
+             |FROM part a JOIN part b
+             |ON abs(a.p_retailprice - b.p_retailprice) <= 0.5
+             |ORDER BY k1, k2""".stripMargin)),
+
     // --- G1: fixed-iteration PageRank over the item co-occurrence graph
     //     (items sharing an order) — the authority-scoring member of the
     //     graph family beside j5_kcore and the CC forms. Three unrolled

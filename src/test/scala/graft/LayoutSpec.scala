@@ -74,7 +74,8 @@ class LayoutSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.001"
     // Candidate-bounded pair generators and the gram semi-join must never
     // degrade to a cartesian product when Spark re-plans them.
-    Seq("x12_decontaminate", "d_lev_neardup", "w9_anomaly", "t4_hopping")
+    Seq("x12_decontaminate", "d_lev_neardup", "w9_anomaly", "t4_hopping",
+        "j11b_band_rule")
       .foreach { name =>
         val p = SparkEntry.queries(name)(spark, sf)
           .queryExecution.executedPlan.toString
