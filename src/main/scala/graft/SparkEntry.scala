@@ -934,6 +934,59 @@ object SparkEntry {
              |  AND abs(a.p_retailprice - b.p_retailprice) <= 0.5
              |ORDER BY k1, k2""".stripMargin)),
 
+    // --- O6: per-group top-k THROUGH the custom TopKByScore operator
+    //     (logical node + SparkStrategy + partial/final heap execs) —
+    //     the §7.3 escalation path proven in the oracle gate. Scores are
+    //     made strictly unique (price + key·1e-9, identically in both
+    //     engines) so heap and row_number selection agree exactly. ---
+    ("o6_topk_strategy", (s, d) => {
+      val scored = T(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("o_totalprice") + col("o_orderkey") * 1.0e-9).as("score"))
+      graft.plans.TopK.topKByScore(scored, Seq("o_orderpriority"), "score", 3)
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
+      Some("""WITH s AS (SELECT o_orderkey, o_orderpriority,
+             |  o_totalprice + o_orderkey * 1.0e-9 AS score FROM orders),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+             |  ORDER BY score DESC) AS rn FROM s)
+             |SELECT o_orderkey, o_orderpriority, score FROM r WHERE rn <= 3
+             |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
+    // --- X17: incremental aggregate maintenance — yesterday's snapshot
+    //     partials merged with today's delta partials instead of a full
+    //     recompute: counts/sums/maxes are mergeable, avg derives from
+    //     the merged moments. THE incremental-ETL pattern at 100 TB
+    //     (history is never rescanned); merge ≡ recompute asserted in
+    //     RelationalSpec, the oracle pins the merge path itself. ---
+    ("x17_incremental_agg", (s, d) => {
+      val e = E(s, d)
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      def partials(df: DataFrame) = df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"),
+          max(col("ts")).as("mx"))
+      val merged = partials(e.filter(col("ts") < cutoff))
+        .unionByName(partials(e.filter(col("ts") >= cutoff)))
+        .groupBy(col("user_id"))
+        .agg(sum(col("cnt")).as("cnt"),
+          round(sum(col("sv")), 2).as("sum_value"),
+          max(col("mx")).as("mx"))
+      merged.select(col("user_id"), col("cnt"), col("sum_value"),
+          (col("sum_value") / col("cnt")).as("avg_value"),
+          col("mx").cast("long").as("last_ts"))
+        .orderBy(col("user_id"))
+    },
+      Some("""WITH snap AS (SELECT user_id, count(*) AS cnt, sum(value) AS sv,
+             |  max(ts) AS mx FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1),
+             |delta AS (SELECT user_id, count(*) AS cnt, sum(value) AS sv,
+             |  max(ts) AS mx FROM events WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY 1),
+             |u AS (SELECT * FROM snap UNION ALL SELECT * FROM delta),
+             |m AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS cnt,
+             |  round(sum(sv), 2) AS sum_value, max(mx) AS mx FROM u GROUP BY 1)
+             |SELECT user_id, cnt, sum_value, sum_value / cnt AS avg_value,
+             |CAST(floor(epoch(mx)) AS BIGINT) AS last_ts
+             |FROM m ORDER BY user_id""".stripMargin)),
+
     // --- J11b: the SAME band join written as the naive theta form and
     //     re-planned by the BandJoinRewrite optimizer rule (installed on
     //     the session here; idempotent) — proves the rule end-to-end in

@@ -217,6 +217,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(none === 0L)
   }
 
+  test("incremental aggregate merge equals the full recompute (X17 pattern)") {
+    val df = (1L to 5000L)
+      .map(i => (i % 97, (i * 13 % 1000) / 100.0, i)).toDF("k", "v", "ts")
+    def partials(d: org.apache.spark.sql.DataFrame) = d.groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sv"), max("ts").as("mx"))
+    val merged = partials(df.filter(col("ts") < 2500))
+      .unionByName(partials(df.filter(col("ts") >= 2500)))
+      .groupBy("k").agg(sum("cnt").as("cnt"), sum("sv").as("sv"),
+        max("mx").as("mx"))
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val direct = partials(df)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(merged.keySet === direct.keySet)
+    direct.foreach { case (k, (c, s, m)) =>
+      assert(merged(k)._1 === c && merged(k)._3 === m)
+      assert(math.abs(merged(k)._2 - s) < 1e-9, s"sum drift for key $k")
+    }
+  }
+
   test("binByQuantiles: near-even deciles, monotone in value, no global sort") {
     val df = (1L to 10000L).map(i => (i, ((i * 48271L) % 10007L).toDouble))
       .toDF("id", "v")
