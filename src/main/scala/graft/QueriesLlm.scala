@@ -692,6 +692,74 @@ object QueriesLlm {
               |WHERE doc_id NOT IN (SELECT n FROM comp WHERE component <> n)
               |ORDER BY doc_id""".stripMargin)),
 
+    // --- Flagship composition #2: the LLM corpus-prep pipeline end-to-end
+    //     in ONE Catalyst plan — quality gate → exact dedup → near-dup
+    //     resolution (CC keeper) → train/test split → train-side 5-gram
+    //     decontamination → per-lang deterministic cap. Every stage is a
+    //     device already oracle-proven standalone (t_text_stats gate,
+    //     d_exact_dedup, x16, x8/x12, x6); this pins their COMPOSITION. ---
+    ("c2_corpus_pipeline", (s, d) => {
+      val docs = SparkEntry.T(s, d, "documents")
+      val q = docs.filter(size(Dedup.tokens(col("text"))) >= 30)
+      val ex = Dedup.exactDedup(q, "doc_id", "text")
+      val pairs = Dedup.tokenJaccardPairs(ex, "doc_id", "text", 0.7,
+        bucketCols = Seq("lang", "source"))
+      val cc = Dedup.connectedComponents(pairs, "id1", "id2")
+      val resolved = ex.join(
+        cc.filter(col("id") =!= col("component")).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      val sp = Relational.hashSplit(resolved, "doc_id",
+        Seq("train" -> 0.8, "test" -> 0.2))
+      val train = sp.filter(col("split") === "train")
+      val test = sp.filter(col("split") === "test")
+      val contaminated = TextAnalysis.decontaminationReport(
+          train, test, "doc_id", "text", n = 5)
+        .filter(col("contaminated")).select(col("doc_id"))
+      val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+      Relational.capPerGroup(clean, Seq("lang"), 40, col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH RECURSIVE
+              |q AS (SELECT doc_id, text, lang, source FROM documents
+              |      WHERE len($DuckTokens) >= 30),
+              |ex AS (SELECT q.* FROM q JOIN (
+              |    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+              |      min(doc_id) AS keep FROM q GROUP BY 1) k ON q.doc_id = k.keep),
+              |toks AS (SELECT doc_id, lang, source,
+              |  list_distinct($DuckTokens) AS ts FROM ex),
+              |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |  len(list_intersect(a.ts, b.ts))::DOUBLE /
+              |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jaccard
+              |  FROM toks a JOIN toks b
+              |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+              |ok AS (SELECT id1, id2 FROM pr WHERE jaccard >= 0.7),
+              |e AS (SELECT id1 AS a, id2 AS b FROM ok UNION SELECT id2, id1 FROM ok),
+              |nodes AS (SELECT DISTINCT a AS n FROM e),
+              |reach(n, m) AS (SELECT n, n FROM nodes
+              |  UNION SELECT e.a, r.m FROM e JOIN reach r ON e.b = r.n),
+              |comp AS (SELECT n, min(m) AS component FROM reach GROUP BY n),
+              |resolved AS (SELECT * FROM ex WHERE doc_id NOT IN
+              |  (SELECT n FROM comp WHERE component <> n)),
+              |sp AS (SELECT *, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              |    < '${hx(0.8)}' THEN 'train' ELSE 'test' END AS split FROM resolved),
+              |g AS (SELECT doc_id, split,
+              |  unnest(CASE WHEN len(ts2) < 5 THEN [array_to_string(ts2, ' ')]
+              |    ELSE list_transform(range(1, len(ts2) - 3),
+              |      i -> array_to_string(ts2[i:i+4], ' ')) END) AS gram
+              |  FROM (SELECT doc_id, split, $DuckTokens AS ts2 FROM sp) z),
+              |teg AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+              |bad AS (SELECT DISTINCT doc_id FROM g WHERE split = 'train'
+              |        AND gram IN (SELECT gram FROM teg)),
+              |clean AS (SELECT * FROM sp WHERE split = 'train'
+              |          AND doc_id NOT IN (SELECT doc_id FROM bad)),
+              |capped AS (SELECT doc_id, lang, source, row_number() OVER (
+              |  PARTITION BY lang
+              |  ORDER BY (doc_id % 1000003) * 2654435761 % 2147483647, doc_id) AS rn
+              |  FROM clean)
+              |SELECT doc_id, lang, source FROM capped WHERE rn <= 40
+              |ORDER BY doc_id""".stripMargin)),
+
     // --- Edit-distance near-dup verify over bucketed Jaccard candidates
     //     (fuzzy dedup: O(len²) Levenshtein only on the linear candidate
     //     set, never all-pairs) ---
