@@ -235,4 +235,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(got === Set((1L, 3L, 22.5), (2L, 1L, 7.0)))
     assert(got === run(ev.orderBy(col("e").desc).repartition(5)))
   }
+
+  test("schema evolution: mergeSchema reads across drifting partition schemas") {
+    // a corpus written over months gains columns; old partitions must stay
+    // readable with the union schema, new columns null-filled backward
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/batch=1")
+    Seq((3L, "gamma", "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("doc_id", "text", "lang", "batch"))
+    val rows = merged.select("doc_id", "lang")
+      .as[(Long, Option[String])].collect().toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty && rows(3L).contains("en"))
+    // the default (no mergeSchema) picks ONE file's schema — documented
+    // footgun: reading evolved corpora needs the option (or a catalog)
+    val plain = spark.read.parquet(dir)
+    assert(plain.columns.length <= merged.columns.length)
+  }
 }
