@@ -37,6 +37,39 @@ object SparkEntry {
     }
   }
 
+  /** [[E]] with a time-range predicate applied on the RAW nanos long,
+    * BEFORE the timestamp conversion: a filter on the derived µs column
+    * can never reach the parquet scan (the conversion expression blocks
+    * pushdown), so at 100 TB a time-sliced events job would full-scan.
+    * Filtering the underlying long pushes as an ordinary range predicate
+    * (and prunes row groups via min/max stats); the conversion then runs
+    * on survivors only. Bounds are UTC "yyyy-MM-dd[ HH:mm:ss]" strings,
+    * lower inclusive, upper exclusive; either may be None. */
+  private[graft] def eventsRange(s: SparkSession, dir: String,
+                                 from: Option[String],
+                                 until: Option[String]): DataFrame = {
+    def nanosOf(d: String): Long = {
+      val norm = if (d.contains(" ") || d.contains("T")) d.replace(' ', 'T')
+        else d + "T00:00:00"
+      java.time.LocalDateTime.parse(norm)
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+    }
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val lo = from.map(d => raw("ts") >= nanosOf(d))
+        val hi = until.map(d => raw("ts") < nanosOf(d))
+        (lo ++ hi).reduceOption(_ && _).map(raw.filter).getOrElse(raw)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        val lo = from.map(d => col("ts") >= lit(d).cast("timestamp"))
+        val hi = until.map(d => col("ts") < lit(d).cast("timestamp"))
+        (lo ++ hi).reduceOption(_ && _).map(raw.filter).getOrElse(raw)
+    }
+  }
+
   /** Injected "now" anchor for trailing-window queries (events span Jan 2024). */
   private val Anchor = "2024-01-31 00:00:00"
   private def anchorTs: Column = lit(Anchor).cast("timestamp")
@@ -1139,8 +1172,7 @@ object SparkEntry {
     //     same assignment Structured Streaming's window() uses, so the
     //     batch form here is the stream job's backfill ---
     ("t4_hopping", (s, d) =>
-      E(s, d)
-        .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+      eventsRange(s, d, None, Some("2024-01-03"))
         .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
           col("event_type"))
         .agg(count(lit(1)).as("cnt"),

@@ -99,6 +99,12 @@ class LayoutSpec extends AnyFunSuite {
         assert(!p.contains("CartesianProduct"),
           s"$name plans a cartesian product:\n$p")
       }
+    // Time-sliced events reads push the range onto the RAW nanos long —
+    // a predicate on the converted timestamp column can't reach the scan.
+    val hop = SparkEntry.queries("t4_hopping")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(hop.contains("PushedFilters: [IsNotNull(ts), LessThan(ts"),
+      s"t4_hopping must push its time bound to the events scan:\n$hop")
     // The histogram reads exactly its one measure column.
     val hist = SparkEntry.queries("a16_histogram")(spark, sf)
       .queryExecution.executedPlan.toString
