@@ -993,13 +993,14 @@ object SparkEntry {
     //     (history is never rescanned); merge ≡ recompute asserted in
     //     RelationalSpec, the oracle pins the merge path itself. ---
     ("x17_incremental_agg", (s, d) => {
-      val e = E(s, d)
-      val cutoff = lit("2024-01-15").cast("timestamp")
       def partials(df: DataFrame) = df.groupBy(col("user_id"))
         .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"),
           max(col("ts")).as("mx"))
-      val merged = partials(e.filter(col("ts") < cutoff))
-        .unionByName(partials(e.filter(col("ts") >= cutoff)))
+      // each side's time bound pushes to its scan (raw-nanos predicate);
+      // in the real incremental pattern the snapshot side is a stored
+      // partial table, not a rescan — this pins the merge algebra
+      val merged = partials(eventsRange(s, d, None, Some("2024-01-15")))
+        .unionByName(partials(eventsRange(s, d, Some("2024-01-15"), None)))
         .groupBy(col("user_id"))
         .agg(sum(col("cnt")).as("cnt"),
           round(sum(col("sv")), 2).as("sum_value"),
