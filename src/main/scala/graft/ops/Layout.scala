@@ -40,6 +40,24 @@ object Layout {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Compact a fragmented parquet directory into ≈`targetRowsPerFile`
+    * outputs — the small-files remedy for streaming / per-batch
+    * incremental sinks, whose many tiny files degrade every later scan
+    * (task-per-file scheduling, no row-group locality). One count (cheap:
+    * parquet footer metadata), one round-robin repartition, one rewrite —
+    * to a FRESH directory, never in place, so concurrent readers of the
+    * old path stay consistent and the swap is an atomic rename/pointer
+    * flip. Returns the row count written. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetRowsPerFile: Long): Long = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val df = spark.read.parquet(inPath)
+    val n = df.count()
+    val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
+    df.repartition(nFiles.toInt).write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   /** Two-phase salted aggregation for skewed keys: phase 1 pre-aggregates
     * on (key, salt) so a hot key spreads over `saltBuckets` reducers; phase
     * 2 merges the partials per key. Exactly the same sums/counts as a

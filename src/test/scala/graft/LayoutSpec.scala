@@ -68,6 +68,22 @@ class LayoutSpec extends AnyFunSuite {
       s"scan touched more than one hive partition: ${metrics.mapValues(_.value)}")
   }
 
+  test("compact: many small files become few, data identical") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft-frag").toString
+    val out = Files.createTempDirectory("graft-compact").toString
+    val df = (1L to 100L).map(i => (i, s"row$i")).toDF("id", "payload")
+    df.repartition(20).write.mode("overwrite").parquet(in)
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts(in) === 20)
+    val n = Layout.compact(spark, in, out, targetRowsPerFile = 50)
+    assert(n === 100L)
+    assert(parts(out) === 2, s"expected 2 compacted files, got ${parts(out)}")
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ===
+      df.as[(Long, String)].collect().toSet)
+  }
+
   test("salted aggregation equals direct groupBy exactly (skew handling)") {
     // one hot key (90% of rows) + a long tail
     val df = ((0 until 9000).map(i => ("hot", i.toDouble)) ++
