@@ -287,6 +287,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(changed.head === s"__bucket=$b7")
   }
 
+  test("partitioned upsert is replay-idempotent: re-applying a micro-batch is a no-op") {
+    // foreachBatch gives at-least-once delivery on retry/restart — the
+    // merge must make that effectively-once. latest-per-key is idempotent:
+    // replaying a batch merges the same keys to the same winners.
+    val store = Files.createTempDirectory("graft-replay").toString + "/store"
+    def feat(rows: Seq[(Long, Long, Double)]) = rows
+      .toDF("k", "ts_s", "v")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .select("k", "ts", "v")
+    def readStore() = spark.read.parquet(store)
+      .select(col("k"), col("ts").cast("long"), col("v"))
+      .as[(Long, Long, Double)].collect().toSet
+    val b1 = feat(Seq((1L, 100L, 5.0), (2L, 100L, 6.0)))
+    StreamingJobs.upsertBucketedBatch(b1, Seq("k"), "ts", "v", store, 8)
+    val once = readStore()
+    StreamingJobs.upsertBucketedBatch(b1, Seq("k"), "ts", "v", store, 8)
+    assert(readStore() === once, "replaying the same batch changed the store")
+    // a replay arriving AFTER newer data must not roll keys back either
+    StreamingJobs.upsertBucketedBatch(feat(Seq((1L, 200L, 9.0))),
+      Seq("k"), "ts", "v", store, 8)
+    StreamingJobs.upsertBucketedBatch(b1, Seq("k"), "ts", "v", store, 8)
+    assert(readStore() === Set((1L, 200L, 9.0), (2L, 100L, 6.0)))
+  }
+
   test("partitioned upsert: streaming foreachBatch end-to-end (T6)") {
     val base = Files.createTempDirectory("graft-pstream").toString
     val src = base + "/src"
