@@ -639,7 +639,13 @@ object Dedup {
     * pair with edit_sim ≥ s has token-Jaccard ≥ roughly (2s−1)/(2−s) in the
     * worst case of single-char edits all landing in distinct tokens, so
     * candidateThreshold ≈ 0.5 is complete-enough for minSim ≈ 0.8 at a
-    * fraction of all-pairs cost. */
+    * fraction of all-pairs cost.
+    *
+    * Pathological corpora: a flood of IDENTICAL texts makes every token
+    * corpus-hot and the candidate set quadratic — that load belongs to
+    * [[exactDedup]] (linear, run it first); `maxPostingSize` keeps this
+    * path bounded regardless (hot tokens drop from the candidate index,
+    * DedupTextSpec pins the behavior). */
   def editSimilarityPairs(df: DataFrame, idCol: String, textCol: String,
                           minSim: Double, candidateThreshold: Double = 0.5,
                           bucketCols: Seq[String] = Nil,

@@ -505,6 +505,20 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got(1L)._2 === 3L) // 5 tokens → 3 distinct trigrams
   }
 
+  test("edit-similarity on an identical-text flood: posting cap bounds the quadratic") {
+    // 3000 identical docs → every token corpus-hot → C(3000,2) ≈ 4.5M
+    // candidates uncapped. With the cap, hot tokens drop from the index
+    // and the job completes without the quadratic; identical-text floods
+    // are exactDedup's job (linear), which still catches them all.
+    val many = (1L to 3000L)
+      .map(i => (i, "the same exact text repeated in every document"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.editSimilarityPairs(many, "doc_id", "text",
+      minSim = 0.9, candidateThreshold = 0.5, maxPostingSize = 64)
+    assert(capped.count() === 0) // all tokens hot → no candidate index
+    assert(Dedup.exactDedup(many, "doc_id", "text").count() === 1)
+  }
+
   test("edit-similarity near-dups: one-char variant found, reordering scored low") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
