@@ -1021,6 +1021,56 @@ object SparkEntry {
              |CAST(floor(epoch(mx)) AS BIGINT) AS last_ts
              |FROM m ORDER BY user_id""".stripMargin)),
 
+    // --- X18: referential-integrity audit — orphaned foreign keys
+    //     counted across the star schema in one pass of left-anti joins
+    //     (each shuffles only the key column; dims broadcast). The
+    //     data-quality gate every ingest pipeline runs before publishing
+    //     a snapshot. ---
+    ("x18_fk_orphans", (s, d) => {
+      def orphans(fact: DataFrame, fk: String, dim: DataFrame,
+                  pk: String, as: String): DataFrame =
+        fact.select(col(fk).as(pk))
+          .join(dim.select(col(pk)), Seq(pk), "left_anti")
+          .agg(count(lit(1)).as(as))
+      val li = T(s, d, "lineitem"); val o = T(s, d, "orders")
+      orphans(li, "l_orderkey", o, "o_orderkey", "li_order_orphans")
+        .crossJoin(orphans(li, "l_partkey", T(s, d, "part"), "p_partkey",
+          "li_part_orphans"))
+        .crossJoin(orphans(li, "l_suppkey", T(s, d, "supplier"), "s_suppkey",
+          "li_supp_orphans"))
+        .crossJoin(orphans(o, "o_custkey", T(s, d, "customer"), "c_custkey",
+          "o_cust_orphans"))
+    },
+      Some("""SELECT
+             |(SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS li_order_orphans,
+             |(SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             |  (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS li_part_orphans,
+             |(SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             |  (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS li_supp_orphans,
+             |(SELECT count(*) FROM orders o WHERE NOT EXISTS
+             |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS o_cust_orphans""".stripMargin)),
+
+    // --- X19: continuity audit — calendar days inside the event span
+    //     with NO events (ingest-gap detection). The expected-day frame
+    //     is generated, not scanned (sequence over the observed min/max);
+    //     observed days anti-join against it. ---
+    ("x19_day_gaps", (s, d) => {
+      val days = E(s, d).select(to_date(col("ts")).as("day")).distinct()
+      val bounds = days.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val expected = bounds.select(
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+      val gaps = expected.join(days, Seq("day"), "left_anti")
+      gaps.agg(count(lit(1)).as("n_gap_days"))
+        .crossJoin(days.agg(count(lit(1)).as("n_active_days")))
+    },
+      Some("""WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+             |b AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+             |exp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM b),
+             |gaps AS (SELECT e.day FROM exp e WHERE e.day NOT IN (SELECT day FROM days))
+             |SELECT (SELECT count(*) FROM gaps) AS n_gap_days,
+             |(SELECT count(*) FROM days) AS n_active_days""".stripMargin)),
+
     // --- J11b: the SAME band join written as the naive theta form and
     //     re-planned by the BandJoinRewrite optimizer rule (installed on
     //     the session here; idempotent) — proves the rule end-to-end in
