@@ -71,11 +71,20 @@ object QueriesEval {
     val train = split.filter(col("in_train") === 1).select(col("u"), col("it"))
     val test = split.filter(col("in_test") === 1).select(col("u"), col("it"))
     val pop = train.groupBy(col("it")).agg(count(lit(1)).as("c"))
-    val top100 = pop
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(col("c").desc, col("it"))))
-      .filter(col("rnk") <= 100)
-      .select(col("it"), col("rnk"))
+    // Global top-100 WITHOUT an unpartitioned window: `row_number() OVER
+    // (ORDER BY …)` moves the whole catalog-sized popularity frame to ONE
+    // task (Spark's "No Partition Defined for Window" warning — at 100×
+    // items that single sort feeds the entire eval tranche).
+    // `orderBy().limit()` plans as TakeOrderedAndProject (distributed
+    // partial top-k per partition); the rank is then recovered by sorting
+    // the 100 survivors inside one array — struct (-c, it) ascending =
+    // (c desc, it asc) — and posexploding. The rank reconstruction is a
+    // single-row aggregate over exactly 100 rows, not a data-sized sort.
+    val top100 = pop.orderBy(col("c").desc, col("it")).limit(100)
+      .agg(sort_array(collect_list(struct((-col("c")).as("nc"), col("it"))))
+        .as("__t"))
+      .select(posexplode(col("__t")).as(Seq("__p", "__s")))
+      .select(col("__s.it").as("it"), (col("__p") + 1).as("rnk"))
     val users = split.select(col("u")).distinct()
     val pred = users.crossJoin(broadcast(top100))
       .join(train, Seq("u", "it"), "left_anti") // E8/R6: exclude seen

@@ -699,21 +699,39 @@ object QueriesLlm {
     //     device already oracle-proven standalone (t_text_stats gate,
     //     d_exact_dedup, x16, x8/x12, x6); this pins their COMPOSITION. ---
     ("c2_corpus_pipeline", (s, d) => {
+      // Single tokenization: __norm/__tokens are materialized ONCE after
+      // the scan and threaded through every stage via the From* entry
+      // points — the quality gate, exact dedup, the Jaccard candidate
+      // index and decontamination previously each re-ran
+      // lower+regexp+trim+split over the raw text in their own subtrees.
       val docs = SparkEntry.T(s, d, "documents")
-      val q = docs.filter(size(Dedup.tokens(col("text"))) >= 30)
-      val ex = Dedup.exactDedup(q, "doc_id", "text")
-      val pairs = Dedup.tokenJaccardPairs(ex, "doc_id", "text", 0.7,
-        bucketCols = Seq("lang", "source"))
+        .withColumn("__norm", Dedup.normalizeText(col("text")))
+        .withColumn("__tokens", split(col("__norm"), " "))
+      val q = docs.filter(size(col("__tokens")) >= 30)
+      val ex = Dedup.exactDedupFromNorm(q, "doc_id", "__norm")
+      val pairs = Dedup.tokenJaccardPairsFromTokens(ex, "doc_id", "__tokens",
+        0.7, bucketCols = Seq("lang", "source"))
       val cc = Dedup.connectedComponents(pairs, "id1", "id2")
       val resolved = ex.join(
         cc.filter(col("id") =!= col("component")).select(col("id").as("doc_id")),
         Seq("doc_id"), "left_anti")
+      // Materialization barrier on the resolved+split corpus, projected to
+      // exactly what downstream needs: FOUR consumers follow (train gram
+      // explode, test gram explode, the clean anti-join's train re-read,
+      // capPerGroup's input) and each would otherwise re-run the whole
+      // scan→gate→dedup→resolve→split chain as its own subtree. Local
+      // checkpoint, not persist: blocks are context-cleaned when the RDD
+      // is GC'd — the same lineage device the CC loop inside
+      // connectedComponents already uses.
       val sp = Relational.hashSplit(resolved, "doc_id",
         Seq("train" -> 0.8, "test" -> 0.2))
+        .select(col("doc_id"), col("lang"), col("source"), col("split"),
+          col("__tokens"))
+        .localCheckpoint(false)
       val train = sp.filter(col("split") === "train")
       val test = sp.filter(col("split") === "test")
-      val contaminated = TextAnalysis.decontaminationReport(
-          train, test, "doc_id", "text", n = 5)
+      val contaminated = TextAnalysis.decontaminationReportFromTokens(
+          train, test, "doc_id", "__tokens", n = 5)
         .filter(col("contaminated")).select(col("doc_id"))
       val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
       Relational.capPerGroup(clean, Seq("lang"), 40, col("doc_id"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Features, FeatureStore, Graph, Relational, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Features, FeatureStore, Graph, Layout, Relational, Similarity, TextAnalysis}
 import graft.eval.RankingMetrics
 import graft.functions.{Vectors => V}
 import graft.sources.SyntheticData
@@ -908,7 +908,10 @@ object SparkEntry {
         sqrt((col("ss").cast("double") - col("s").cast("double") * col("s") / col("n")) /
           (col("n") - 1))
       daily.join(stats, Seq("user_id"))
-        .filter(col("n") >= 3)
+        // ss·n ≠ s² (exact integer algebra) excludes zero-variance
+        // histories, where z = 0/0 = NaN and NaN > 2.0 is true in both
+        // engines' NaN-greatest orderings — mirrors w9b's mad > 0 guard.
+        .filter(col("n") >= 3 && col("ss") * col("n") =!= col("s") * col("s"))
         .withColumn("z", round(z, 6))
         .filter(abs(col("z")) > lit(2.0))
         .select(col("user_id"), col("day").cast("long").as("day_epoch"),
@@ -924,7 +927,8 @@ object SparkEntry {
              |z AS (SELECT d.user_id, d.day_epoch, d.cnt,
              |  round((d.cnt - CAST(s AS DOUBLE) / n) /
              |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)), 6) AS z
-             |  FROM daily d JOIN st USING (user_id) WHERE n >= 3)
+             |  FROM daily d JOIN st USING (user_id)
+             |  WHERE n >= 3 AND ss * n <> s * s)
              |SELECT user_id, day_epoch, cnt, z FROM z
              |WHERE abs(z) > 2.0 ORDER BY user_id, day_epoch""".stripMargin)),
 
@@ -1071,16 +1075,70 @@ object SparkEntry {
              |SELECT (SELECT count(*) FROM gaps) AS n_gap_days,
              |(SELECT count(*) FROM days) AS n_active_days""".stripMargin)),
 
+    // --- X20: bucketed CO-LOCATED join, oracle-gated — the Layout.scala
+    //     posture promoted from a plan-only test into the correctness
+    //     gate. Both sides are written bucketBy(8, custkey) (the shuffle
+    //     paid once, at write time), read back through the catalog and
+    //     joined on the bucket key; the query itself REQUIREs the join
+    //     subplan to be exchange-free before aggregating to a frame
+    //     DuckDB reproduces from the original parquet (bucketing changes
+    //     layout, never content). Broadcast is disabled on a session
+    //     clone so the assert can't be satisfied by a broadcast join. ---
+    ("x20_bucketed_join", (s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // Drop catalog entries AND stale warehouse directories: the
+      // in-memory catalog forgets tables across JVMs but the directory
+      // persists, and saveAsTable refuses a location it didn't create
+      // (LOCATION_ALREADY_EXISTS).
+      Seq("x20_customer_b", "x20_orders_b").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val base = if (wh.startsWith("file:"))
+          new java.io.File(new java.net.URI(wh).getPath)
+        else new java.io.File(wh)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        val dir = new java.io.File(base, t)
+        if (dir.exists) rm(dir)
+      }
+      Layout.writeBucketed(
+        T(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "x20_customer_b", 8, Seq("c_custkey"))
+      Layout.writeBucketed(
+        T(s, d, "orders").select(col("o_custkey"), col("o_totalprice")),
+        "x20_orders_b", 8, Seq("o_custkey"))
+      val joined = s.table("x20_customer_b")
+        .join(s.table("x20_orders_b"),
+          col("c_custkey") === col("o_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"x20_bucketed_join: co-located join must be exchange-free:\n$plan")
+      joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy(col("c_mktsegment"))
+    },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |round(sum(o_totalprice), 2) AS total_price
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // --- J11b: the SAME band join written as the naive theta form and
     //     re-planned by the BandJoinRewrite optimizer rule (installed on
     //     the session here; idempotent) — proves the rule end-to-end in
     //     the oracle gate, not just in plan asserts. Emits directed pairs
     //     incl. self-pairs (the raw join semantics; j11 is the
     //     unordered-pair operator form). ---
-    ("j11b_band_rule", (s, d) => {
-      if (!s.experimental.extraOptimizations.contains(graft.plans.BandJoinRewrite))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
+    ("j11b_band_rule", (s0, d) => {
+      // Isolated session clone: installing the rule on the SHARED session
+      // would re-plan every later query in the same JVM (and leak into the
+      // suite's TestSpark session), making plans order-dependent. The clone
+      // shares the SparkContext/conf but has its own optimizer list.
+      val s = s0.newSession()
+      s.experimental.extraOptimizations = Seq(graft.plans.BandJoinRewrite)
       val p = T(s, d, "part")
       val a = p.select(col("p_partkey").as("k1"), col("p_retailprice").as("v1"))
       val b = p.select(col("p_partkey").as("k2"), col("p_retailprice").as("v2"))

@@ -27,13 +27,30 @@ object Dedup {
     * linearly; the md5 group key shuffles uniformly. Returns
     * (hash, keep_id, dup_count). */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), md5(normalizeText(col(textCol))).as("content_hash"))
+    exactDupGroupsFromNorm(
+      df.select(col(idCol), normalizeText(col(textCol)).as("__norm")),
+      idCol, "__norm")
+
+  /** [[exactDupGroups]] over an already-normalized text column — pipelines
+    * that materialized `normalizeText` once (single-tokenization threading,
+    * e.g. `c2_corpus_pipeline`) skip re-normalizing here. */
+  def exactDupGroupsFromNorm(df: DataFrame, idCol: String,
+                             normCol: String): DataFrame =
+    df.select(col(idCol), md5(col(normCol)).as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** Exact dedup applied: keep only min-id row per normalized-content hash. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keep = exactDupGroups(df, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** [[exactDedup]] over an already-normalized text column. */
+  def exactDedupFromNorm(df: DataFrame, idCol: String,
+                         normCol: String): DataFrame = {
+    val keep = exactDupGroupsFromNorm(df, idCol, normCol)
       .select(col("keep_id").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
@@ -382,10 +399,19 @@ object Dedup {
     * semantics, tested against the uncapped form. */
   private def tokenPostings(df: DataFrame, idCol: String, textCol: String,
                             bucketCols: Seq[String],
-                            maxPostingSize: Int): DataFrame = {
-    val toks = df.select((Seq(col(idCol), col(textCol)) ++ bucketCols.map(col)): _*)
-      .withColumn("__t", array_distinct(tokens(col(textCol))))
-      .drop(textCol)
+                            maxPostingSize: Int): DataFrame =
+    tokenPostingsFromTokens(
+      df.select((Seq(col(idCol), tokens(col(textCol)).as("__t0")) ++
+        bucketCols.map(col)): _*),
+      idCol, "__t0", bucketCols, maxPostingSize)
+
+  /** [[tokenPostings]] from a precomputed token-array column. */
+  private def tokenPostingsFromTokens(df: DataFrame, idCol: String,
+                                      tokensCol: String,
+                                      bucketCols: Seq[String],
+                                      maxPostingSize: Int): DataFrame = {
+    val toks = df.select((Seq(col(idCol),
+      array_distinct(col(tokensCol)).as("__t")) ++ bucketCols.map(col)): _*)
     if (maxPostingSize <= 0) {
       toks.withColumn("__n", size(col("__t")))
         .select((Seq(col(idCol), col("__n"), explode(col("__t")).as("__tok")) ++
@@ -413,8 +439,25 @@ object Dedup {
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double,
                         bucketCols: Seq[String] = Nil,
-                        maxPostingSize: Int = 0): DataFrame = {
-    val posting = tokenPostings(df, idCol, textCol, bucketCols, maxPostingSize)
+                        maxPostingSize: Int = 0): DataFrame =
+    jaccardFromPostings(
+      tokenPostings(df, idCol, textCol, bucketCols, maxPostingSize),
+      idCol, threshold, bucketCols)
+
+  /** [[tokenJaccardPairs]] from a precomputed token-array column (the
+    * single-tokenization entry point for multi-stage pipelines). */
+  def tokenJaccardPairsFromTokens(df: DataFrame, idCol: String,
+                                  tokensCol: String, threshold: Double,
+                                  bucketCols: Seq[String] = Nil,
+                                  maxPostingSize: Int = 0): DataFrame =
+    jaccardFromPostings(
+      tokenPostingsFromTokens(df, idCol, tokensCol, bucketCols,
+        maxPostingSize),
+      idCol, threshold, bucketCols)
+
+  private def jaccardFromPostings(posting: DataFrame, idCol: String,
+                                  threshold: Double,
+                                  bucketCols: Seq[String]): DataFrame = {
     val joinKeys = "__tok" +: bucketCols
     val p1 = posting.withColumnRenamed(idCol, "id1")
       .withColumnRenamed("__n", "n1")
@@ -663,14 +706,33 @@ object Dedup {
     // per-pair DP, which parallelism absorbs; pinning evaluation to once
     // would need an optimizer barrier that costs more than it saves.)
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val cand = tokenJaccardPairs(df, idCol, textCol, candidateThreshold,
-      bucketCols, maxPostingSize).select(col("id1"), col("id2"))
+    // Single normalization: __norm is materialized once and both the
+    // candidate tokens (split of __norm) and the verify-side text lookups
+    // derive from it, instead of each stage re-running
+    // lower+regexp_replace+trim over the raw text.
+    val base = df.select((Seq(col(idCol),
+      normalizeText(col(textCol)).as("__norm")) ++ bucketCols.map(col)): _*)
+      .withColumn("__toks", split(col("__norm"), " "))
+    val cand = tokenJaccardPairsFromTokens(base, idCol, "__toks",
+      candidateThreshold, bucketCols, maxPostingSize)
+      .select(col("id1"), col("id2"))
       .repartition(nPart, col("id1"), col("id2"))
-    val norm = df.select(col(idCol), normalizeText(col(textCol)).as("__norm"))
+    val norm = base.select(col(idCol), col("__norm"))
+    // The explicit broadcast of the full normalized corpus (twice) bypasses
+    // Spark's size thresholds — fine at bench scale, but past the 8 GB
+    // broadcast / driver-memory budget it fails despite this module's
+    // 100 TB framing. Gate it on Catalyst's own size estimate: beyond
+    // 1 GiB estimated, fall back to shuffled joins on id (two corpus
+    // shuffles — the standard scale plan; the candidate side is a few MB
+    // either way and keeps the pinned 32-wide stage).
+    val normHint: DataFrame => DataFrame =
+      if (norm.queryExecution.optimizedPlan.stats.sizeInBytes <= (1L << 30))
+        broadcast _
+      else identity _
     val mx = greatest(length(col("__n1")), length(col("__n2")))
     cand
-      .join(broadcast(norm.select(col(idCol).as("id1"), col("__norm").as("__n1"))), Seq("id1"))
-      .join(broadcast(norm.select(col(idCol).as("id2"), col("__norm").as("__n2"))), Seq("id2"))
+      .join(normHint(norm.select(col(idCol).as("id1"), col("__norm").as("__n1"))), Seq("id1"))
+      .join(normHint(norm.select(col(idCol).as("id2"), col("__norm").as("__n2"))), Seq("id2"))
       // Length-band prefilter — semantics-preserving (never changes the
       // output): lev ≥ |len₁−len₂| always, so a pair whose length gap
       // alone exceeds (1−minSim)·max can't reach minSim; evaluated before

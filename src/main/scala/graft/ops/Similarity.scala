@@ -64,12 +64,19 @@ object Similarity {
     * offline; pruning correctness only needs consistent assignment). */
   def pickCentroids(items: DataFrame, itemId: String, vecCol: String,
                     nlist: Int, seed: Long = 42): DataFrame =
+    // The centroid ids are recovered by sorting the nlist survivors inside
+    // one array and posexploding, NOT via row_number over an unpartitioned
+    // window — the frame is only nlist rows either way, but the window
+    // form plans a single-partition WindowExec (and logs Spark's "No
+    // Partition Defined for Window" warning) in every ANN query.
     items.select(col(itemId), col(vecCol))
       .withColumn("__h", xxhash64(col(itemId), lit(seed)))
       .orderBy(col("__h"), col(itemId)).limit(nlist)
-      .withColumn("centroid_id",
-        (row_number().over(Window.orderBy(col("__h"), col(itemId))) - 1))
-      .select(col("centroid_id"), col(vecCol).as("centroid_vec"))
+      .agg(sort_array(collect_list(struct(
+        col("__h"), col(itemId).as("__id"), col(vecCol).as("__v"))))
+        .as("__t"))
+      .select(posexplode(col("__t")).as(Seq("__p", "__s")))
+      .select(col("__p").as("centroid_id"), col("__s.__v").as("centroid_vec"))
 
   /** Assign each row to its nearest centroid (broadcast cross-score +
     * argmin). Adds `centroid_id`. The argmin window keys on a synthetic

@@ -367,10 +367,22 @@ object TextAnalysis {
     * SQL oracle can reproduce counts exactly. */
   def decontaminationReport(test: DataFrame, train: DataFrame,
                             idCol: String, textCol: String,
-                            n: Int = 5): DataFrame = {
+                            n: Int = 5): DataFrame =
+    decontaminationReportFromTokens(
+      test.select(col(idCol), Dedup.tokens(col(textCol)).as("__toks")),
+      train.select(col(idCol), Dedup.tokens(col(textCol)).as("__toks")),
+      idCol, "__toks", n)
+
+  /** [[decontaminationReport]] from a precomputed token-array column —
+    * multi-stage pipelines that tokenized once upstream
+    * (`c2_corpus_pipeline`) thread their token column through instead of
+    * re-tokenizing both splits here. */
+  def decontaminationReportFromTokens(test: DataFrame, train: DataFrame,
+                                      idCol: String, tokensCol: String,
+                                      n: Int = 5): DataFrame = {
     def grams(df: DataFrame): DataFrame =
       df.select(col(idCol),
-        explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+        explode(Dedup.wordShinglesFromTokens(col(tokensCol), n)).as("gram"))
     // Distinct gram set of the training corpus (dedup before the join:
     // the contaminated-count is per distinct test gram, and the train
     // side only needs membership).

@@ -44,7 +44,18 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
           val leftB = Project(left.output :+ bl, left)
           val br = Floor(Divide(rv, delta))
           val one = Literal(1L, LongType)
-          val replicas = CreateArray(Seq(Subtract(br, one), br, Add(br, one)))
+          // Neighbor buckets are computed on a CLAMPED copy of br: at the
+          // Long extremes (v = ±Infinity saturates Floor's cast, or
+          // |v| >= δ·2^63) br ± 1 overflows, and under ANSI mode the
+          // rewritten plan would throw where the original theta-join just
+          // returned no match. ArrayDistinct drops the duplicate replica
+          // the clamp creates at the boundary, preserving the
+          // each-pair-meets-exactly-once invariant.
+          val brSafe = Least(Seq(
+            Greatest(Seq(br, Literal(Long.MinValue + 1L, LongType))),
+            Literal(Long.MaxValue - 1L, LongType)))
+          val replicas = ArrayDistinct(
+            CreateArray(Seq(Subtract(brSafe, one), br, Add(brSafe, one))))
           val gOut = AttributeReference("__band_r", LongType)()
           val rightB = Generate(Explode(replicas), unrequiredChildIndex = Nil,
             outer = false, qualifier = None, generatorOutput = Seq(gOut),
