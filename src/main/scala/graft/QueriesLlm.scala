@@ -524,18 +524,28 @@ object QueriesLlm {
 
     // --- ANN (IVF-style cluster pruning) with recall-vs-exact self-check ---
     ("ann_cluster_recall", (s, d) => {
+      // Measures BOTH the hash-seeded centroids and the 2-round
+      // Lloyd-refined ones (Similarity.refineCentroids) against the same
+      // exact ground truth, so the refinement's recall gain at fixed
+      // nlist/nprobe is a number in every round's output. VectorSpec pins
+      // refined >= seeded on a planted-cluster corpus.
       val e = SparkEntry.T(s, d, "embeddings")
       val qs = e.filter(col("vec_id") < 50)
       val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "vec_id",
         "embedding", 5, "cosine", excludeSelf = true)
         .select(col("query_id"), col("item_id"))
-      val approx = Similarity.clusterPrunedTopK(qs, e, "vec_id", "vec_id",
-        "embedding", 5, nlist = 16, nprobe = 4)
-        .select(col("query_id"), col("item_id"))
-      val hits = exact.join(approx, Seq("query_id", "item_id"), "left_semi")
-      hits.agg(count(lit(1)).as("n_hits"))
+      def recallOf(refineIters: Int, hitsName: String, recallName: String) = {
+        val approx = Similarity.clusterPrunedTopK(qs, e, "vec_id", "vec_id",
+          "embedding", 5, nlist = 16, nprobe = 4, refineIters = refineIters)
+          .select(col("query_id"), col("item_id"))
+        exact.join(approx, Seq("query_id", "item_id"), "left_semi")
+          .agg(count(lit(1)).as(hitsName))
+      }
+      recallOf(0, "n_hits", "recall")
+        .crossJoin(recallOf(2, "n_hits_refined", "recall_refined"))
         .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
         .withColumn("recall", col("n_hits") / col("n_exact"))
+        .withColumn("recall_refined", col("n_hits_refined") / col("n_exact"))
     }, None),
 
     // --- ANN via MLlib BucketedRandomProjectionLSH with recall self-check ---

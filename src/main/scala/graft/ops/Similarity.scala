@@ -78,6 +78,38 @@ object Similarity {
       .select(posexplode(col("__t")).as(Seq("__p", "__s")))
       .select(col("__p").as("centroid_id"), col("__s.__v").as("centroid_vec"))
 
+  /** Optional Lloyd refinement of [[pickCentroids]] (the reference trains
+    * real k-means centroids via faiss `IVF…` index factories —
+    * `src/serving/retrieval.py:88-120`; hash-picked seeds leave recall on
+    * the table at a given nprobe). `iters` rounds of assign → per-cluster
+    * mean → reassign. Each round is linear: one broadcast-centroid argmin
+    * pass plus one (cluster, dim)-keyed mean whose map-side combine keeps
+    * shuffle state at nlist·dim cells — never all-pairs, centroids stay
+    * broadcast-sized. Empty clusters keep their previous centroid, so the
+    * centroid count is stable. The tiny per-iteration frame is
+    * localCheckpointed so iteration k+1's plan doesn't re-run iteration k. */
+  def refineCentroids(items: DataFrame, vecCol: String, centroids: DataFrame,
+                      iters: Int): DataFrame = {
+    var c = centroids
+    for (_ <- 1 to iters) {
+      val assigned = assignClusters(
+        items.select(col(vecCol).as("__v")), "__v", c)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy(col("centroid_id"), col("__d"))
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("__d"), col("__m")))),
+          x => x.getField("__m").cast("float")).as("__new"))
+      c = c.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("__new"), col("centroid_vec")).as("centroid_vec"))
+        .localCheckpoint(false)
+    }
+    c
+  }
+
   /** Assign each row to its nearest centroid (broadcast cross-score +
     * argmin). Adds `centroid_id`. The argmin window keys on a synthetic
     * row id, not the row's columns — hashing/shipping an 8-byte key per
@@ -102,8 +134,11 @@ object Similarity {
   def clusterPrunedTopK(queries: DataFrame, items: DataFrame, queryId: String,
                         itemId: String, vecCol: String, k: Int,
                         nlist: Int = 64, nprobe: Int = 8,
-                        seed: Long = 42): DataFrame = {
-    val centroids = pickCentroids(items, itemId, vecCol, nlist, seed)
+                        seed: Long = 42, refineIters: Int = 0): DataFrame = {
+    val seeds = pickCentroids(items, itemId, vecCol, nlist, seed)
+    val centroids =
+      if (refineIters > 0) refineCentroids(items, vecCol, seeds, refineIters)
+      else seeds
     val itemsC = assignClusters(
       items.select(col(itemId).as("item_id"), col(vecCol).as("__iv")),
       "__iv", centroids)

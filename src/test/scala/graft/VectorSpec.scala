@@ -151,4 +151,46 @@ class VectorSpec extends AnyFunSuite {
     val recall = nHits.toDouble / nExact
     assert(recall >= 0.4, s"ANN recall $recall too low vs exact")
   }
+
+  test("Lloyd refinement never lowers recall at fixed nlist/nprobe (planted clusters)") {
+    // Planted-cluster corpus: 8 well-separated centers in 16-d, 40 points
+    // each, deterministic hash jitter. Hash-seeded centroids land several
+    // seeds inside one planted cluster and miss others; Lloyd iterations
+    // move the means toward the true centers, so probe pruning keeps more
+    // of each query's true neighborhood.
+    def jit(c: Int, i: Int, dim: Int): Float =
+      (((c * 1009 + i * 131 + dim * 17) % 997) / 997.0f - 0.5f) * 0.2f
+    val rows = for {
+      c <- 0 until 8
+      i <- 0 until 40
+    } yield {
+      val vec = (0 until 16).map { dim =>
+        (if (dim == 2 * c) 4.0f else if (dim == 2 * c + 1) -3.0f else 0.0f) +
+          jit(c, i, dim)
+      }
+      ((c * 40 + i).toLong, vec)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val qs = e.filter(col("vec_id") % 40 < 3) // 3 queries per planted cluster
+    val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "vec_id",
+      "embedding", 5, "cosine", excludeSelf = true)
+      .select("query_id", "item_id")
+    def recallAt(refineIters: Int): Double = {
+      val approx = Similarity.clusterPrunedTopK(qs, e, "vec_id", "vec_id",
+        "embedding", 5, nlist = 8, nprobe = 2, refineIters = refineIters)
+        .select("query_id", "item_id")
+      exact.join(approx, Seq("query_id", "item_id"), "left_semi").count()
+        .toDouble / exact.count()
+    }
+    val seeded = recallAt(0)
+    val refined = recallAt(2)
+    assert(refined >= seeded,
+      s"refinement lowered recall: seeded $seeded -> refined $refined")
+    // Not 1.0: Lloyd from hash seeds is a local search — two seeds landing
+    // in one planted cluster can leave another cluster shared, which
+    // refinement cannot undo (measured 0.8 here vs 0.9+ only with
+    // k-means++-style seeding, out of scope).
+    assert(refined >= 0.7,
+      s"refined recall $refined too low on planted clusters")
+  }
 }
