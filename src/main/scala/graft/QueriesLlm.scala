@@ -134,9 +134,18 @@ object QueriesLlm {
     // sf0.1. blockCombos=2 is the right knob for the opposite regime
     // (uniform fingerprints, rare dups) where bucket-accidental candidates
     // dominate; see simHashNearDups scaladoc. ---
+    // maxBucketSize=256 opted in after the sf1 scaling measurement
+    // (BENCH_SF1.md): radius 8 forces 9 pigeonhole blocks of ~7 bits, so
+    // there are only ~128 bucket keys per block and bucket depth grows
+    // WITH the corpus — candidate pairs are inherently quadratic for
+    // 64-bit fingerprints at this radius (measured 14.8× time for 10×
+    // docs, the worst non-output-bound ratio in the suite). The cap bounds
+    // any bucket's contribution at C(256,2); wider fingerprints (128-bit)
+    // are the lossless fix if a corpus needs radius 8 completeness at
+    // scale. ---
     ("d_simhash", (s, d) =>
       Dedup.simHashNearDups(SparkEntry.T(s, d, "documents"), "doc_id", "text",
-        maxHamming = 8)
+        maxHamming = 8, maxBucketSize = 256)
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("id1")).as("n_docs"),
           min(col("hamming")).as("min_hamming")), None),

@@ -1126,6 +1126,37 @@ object SparkEntry {
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // --- X6b: the x6 group-cap semantics routed through the custom
+    //     TopKByScore operator (plans/TopKByScore.scala) — makes the
+    //     whole-operator Catalyst escalation load-bearing in a grouped
+    //     rows+schema+hash query, not just the global o6 form. Score =
+    //     first 13 hex digits of md5(key) as a number (52 bits — exact in
+    //     the operator's double, collision-free at these group sizes), so
+    //     "k highest scores per group" is reproducible in the oracle as a
+    //     rank over the SAME fixed-width hex string (lowercase hex string
+    //     order IS numeric order). The query asserts the custom exec is
+    //     actually in the physical plan. ---
+    ("x6b_group_cap_topk", (s, d) => {
+      val hx = substring(md5(col("o_orderkey").cast("string")), 1, 13)
+      val scored = T(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          conv(hx, 16, 10).cast("double").as("__score"))
+      val capped = graft.plans.TopK.topKByScore(
+        scored, Seq("o_custkey"), "__score", 3)
+      val plan = capped.queryExecution.executedPlan.toString
+      require(plan.contains("TopKPerGroup"),
+        s"x6b_group_cap_topk: TopKByScore exec missing from plan:\n$plan")
+      capped.select(col("o_custkey"), col("o_orderkey"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+      Some("""WITH r AS (SELECT o_custkey, o_orderkey, row_number() OVER (
+             |  PARTITION BY o_custkey
+             |  ORDER BY substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 13) DESC,
+             |           o_orderkey) AS rn
+             |  FROM orders)
+             |SELECT o_custkey, o_orderkey FROM r WHERE rn <= 3
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // --- J11b: the SAME band join written as the naive theta form and
     //     re-planned by the BandJoinRewrite optimizer rule (installed on
     //     the session here; idempotent) — proves the rule end-to-end in

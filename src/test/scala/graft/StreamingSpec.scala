@@ -453,6 +453,54 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState at 100K keys: RocksDB state + TTL eviction hold at size (T11 state bound)") {
+    // The state-size posture tested, not asserted: 100K distinct keys each
+    // write a RocksDB state entry in one pass, then ALL of them expire via
+    // the declarative TTL and a returning key restarts at session 1 — at
+    // index 2 the state would have survived (its huge ts gap would open a
+    // new session), so the assert proves eviction actually ran at size.
+    val dir = Files.createTempDirectory("graft-tws-big").toString
+    val n = 100000L
+    spark.range(n).select(
+      col("id").as("event_id"),
+      timestamp_seconds(col("id") % 86400).as("ts"),
+      col("id").as("user_id"),
+      lit("click").as("event_type"), lit(1.0).as("value"),
+      lit("{}").as("props"))
+      .write.mode("append").parquet(dir)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = StreamingJobs.sessionizeStreamTws(
+      StreamingJobs.fileEvents(spark, dir), gapSeconds = 100L,
+      idleStateTtl = Some(java.time.Duration.ofSeconds(2)))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("tws_big_out").start()
+    def cnt(): Long = spark.table("tws_big_out").count()
+    def waitFor(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(500)
+      assert(cond, s"condition not reached; sink rows=${cnt()}")
+    }
+    try {
+      waitFor(cnt() === n) // every key sessionized -> 100K live state entries
+      Thread.sleep(4000)   // all keys idle past the 2s TTL
+      Seq((n + 1, 123L, 100000000L)).toDF("event_id", "user_id", "ts_s")
+        .withColumn("ts", timestamp_seconds(col("ts_s")))
+        .withColumn("event_type", lit("click"))
+        .withColumn("value", lit(1.0))
+        .withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      waitFor(spark.table("tws_big_out")
+        .filter(col("user_id") === 123L && col("event_id") === (n + 1))
+        .as[(Long, Long, Long)].collect().toSet
+        .exists(_._3 == 1L))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming exact dedup keeps first arrival per content hash (L1 stream form)") {
     val dir = Files.createTempDirectory("graft-sdedup").toString
     Seq(
