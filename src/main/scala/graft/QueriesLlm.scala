@@ -338,15 +338,22 @@ object QueriesLlm {
     }, None),
 
     // --- Corpus heavy hitters: global top-50 terms. TakeOrdered top-k
-    //     (no full sort); the rank window then runs over 50 rows only. ---
+    //     (no full sort); the rank is recovered by sorting the ≤50
+    //     survivors inside ONE array and posexploding — no unpartitioned
+    //     rank window (single-partition WindowExec + Spark's "No
+    //     Partition Defined for Window" warning), same device as the
+    //     eval top-100 and pickCentroids. ---
     ("t_vocab_topk", (s, d) => {
       val counts = SparkEntry.T(s, d, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("term")).limit(50)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("cnt").desc, col("term"))
-      counts.withColumn("trank", row_number().over(w).cast("bigint"))
+      counts
+        .agg(sort_array(collect_list(struct(
+          (-col("cnt")).as("nc"), col("term"), col("cnt")))).as("__t"))
+        .select(posexplode(col("__t")).as(Seq("__p", "__s")))
+        .select(col("__s.term").as("term"), col("__s.cnt").as("cnt"),
+          (col("__p") + 1).cast("bigint").as("trank"))
         .orderBy(col("trank"))
     },
       Some(s"""WITH toks AS (SELECT unnest($DuckTokens) AS term FROM documents),
