@@ -43,10 +43,19 @@ object ScaleUp {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, out, factor)
+    spark.stop()
+  }
+
+  /** Library entry point (main minus session lifecycle — tests pass the
+    * shared session). */
+  def run(spark: SparkSession, src: String, out: String,
+          factor: Int): Unit = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
 
     def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String): Unit =
@@ -121,6 +130,5 @@ object ScaleUp {
       "orders", "lineitem", "events", "documents", "embeddings")
       .map(n => s"$n=${spark.read.parquet(s"$out/$n.parquet").count()}")
     println(s"[scaleup] wrote $out factor=$factor ${counts.mkString(" ")}")
-    spark.stop()
   }
 }

@@ -52,6 +52,36 @@ class BandJoinRuleSpec extends AnyFunSuite {
     assert(joined.forall(_._1 > 5))
   }
 
+  test("extreme values: ±Infinity / huge magnitudes don't overflow the replica buckets (ANSI)") {
+    import spark.implicits._
+    // Floor(v/δ) saturates at Long.MaxValue for v = +Infinity or
+    // v >= δ·2^63; the unclamped ±1 replica arithmetic would throw
+    // ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode where the
+    // original theta-join simply returns no match. The clamp + distinct
+    // must also keep each legitimate pair matched exactly once.
+    val a = Seq(
+      (1L, 1.0), (2L, Double.PositiveInfinity),
+      (3L, Double.NegativeInfinity), (4L, 1.7e308), (5L, -1.7e308),
+      (6L, 2.0)).toDF("ida", "va")
+    val b = Seq(
+      (10L, 1.5), (20L, Double.PositiveInfinity), (30L, 1.7e308),
+      (40L, Double.NaN)).toDF("idb", "vb")
+    val joined = a.join(b, abs(col("va") - col("vb")) <= lit(1.5))
+      .select("ida", "idb").as[(Long, Long)].collect()
+    // Infinity−Infinity = NaN and huge−huge overflows to the same value
+    // minus itself = 0 for equal doubles: 1.7e308 − 1.7e308 = 0 ≤ 1.5.
+    val av = Seq(1L -> 1.0, 2L -> Double.PositiveInfinity,
+      3L -> Double.NegativeInfinity, 4L -> 1.7e308, 5L -> -1.7e308,
+      6L -> 2.0)
+    val bv = Seq(10L -> 1.5, 20L -> Double.PositiveInfinity,
+      30L -> 1.7e308, 40L -> Double.NaN)
+    val expected = (for {
+      (i, x) <- av; (k, y) <- bv if math.abs(x - y) <= 1.5
+    } yield (i, k))
+    assert(joined.sorted === expected.sorted,
+      s"got ${joined.toSeq}, expected $expected")
+  }
+
   test("non-band shapes are left untouched") {
     val (a, b) = frames
     // extra conjunct → not the pure band pattern; must still plan and run

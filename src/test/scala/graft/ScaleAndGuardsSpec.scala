@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 guards: the ScaleUp generator that BENCH_SF1.md's measurements
+  * stand on (FK consistency, exact multiplication, per-replica text
+  * cipher), and the w9 zero-variance guard (constant histories must not
+  * emit NaN z-scores). */
+class ScaleAndGuardsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ScaleUp: exact multiplication, FK consistency, cipher replicas") {
+    val src = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-scaleup").toString
+    ScaleUp.run(spark, src, out, 2)
+
+    def cnt(dir: String, t: String): Long =
+      spark.read.parquet(s"$dir/$t.parquet").count()
+    // replicated tables double; fixed dims don't
+    for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings"))
+      assert(cnt(out, t) === 2 * cnt(src, t), s"table $t")
+    for (t <- Seq("region", "nation"))
+      assert(cnt(out, t) === cnt(src, t), s"dim $t")
+
+    // FK posture preserved: orphan counts scale with the factor, never
+    // appear from key collisions across replicas
+    def orphans(dir: String): Long =
+      spark.read.parquet(s"$dir/orders.parquet")
+        .join(spark.read.parquet(s"$dir/customer.parquet"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .count()
+    assert(orphans(out) === 2 * orphans(src))
+
+    // replica 0 is the source verbatim; replica 1 is a cipher: same id
+    // set (shifted), same text lengths, different text content
+    val srcDocs = spark.read.parquet(s"$src/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val outDocs = spark.read.parquet(s"$out/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val stride = 1000000000000L
+    srcDocs.foreach { case (id, text) =>
+      assert(outDocs(id) === text, s"replica 0 changed doc $id")
+      val rep1 = outDocs(id + stride)
+      assert(rep1.length === text.length, s"cipher changed length, doc $id")
+      assert((rep1 != text) || text.forall(!_.isLetter),
+        s"replica 1 text identical for doc $id")
+    }
+  }
+
+  test("w9_anomaly: zero-variance history emits no NaN rows (guard)") {
+    val dir = Files.createTempDirectory("graft-w9").toString
+    def day(d: Int) = timestamp_seconds(lit(86400L * d + 3600L))
+    // user 1: three days of IDENTICAL counts — variance 0, z = 0/0 = NaN
+    // without the ss·n ≠ s² guard (and NaN > 2.0 holds in Spark's
+    // ordering, so the ungated form EMITS those rows)
+    val constant = (1 to 3).map(d => (d.toLong, 1L, d))
+    // user 2: nine quiet days then a 20-event spike — a real anomaly
+    val spiky = (1 to 9).map(d => (100L + d, 2L, d)) ++
+      (1 to 20).map(i => (200L + i, 2L, 10))
+    val rows = (constant ++ spiky).toDF("event_id", "user_id", "d")
+    rows.select(col("event_id"),
+        timestamp_seconds(col("d") * 86400L + 3600L).as("ts"),
+        col("user_id"), lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("w9_anomaly")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.forall(r => !r._4.isNaN), s"NaN z-scores in ${got.toSeq}")
+    assert(!got.exists(_._1 == 1L),
+      s"zero-variance user 1 must be excluded, got ${got.toSeq}")
+    assert(got.exists(r => r._1 == 2L && r._3 == 20L && r._4 > 2.0),
+      s"user 2's day-10 spike should be flagged, got ${got.toSeq}")
+  }
+}
