@@ -740,7 +740,20 @@ object Dedup {
       // near-dup-sparse corpora this kills most candidates cheaply.
       .filter(abs(length(col("__n1")) - length(col("__n2"))) <=
         (lit(1.0) - minSim) * mx)
-      .withColumn("lev", levenshtein(col("__n1"), col("__n2")))
+      // THRESHOLD-BOUNDED Levenshtein: only distances ≤ (1−minSim)·max
+      // can survive the sim filter, so the DP runs banded
+      // (O((t+1)·min(m,n)) instead of O(m·n)) and early-terminates to −1
+      // beyond the bound. +1 slack covers the round(…, 6) boundary (a raw
+      // sim up to 5e-7 below minSim still rounds up to it), so the kept
+      // pair set is bit-identical to the unbounded form; −1 rows are
+      // rejected in the SAME pinned filter below (a separate filter on
+      // the derived column would be pushed into the join condition and
+      // run the DP twice). Measured neutral at the bench's loose
+      // minSim=0.35 (band ≈ 0.65·max covers most of the matrix); the win
+      // is at production-typical tight thresholds — minSim 0.8 bounds the
+      // band at 0.2·max, ~5× less DP per pair.
+      .withColumn("lev", boundedLevenshtein(col("__n1"), col("__n2"),
+        (floor((lit(1.0) - minSim) * mx) + 1).cast("int")))
       // __pin + the always-true conjunct pin the DP to ONE evaluation
       // here: PushDownPredicates would otherwise substitute edit_sim's
       // definition into the filter and slide it into the join condition,
@@ -752,8 +765,19 @@ object Dedup {
       .withColumn("edit_sim",
         when(mx === 0, 1.0)
           .otherwise(round(lit(1.0) - col("lev").cast("double") / mx, 6)))
-      .filter(col("edit_sim") >= minSim && col("__pin") >= Long.MinValue)
+      .filter(col("lev") >= 0 && col("edit_sim") >= minSim &&
+        col("__pin") >= Long.MinValue)
       .select(col("id1"), col("id2"), col("lev").cast("long").as("lev"),
         col("edit_sim"))
   }
+
+  /** Spark's threshold-bounded Levenshtein (returns −1 beyond the bound;
+    * banded DP with early termination). The `functions.levenshtein`
+    * 3-arg overload only takes a literal Int threshold, so the per-row
+    * bound goes through the expression constructor directly. */
+  private def boundedLevenshtein(a: Column, b: Column, t: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Levenshtein(
+        ColumnBridge.expression(a), ColumnBridge.expression(b),
+        Some(ColumnBridge.expression(t))))
 }
