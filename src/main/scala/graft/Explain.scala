@@ -3,15 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Plan-audit utility: prints the formatted physical plan of one or more
-  * SparkEntry queries (default: a pushdown/broadcast-sensitive sample).
-  * Usage: runMain graft.Explain [sfDir] [queryName...]
+  * SparkEntry queries (default: a pushdown/broadcast-sensitive sample),
+  * or — with `--audit` — sweeps the WHOLE registry and prints summary
+  * plan-invariant counts (cartesian products, nested-loop joins, pushed
+  * filters, rank-limit pushdowns) plus the offending query names.
+  * Usage: runMain graft.Explain [--audit] [sfDir] [queryName...]
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("p_scan_filter_project", "j2_multiway_join", "r3_vec_topk",
-        "w3_topk_per_group", "a6_multiwindow_agg")
+    val audit = args.contains("--audit")
+    val rest = args.filterNot(_ == "--audit")
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -19,9 +21,36 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    if (audit) {
+      var cartesian = List.empty[String]
+      var bnlj = List.empty[String]
+      var failed = List.empty[String]
+      var pushed = 0
+      var wgl = 0
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+        try {
+          val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+          if (p.contains("CartesianProduct")) cartesian ::= n
+          if (p.contains("BroadcastNestedLoopJoin")) bnlj ::= n
+          pushed += "PushedFilters: \\[[^\\]]".r.findAllIn(p).length
+          wgl += "WindowGroupLimit".r.findAllIn(p).length
+        } catch { case e: Throwable => failed ::= s"$n (${e.getMessage})" }
+      }
+      println(s"[audit] queries=${SparkEntry.queries.size} " +
+        s"cartesian=${cartesian.size} bnlj=${bnlj.size} " +
+        s"pushed_filters=$pushed window_group_limit=$wgl " +
+        s"plan_failures=${failed.size}")
+      if (cartesian.nonEmpty) println(s"[audit] CARTESIAN: ${cartesian.sorted.mkString(", ")}")
+      if (bnlj.nonEmpty) println(s"[audit] BNLJ (verify each is an intended one-row scalar cross): ${bnlj.sorted.mkString(", ")}")
+      if (failed.nonEmpty) println(s"[audit] FAILED: ${failed.sorted.mkString(", ")}")
+    } else {
+      val names = if (rest.length > 1) rest.drop(1).toSeq
+        else Seq("p_scan_filter_project", "j2_multiway_join", "r3_vec_topk",
+          "w3_topk_per_group", "a6_multiwindow_agg")
+      names.foreach { n =>
+        println(s"\n========== $n ==========")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
     }
     spark.stop()
   }
