@@ -461,6 +461,21 @@ object SparkEntry {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
 
+    // --- O7: exact global row_number WITHOUT a single-partition window —
+    //     range-partitioned parallel ranking via partition offsets
+    //     (Relational.globalRowNumber). The general device behind this
+    //     round's unpartitioned-window kills, oracle-proven exact against
+    //     DuckDB's true global row_number. ---
+    ("o7_global_rownumber", (s, d) =>
+      Relational.globalRowNumber(
+        T(s, d, "orders").filter(col("o_totalprice") > 150000.0),
+        Seq(col("o_totalprice").desc, col("o_orderkey")))
+        .select(col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("rn")),
+      Some("""SELECT o_orderkey, o_totalprice,
+             |row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |FROM orders WHERE o_totalprice > 150000.0 ORDER BY rn""".stripMargin)),
+
     // --- J3/P7: per-window agg frames full-outer combined + fill (A-fanout alt) ---
     ("j3_outer_join_fill", (s, d) => {
       val ev = E(s, d)
@@ -641,6 +656,31 @@ object SparkEntry {
       Some("""SELECT doc_id, md5(text) AS text_md5,
              |CAST(length(text) AS INTEGER) AS text_len
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // --- F24: Morton/Z-value computation (Layout.zValue2) — the cluster
+    //     key behind zorderWrite, oracle-proven bit-exact against the same
+    //     parallel-prefix bit spread written in DuckDB integer arithmetic.
+    //     Dimensions here: p_size (small int) × a 16-bit key bucket. ---
+    ("f_zorder", (s, d) =>
+      T(s, d, "part")
+        .select(col("p_partkey"), col("p_size"),
+          pmod(col("p_partkey"), lit(65536L)).as("kb"))
+        .withColumn("z", Layout.zValue2(col("p_size"), col("kb")))
+        .select(col("p_partkey"), col("p_size"), col("z"))
+        .orderBy(col("p_partkey")),
+      Some("""WITH base AS (SELECT p_partkey, p_size, p_partkey % 65536 AS kb FROM part),
+             |sa AS (SELECT *, p_size & 65535 AS a0 FROM base),
+             |sb AS (SELECT *, (a0 | (a0 << 8)) & 16711935 AS a1 FROM sa),
+             |sc AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2 FROM sb),
+             |sd AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3 FROM sc),
+             |se AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4 FROM sd),
+             |ta AS (SELECT *, kb & 65535 AS b0 FROM se),
+             |tb AS (SELECT *, (b0 | (b0 << 8)) & 16711935 AS b1 FROM ta),
+             |tc AS (SELECT *, (b1 | (b1 << 4)) & 252645135 AS b2 FROM tb),
+             |td AS (SELECT *, (b2 | (b2 << 2)) & 858993459 AS b3 FROM tc),
+             |te AS (SELECT *, (b3 | (b3 << 1)) & 1431655765 AS b4 FROM td)
+             |SELECT p_partkey, p_size, (a4 | (b4 << 1)) AS z
+             |FROM te ORDER BY p_partkey""".stripMargin)),
 
     // --- T3/T4: tumbling 5-min window features (batch form) ---
     ("t3_window_5min", (s, d) => {
@@ -1025,6 +1065,39 @@ object SparkEntry {
              |CAST(floor(epoch(mx)) AS BIGINT) AS last_ts
              |FROM m ORDER BY user_id""".stripMargin)),
 
+    // --- X21: salted two-phase aggregation (Layout.saltedSumCount) in the
+    //     oracle gate. event_type has ~6 values over 100 K events — at
+    //     100 TB one hot key serializes the final reduce; the salt spreads
+    //     each key over 16 partial groups first, and the oracle proves the
+    //     two-phase result equals a direct GROUP BY (salting reshapes the
+    //     shuffle, never the algebra). round(...,2) absorbs the partial-
+    //     sum reassociation ulps, as everywhere else in the suite. ---
+    ("x21_salted_agg", (s, d) =>
+      Layout.saltedSumCount(E(s, d), Seq("event_type"), "value", 16)
+        .select(col("event_type"),
+          round(col("sum_value"), 2).as("sum_value"), col("cnt"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, round(sum(value), 2) AS sum_value,
+             |count(*) AS cnt FROM events
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // --- X22: skew-proof exact distinct — the two-stage expansion
+    //     (groupBy(key, value) partial, then groupBy(key)) that keeps an
+    //     exact COUNT(DISTINCT) scalable when one key holds most of the
+    //     data: stage 1 dedupes on (key, value) with map-side combine, so
+    //     the hot key's final group sees only its DISTINCT values, not its
+    //     rows. The form to reach for before approx_count_distinct gives
+    //     up exactness. ---
+    ("x22_skew_distinct", (s, d) =>
+      E(s, d).groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"), sum(col("__n")).as("n_events"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+             |CAST(count(*) AS BIGINT) AS n_events FROM events
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // --- X18: referential-integrity audit — orphaned foreign keys
     //     counted across the star schema in one pass of left-anti joins
     //     (each shuffles only the key column; dims broadcast). The
@@ -1124,6 +1197,45 @@ object SparkEntry {
       Some("""SELECT c_mktsegment, count(*) AS n_orders,
              |round(sum(o_totalprice), 2) AS total_price
              |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- J13: runtime bloom-filter join (Catalyst InjectRuntimeFilter).
+    //     At 100 TB the fact join's probe side scans the FULL fact table
+    //     before the join drops 97% of it; with runtime filtering Spark
+    //     builds a bloom filter from the dim side's selective predicate at
+    //     RUNTIME and pushes might_contain into the fact scan — rows (and
+    //     whole row groups, via min/max + the semi-join filter) are
+    //     dropped AT THE SCAN, not at the join. The local thresholds are
+    //     lowered on a session clone (defaults target 10 GB+ scans);
+    //     broadcast is disabled so the filter targets a real shuffle join,
+    //     and the query REQUIREs the bloom filter in the optimized plan so
+    //     a silent non-injection can't pass. ---
+    ("j13_bloom_join", (s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
+      val ord = T(s, d, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 250000.0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      require(opt.contains("bloom_filter") || opt.contains("might_contain"),
+        s"j13_bloom_join: runtime bloom filter not injected:\n$opt")
+      joined.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    },
+      Some("""SELECT o_orderstatus, count(*) AS n_items,
+             |round(sum(l_extendedprice), 2) AS sum_price,
+             |round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderstatus = 'F' AND o_totalprice > 250000.0
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // --- X6b: the x6 group-cap semantics routed through the custom

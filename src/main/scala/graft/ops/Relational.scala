@@ -94,6 +94,52 @@ object Relational {
       .drop(numCol)
   }
 
+  /** Exact global `row_number` WITHOUT the single-partition window.
+    * `row_number().over(Window.orderBy(...))` moves every row to one task —
+    * the scale-killer this round hunted down elsewhere. This device keeps
+    * the ranking exact AND parallel:
+    *
+    *   1. range-partition on the sort order (parallel total order across
+    *      partitions — partition i's rows all sort before partition i+1's);
+    *   2. rank within each partition with a PARTITIONED window (parallel);
+    *   3. add each partition's global start offset, computed from the
+    *      per-partition counts.
+    *
+    * The offsets frame is #partitions rows — bounded by cluster
+    * configuration, not by data — so its prefix-sum window and broadcast
+    * are O(config), the same documented bound as `fitEncoder`'s
+    * vocabulary-sized window. Both data-sized branches hang off ONE range
+    * exchange (Catalyst's ReuseExchange dedupes them in the single plan);
+    * the per-pid window re-clusters by `__pid`, a second parallel shuffle —
+    * two parallel shuffles in place of one serial task.
+    *
+    * `sortCols` must be a total order (unique tiebreak) for the ranks to be
+    * well-defined; ties crossing a range boundary would otherwise make
+    * ranks partition-placement-dependent. */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+                      rnCol: String = "rn"): DataFrame = {
+    val parted = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    // The prefix sum runs on ONE partition by construction — the frame is
+    // #partitions rows (config-bounded, not data-sized). The constant
+    // partition key states that intent explicitly instead of tripping
+    // WindowExec's "no partition defined" warning on every run; it must be
+    // column-derived (pid % 1, always 0) because a foldable literal would
+    // be optimized out of the partition spec, resurrecting the warning.
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(
+          Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    parted.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rnCol,
+        row_number().over(wLocal).cast("long") + col("__offset"))
+      .drop("__pid", "__offset")
+  }
+
   /** W1 (+J4): leave-last-N-per-user split (ref `src/data/movielens.py:204-236`):
     * the N most recent interactions per user → test, remainder → train.
     * One shuffle on `userCol`; rides `WindowGroupLimit` when filtered to

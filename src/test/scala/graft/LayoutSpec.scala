@@ -103,6 +103,68 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("zValue2 golden: exact Morton interleave") {
+    // a-bits land at even positions, b-bits at odd:
+    // z(3,5): spread(3)=0b101=5, spread(5)=0b010001=17 → 5 | (17<<1) = 39
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(Layout.zValue2(col("a"), col("b")).as("z"))
+      .as[Long].collect().toSeq
+    assert(rows === Seq(0L, 1L, 2L, 39L, 4294967295L))
+  }
+
+  test("zorderWrite clusters BOTH dimensions; linear sort only its own") {
+    // 64×64 grid: x = id % 64, y = id / 64. A layout's pruning power on a
+    // dimension is how narrow each file's min/max span of it is — that is
+    // exactly what parquet row-group skipping uses. Linear x-sort leaves
+    // every file spanning the full y domain; Z-order gives each of the 16
+    // files a compact rectangle, so BOTH spans shrink.
+    val grid = spark.range(4096)
+      .select((col("id") % 64).as("x"),
+        (col("id") / 64).cast("long").as("y"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft-linear").toString
+    Layout.zorderWrite(grid, "x", "y", zDir, nFiles = 16)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(linDir)
+    def avgSpan(dir: String, dim: String): Double = {
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(dim)) - min(col(dim))).as("span"))
+        .select(avg(col("span"))).as[Double].head()
+      spans
+    }
+    val zx = avgSpan(zDir, "x"); val zy = avgSpan(zDir, "y")
+    val lx = avgSpan(linDir, "x"); val ly = avgSpan(linDir, "y")
+    // linear: x tightly clustered, y spans ~the whole domain per file
+    assert(lx <= 8.0, s"linear x span $lx")
+    assert(ly >= 48.0, s"linear y span $ly")
+    // z-order: both dims bounded well under the 63-wide domain
+    assert(zx <= 24.0, s"zorder x span $zx")
+    assert(zy <= 24.0, s"zorder y span $zy")
+    // round-trip: layout never changes content
+    assert(spark.read.parquet(zDir).as[(Long, Long)].collect().toSet ===
+      grid.as[(Long, Long)].collect().toSet)
+  }
+
+  test("globalRowNumber: exact parallel ranking without a global window") {
+    import graft.ops.Relational
+    // multi-partition input, tie-heavy score + unique tiebreak; compare
+    // against a driver-side sort of the same order
+    val df = spark.range(10000).select(
+      (col("id") * 2654435761L % 9973L).as("score"), col("id"))
+    val got = Relational.globalRowNumber(
+        df, Seq(col("score"), col("id")), rnCol = "rn")
+      .orderBy(col("rn")).select(col("id"), col("rn"))
+      .as[(Long, Long)].collect().toSeq
+    val want = df.orderBy(col("score"), col("id"))
+      .select(col("id")).as[Long].collect().toSeq.zipWithIndex
+      .map { case (i, r) => (i, r + 1L) }
+    assert(got === want)
+    // ranks are a contiguous 1..n permutation
+    assert(got.map(_._2) === (1L to 10000L))
+  }
+
   test("round-6 queries plan without cartesian products; pruned scans") {
     val sf = "/root/testdata/sf0.001"
     // Candidate-bounded pair generators and the gram semi-join must never
