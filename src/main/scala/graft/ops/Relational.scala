@@ -46,16 +46,19 @@ object Relational {
 
   /** W2: global ordered fractional split (ref `src/data/movielens.py:162-202`):
     * sort by time, first `trainFrac` → train, next `valFrac` → val, rest test.
-    * Exact form: `row_number` over a global order (single-partition window —
-    * correct for oracle parity; use [[timeSplitApprox]] at scale).
-    * `tiebreakCol` makes the ordering total so results are deterministic.
+    * Exact form, now scale-safe too: ranks come from [[globalRowNumber]]
+    * (range-partitioned parallel ranking — no single-partition window),
+    * and the total count is a one-row scalar attached by broadcast cross
+    * join (the suite's standard scalar-attach shape) instead of a global
+    * `count() over ()`. `tiebreakCol` makes the ordering total so results
+    * are deterministic. [[timeSplitApprox]] remains the one-scan variant
+    * when boundary-exact membership isn't required.
     */
   def timeSplit(df: DataFrame, tsCol: String, tiebreakCol: String,
                 trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
-    val w = Window.orderBy(col(tsCol), col(tiebreakCol))
-    val wAll = Window.partitionBy()
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wAll))
+    val total = df.select(count(lit(1)).as("__n"))
+    globalRowNumber(df, Seq(col(tsCol), col(tiebreakCol)), rnCol = "__rn")
+      .crossJoin(broadcast(total))
       .withColumn("split",
         when(col("__rn") <= col("__n") * trainFrac, "train")
           .when(col("__rn") <= col("__n") * (trainFrac + valFrac), "val")
