@@ -383,9 +383,8 @@ object QueriesLlm {
       val counts = SparkEntry.T(s, d, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("cnt").desc, col("term"))
-      counts.withColumn("r", row_number().over(w))
+      graft.ops.Relational.globalRowNumber(
+          counts, Seq(col("cnt").desc, col("term")), rnCol = "r")
         .agg(round(regr_slope(log(col("cnt")), log(col("r"))), 6)
             .as("zipf_slope"),
           count(lit(1)).as("n_terms"))
@@ -425,12 +424,14 @@ object QueriesLlm {
     //     at 100 TB swap in an approx_percentile threshold (documented
     //     trade: boundary docs within sketch error of the cut). ---
     ("t_quality_filter", (s, d) => {
+      // qrank via the parallel global ranking — this frame is DOC-sized,
+      // the one place in the text tranche a single-partition window would
+      // genuinely serialize the corpus.
       val scored = TextAnalysis.unigramLogProb(
         SparkEntry.T(s, d, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("avg_logprob"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("avg_logprob"), col("doc_id"))
-      scored.withColumn("qrank", row_number().over(w).cast("bigint"))
+      graft.ops.Relational.globalRowNumber(
+          scored, Seq(col("avg_logprob"), col("doc_id")), rnCol = "qrank")
         .crossJoin(broadcast(scored.agg(count(lit(1)).as("__n"))))
         .filter(col("qrank") > floor(col("__n") / 10))
         .select(col("doc_id"), col("avg_logprob"), col("qrank"))

@@ -908,17 +908,29 @@ object SparkEntry {
              |count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
              |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin)),
 
-    // --- P13: quantile binning (decile discretization) — ntile over a
-    //     total order (value, key) so tie assignment is deterministic.
-    //     Exact global ntile needs the single-partition sort; the scale
-    //     path is Relational.binByQuantiles (approx_percentile boundaries
-    //     + broadcast per-row lookup — linear, no global sort). ---
+    // --- P13: quantile binning (decile discretization) over a total
+    //     order (value, key) so tie assignment is deterministic. Exact
+    //     ntile WITHOUT the single-partition sort: rank in parallel
+    //     (globalRowNumber), then apply ntile's published bucket rule
+    //     arithmetically — the first n%k buckets get ⌊n/k⌋+1 rows, the
+    //     rest ⌊n/k⌋ (degenerates correctly to one row per bucket when
+    //     n < k). Relational.binByQuantiles remains the one-scan
+    //     approx-boundary variant. ---
     ("p_quantile_bin", (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      T(s, d, "orders")
-        .select(col("o_orderkey"), col("o_totalprice"),
-          ntile(10).over(w).cast("long").as("decile"))
+      val ranked = Relational.globalRowNumber(
+        T(s, d, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice"), col("o_orderkey")), rnCol = "__rn")
+        .crossJoin(broadcast(
+          T(s, d, "orders").agg(count(lit(1)).as("__n"))))
+      val k = lit(10L)
+      val sz = floor(col("__n") / k)
+      val rem = col("__n") % k
+      val headRows = rem * (sz + 1)
+      val decile = when(col("__rn") <= headRows,
+          floor((col("__rn") - 1) / (sz + 1)) + 1)
+        .otherwise(rem + floor((col("__rn") - 1 - headRows) / sz) + 1)
+      ranked
+        .select(col("o_totalprice"), decile.cast("long").as("decile"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("cnt"),
           min(col("o_totalprice")).as("lo"),

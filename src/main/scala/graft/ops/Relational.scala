@@ -159,13 +159,15 @@ object Relational {
   /** P11: label/ID encoding with sklearn-`LabelEncoder` parity — indices
     * assigned by SORTED key order (ref `src/data/movielens.py:299-303`;
     * SURVEY §7.4.6: StringIndexer's frequency order does NOT match).
-    * Exact form: dense_rank over the distinct-key set (the window is global
-    * but only over distinct keys, which are small for id vocabularies).
-    * Unseen keys on [[encodeWith]] get `unknownIndex` (ref
-    * `feature_engineering.py:370-377`). */
+    * On the distinct-key frame dense_rank equals row_number, so the rank
+    * comes from [[globalRowNumber]] — parallel even when the vocabulary
+    * itself is huge ([[hashedFeatures]] remains the dictionary-free
+    * escape for unbounded vocabs). Unseen keys on [[encodeWith]] get
+    * `unknownIndex` (ref `feature_engineering.py:370-377`). */
   def fitEncoder(df: DataFrame, keyCol: String, idxCol: String): DataFrame =
-    df.select(keyCol).distinct()
-      .withColumn(idxCol, (dense_rank().over(Window.orderBy(col(keyCol))) - 1))
+    globalRowNumber(df.select(keyCol).distinct(), Seq(col(keyCol)),
+      rnCol = idxCol)
+      .withColumn(idxCol, col(idxCol) - 1)
 
   def encodeWith(df: DataFrame, encoder: DataFrame, keyCol: String,
                  idxCol: String, unknownIndex: Int = -1): DataFrame =

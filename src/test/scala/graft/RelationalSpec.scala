@@ -69,12 +69,12 @@ class RelationalSpec extends AnyFunSuite {
   test("id encoder assigns sorted order (sklearn LabelEncoder parity, SURVEY §7.4.6)") {
     val df = Seq("banana", "apple", "cherry", "apple").toDF("k")
     val enc = Relational.fitEncoder(df, "k", "idx")
-    val m = enc.as[(String, Int)].collect().toMap
-    assert(m === Map("apple" -> 0, "banana" -> 1, "cherry" -> 2))
+    val m = enc.as[(String, Long)].collect().toMap
+    assert(m === Map("apple" -> 0L, "banana" -> 1L, "cherry" -> 2L))
     val encoded = Relational.encodeWith(
       Seq("cherry", "durian").toDF("k"), enc, "k", "idx", unknownIndex = -1)
-    val got = encoded.as[(String, Int)].collect().toMap
-    assert(got === Map("cherry" -> 2, "durian" -> -1))
+    val got = encoded.as[(String, Long)].collect().toMap
+    assert(got === Map("cherry" -> 2L, "durian" -> -1L))
   }
 
   test("negative sampling: disjoint from positives, n per user, deterministic (test_data_loading.py:243-278)") {
