@@ -1250,6 +1250,39 @@ object SparkEntry {
              |WHERE o_orderstatus = 'F' AND o_totalprice > 250000.0
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // --- J14: interval-containment join with NO equality key
+    //     (Relational.intervalJoin) — top-20 orders spawn ±7-day
+    //     "promotion windows"; every order whose day falls inside a
+    //     window is attributed to it. The naive BETWEEN theta form is a
+    //     nested-loop cross product; the cell-explode rewrite keeps it an
+    //     equi-join. Day numbers (date − epoch) on both sides so the
+    //     bucket arithmetic is integer-exact in both engines. ---
+    ("j14_interval_join", (s, d) => {
+      val day = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date"))
+      val promos = T(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+        .select(col("o_orderkey").as("promo_id"),
+          (day - 7).cast("long").as("w_start"),
+          (day + 7).cast("long").as("w_end"))
+      val pts = T(s, d, "orders")
+        .select(col("o_orderkey"), day.cast("long").as("o_day"))
+      Relational.intervalJoin(pts, "o_day", promos, "w_start", "w_end",
+          bucketWidth = 16L)
+        .groupBy(col("promo_id"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("promo_id"))
+    },
+      Some("""WITH promo AS (SELECT o_orderkey AS promo_id,
+             |  (CAST(o_orderdate AS DATE) - DATE '1970-01-01') - 7 AS w_start,
+             |  (CAST(o_orderdate AS DATE) - DATE '1970-01-01') + 7 AS w_end
+             |  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20),
+             |pts AS (SELECT o_orderkey,
+             |  CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS o_day FROM orders)
+             |SELECT promo_id, count(*) AS n_orders
+             |FROM promo JOIN pts ON o_day BETWEEN w_start AND w_end
+             |GROUP BY 1 ORDER BY promo_id""".stripMargin)),
+
     // --- X6b: the x6 group-cap semantics routed through the custom
     //     TopKByScore operator (plans/TopKByScore.scala) — makes the
     //     whole-operator Catalyst escalation load-bearing in a grouped

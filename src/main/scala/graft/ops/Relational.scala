@@ -350,6 +350,41 @@ object Relational {
       .select(col("id1"), col("id2"), col("v1"), col("v2"))
   }
 
+  /** J14: interval-containment join — every (point, interval) pair with
+    * `startCol <= point <= endCol`, with NO equality key available. The
+    * naive theta form plans a BroadcastNestedLoop/cartesian (O(|P|·|I|)
+    * comparisons); this form discretizes the domain into `bucketWidth`
+    * cells, explodes each interval into the cells it covers (`sequence`),
+    * equi-joins points to cells, and verifies exact containment on the
+    * candidates. A point occupies exactly one cell, so no pair is emitted
+    * twice. Cost is O(|P| + Σ cells-per-interval + candidates) — the
+    * asymmetric [start, end] sibling of [[bandJoin]]'s symmetric
+    * |a−b| ≤ δ buckets. Intervals wider than `maxCellsPerInterval` cells
+    * are a loud eval-time error (one open-ended interval would otherwise
+    * silently explode the build side — pick `bucketWidth` near the
+    * typical interval span); inverted intervals (end < start) match
+    * nothing and are dropped up front. */
+  def intervalJoin(points: DataFrame, pointCol: String,
+                   intervals: DataFrame, startCol: String, endCol: String,
+                   bucketWidth: Long,
+                   maxCellsPerInterval: Int = 64): DataFrame = {
+    require(bucketWidth > 0, "intervalJoin needs a positive bucketWidth")
+    val sCell = floor(col(startCol) / bucketWidth).cast("long")
+    val eCell = floor(col(endCol) / bucketWidth).cast("long")
+    val guardedStart = when(eCell - sCell >= maxCellsPerInterval.toLong,
+        raise_error(lit(s"intervalJoin: interval spans >= $maxCellsPerInterval " +
+          s"cells of width $bucketWidth — widen bucketWidth or split the interval")))
+      .otherwise(sCell)
+    val cells = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("__cell", explode(sequence(guardedStart, eCell)))
+    points
+      .withColumn("__cell", floor(col(pointCol) / bucketWidth).cast("long"))
+      .join(cells, Seq("__cell"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__cell")
+  }
+
   /** Deterministic WEIGHTED Bernoulli sampling: each row is kept with its
     * own probability `prob` (any per-row expression in [0,1] — an
     * importance weight, a quality score, a per-domain mix rate), decided

@@ -280,6 +280,37 @@ class RelationalSpec extends AnyFunSuite {
       s"band join must stay an equi-join:\n$plan")
   }
 
+  test("intervalJoin: equals the naive BETWEEN result, plans as an equi-join") {
+    // points on a line; intervals of assorted widths incl. cell-straddlers,
+    // a zero-width interval, and an inverted one (matches nothing)
+    val pts = (1L to 300L).map(i => (i, (i * 2654435761L) % 500L))
+      .toDF("pid", "p")
+    val ivs = Seq((1L, 10L, 40L), (2L, 35L, 36L), (3L, 100L, 100L),
+      (4L, 250L, 180L), (5L, 480L, 499L), (6L, 0L, 63L))
+      .toDF("iid", "s", "e")
+    val got = Relational.intervalJoin(pts, "p", ivs, "s", "e",
+        bucketWidth = 32L)
+      .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+    val p = pts.as[(Long, Long)].collect()
+    val iv = ivs.as[(Long, Long, Long)].collect()
+    val naive = (for {
+      (pid, pv) <- p; (iid, s, e) <- iv if pv >= s && pv <= e
+    } yield (pid, iid)).toSet
+    assert(got === naive)
+    val plan = Relational.intervalJoin(pts, "p", ivs, "s", "e", 32L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join must stay an equi-join:\n$plan")
+    // an interval wider than maxCellsPerInterval cells errors loudly
+    val wide = Seq((9L, 0L, 10000L)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      Relational.intervalJoin(pts, "p", wide, "s", "e", 32L,
+        maxCellsPerInterval = 4).collect()
+    }
+    assert(ex.getMessage.contains("intervalJoin"))
+  }
+
   test("hashSplit: a null key is a loud error, not a silent last-split row") {
     val df = Seq(Some("a"), Some("b"), None).toDF("k")
     val ex = intercept[Exception] {
