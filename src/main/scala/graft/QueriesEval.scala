@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.eval.RankingMetrics
 import graft.functions.{Vectors => V}
-import graft.ops.Similarity
+import graft.ops.{Relational, Similarity}
 
 /** Eval-metric (SURVEY §2.10 E1–E10) and vector (§2.9 R1–R3, R9, R10)
   * query tranche: the §3.2 evaluation pipeline re-enacted on the driver
@@ -507,11 +507,18 @@ object QueriesEval {
     // --- R11: Spearman rank correlation per group (metrics.py:481-527;
     //     Kendall intentionally omitted — the reference never calls it) ---
     ("r11_spearman", (s, d) => {
+      // Per-group rank via the PARALLEL rankInGroups device: the direct
+      // rank().over(partitionBy(l_returnflag)) serializes into 3 tasks of
+      // n/3 rows each (the group key has 3 values) — measured 12x at the
+      // sf1 scale bench before this reroute. Ranks are identical, so the
+      // oracle keeps the plain window SQL.
       val li = SparkEntry.T(s, d, "lineitem")
-      val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-      val wp = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-      li.select(col("l_returnflag"),
-        rank().over(wq).as("rq"), rank().over(wp).as("rp"))
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+      val ranked = Relational.rankInGroups(
+        Relational.rankInGroups(li, "l_returnflag", "l_quantity", "rq"),
+        "l_returnflag", "l_extendedprice", "rp")
+      ranked
         .groupBy(col("l_returnflag"))
         .agg(round(corr(col("rq"), col("rp")), 6).as("spearman"),
           count(lit(1)).as("cnt"))

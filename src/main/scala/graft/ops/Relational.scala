@@ -350,6 +350,31 @@ object Relational {
       .select(col("id1"), col("id2"), col("v1"), col("v2"))
   }
 
+  /** Exact SQL `rank()` within LOW-cardinality groups, in parallel.
+    * `rank().over(Window.partitionBy(g).orderBy(v))` with a 3-value group
+    * key plans 3 single-task sorts of n/3 rows each — the per-group twin
+    * of the unpartitioned-window scale killer (parallelism = #groups, not
+    * #cores). Here the rank is recovered from [[globalRowNumber]] over
+    * (group, value): rank = (min global row number of the row's (g, v)
+    * tie class) − (min global row number of its group) + 1 — every step a
+    * parallel shuffle keyed by (g, v), group-size-independent. The
+    * group-minimum frame is #groups rows, broadcast. Intra-tie row-number
+    * order is irrelevant (only the tie-class min is used), so no tiebreak
+    * column is needed. */
+  def rankInGroups(df: DataFrame, groupCol: String, valueCol: String,
+                   rankCol: String): DataFrame = {
+    val rn = globalRowNumber(df, Seq(col(groupCol), col(valueCol)),
+      rnCol = "__grn")
+    val tieMin = rn.groupBy(col(groupCol), col(valueCol))
+      .agg(min(col("__grn")).as("__tmn"))
+    val grpMin = tieMin.groupBy(col(groupCol))
+      .agg(min(col("__tmn")).as("__gmn"))
+    rn.join(tieMin, Seq(groupCol, valueCol))
+      .join(broadcast(grpMin), Seq(groupCol))
+      .withColumn(rankCol, col("__tmn") - col("__gmn") + 1)
+      .drop("__grn", "__tmn", "__gmn")
+  }
+
   /** J14: interval-containment join — every (point, interval) pair with
     * `startCol <= point <= endCol`, with NO equality key available. The
     * naive theta form plans a BroadcastNestedLoop/cartesian (O(|P|·|I|)

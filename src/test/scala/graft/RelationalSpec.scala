@@ -280,6 +280,20 @@ class RelationalSpec extends AnyFunSuite {
       s"band join must stay an equi-join:\n$plan")
   }
 
+  test("rankInGroups equals the window rank() exactly, ties included") {
+    // 3 groups, heavy ties (values mod 7) — the low-cardinality-group
+    // shape whose direct window serializes into #groups tasks
+    val df = (1L to 2000L)
+      .map(i => (s"g${i % 3}", (i * 2654435761L) % 7L, i)).toDF("g", "v", "id")
+    val got = Relational.rankInGroups(df, "g", "v", "rk")
+      .select(col("id"), col("rk")).as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+    val want = df.select(col("id"), rank().over(w).cast("long").as("rk"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
   test("intervalJoin: equals the naive BETWEEN result, plans as an equi-join") {
     // points on a line; intervals of assorted widths incl. cell-straddlers,
     // a zero-width interval, and an inverted one (matches nothing)
