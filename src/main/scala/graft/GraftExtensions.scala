@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expr.{MinHashSignature, SimHash64, VectorDot, VectorNormSq}
+import graft.functions.expr.{HeavyHittersAgg, MinHashSignature, SimHash64, VectorDot, VectorNormSq}
 
 /** Catalyst extension entry point (SURVEY §7.3): exposes graft's native
   * expressions to SQL as `vector_dot` / `vector_norm_sq` / `sim_hash64` /
@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSignature].getName,
         "min_hash_signature"),
       GraftExtensions.buildMinHash))
+    e.injectFunction((FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
+      GraftExtensions.buildHeavyHitters))
     // Whole-operator escalation: per-group top-k-by-score planned as
     // partial heap → exchange → final heap (graft.plans.TopKByScore).
     e.injectPlannerStrategy(_ => graft.plans.TopKByScoreStrategy)
@@ -58,6 +61,19 @@ object GraftExtensions {
     MinHashSignature(args.head, params.map(_._1), params.map(_._2))
   }
 
+  /** heavy_hitters(col, k) — k must be a foldable integer literal (it
+    * sizes the Misra-Gries state). */
+  private[graft] val buildHeavyHitters: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, "heavy_hitters(col, k)")
+    val k = args(1) match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"heavy_hitters: k must be an integer literal, got $other")
+    }
+    HeavyHittersAgg(args.head, k)
+  }
+
   /** Register the graft SQL functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -68,6 +84,8 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("sim_hash64",
       (args: Seq[Expression]) => SimHash64(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("min_hash_signature", buildMinHash,
+      "scala_udf")
+    reg.createOrReplaceTempFunction("heavy_hitters", buildHeavyHitters,
       "scala_udf")
   }
 }

@@ -908,6 +908,60 @@ object SparkEntry {
              |count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
              |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin)),
 
+    // --- A17: Misra-Gries heavy hitters (native TypedImperativeAggregate,
+    //     functions/expr/HeavyHittersAgg.scala — the custom-AGGREGATE
+    //     Catalyst surface). O(k) state per partition, one k-entry summary
+    //     per partition on the shuffle — the scalable replacement for a
+    //     full groupBy(term).count() when only frequent items matter.
+    //     Exact regime here: distinct event_types < k−1, so no decrement
+    //     ever fires, counts are exact and order-independent →
+    //     DuckDB-oracle-gated. The approximate regime's n/k guarantee is
+    //     measured by a18. ---
+    ("a17_heavy_hitters", (s, d) =>
+      E(s, d)
+        .agg(graft.functions.expr.HeavyHittersAgg
+          .heavyHitters(col("event_type"), 16).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.est").as("est"))
+        .orderBy(col("est").desc, col("item")),
+      Some("""SELECT event_type AS item, count(*) AS est FROM events
+             |GROUP BY 1 ORDER BY est DESC, item""".stripMargin)),
+
+    // --- A18: the heavy-hitters GUARANTEE measured (same shape as
+    //     x7_sketch_accuracy): a planted hot key (~half the stream) plus
+    //     the per-user tail, k far below the distinct count so decrements
+    //     fire. Emits: heavy items missed (contract: 0), overestimates
+    //     (contract: 0 — MG estimates are lower bounds), worst
+    //     underestimate vs the n/k bound (contract: under ≤ bound).
+    //     HeavyHittersSpec asserts the contracts; this query surfaces the
+    //     numbers per round. ---
+    ("a18_heavy_hitters_guarantee", (s, d) => {
+      val k = 32
+      val keyed = E(s, d).select(
+        when(pmod(col("user_id"), lit(2)) === 0, lit("HOT"))
+          .otherwise(concat(lit("u"), col("user_id").cast("string")))
+          .as("ky"))
+      val hh = keyed
+        .agg(graft.functions.expr.HeavyHittersAgg
+          .heavyHitters(col("ky"), k).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("ky"), col("e.est").as("est"))
+      val exact = keyed.groupBy(col("ky")).agg(count(lit(1)).as("freq"))
+      val tot = keyed.agg(count(lit(1)).as("n"))
+      exact.join(hh, Seq("ky"), "left")
+        .crossJoin(broadcast(tot))
+        .agg(
+          max(col("n")).as("n"),
+          lit(k.toLong).as("k"),
+          count(when(col("freq") > col("n") / k, 1)).as("n_heavy"),
+          count(when(col("freq") > col("n") / k && col("est").isNull, 1))
+            .as("heavy_missed"),
+          count(when(col("est") > col("freq"), 1)).as("overestimates"),
+          max(when(col("est").isNotNull, col("freq") - col("est")))
+            .as("worst_underestimate"),
+          max(col("n") / k).as("bound"))
+    }, None),
+
     // --- P13: quantile binning (decile discretization) over a total
     //     order (value, key) so tie assignment is deterministic. Exact
     //     ntile WITHOUT the single-partition sort: rank in parallel
