@@ -927,6 +927,24 @@ object SparkEntry {
       Some("""SELECT event_type AS item, count(*) AS est FROM events
              |GROUP BY 1 ORDER BY est DESC, item""".stripMargin)),
 
+    // --- A17b: the SAME custom aggregate GROUPED — per-day event-type
+    //     heavy hitters. Exercises the partial/merge path under hash
+    //     aggregation keys (one MG summary per (day, partition), merged
+    //     per day); exact regime per group, so oracle-gated. ---
+    ("a17b_heavy_hitters_grouped", (s, d) =>
+      E(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast("long").as("day_epoch"))
+        .agg(graft.functions.expr.HeavyHittersAgg
+          .heavyHitters(col("event_type"), 16).as("hh"))
+        .select(col("day_epoch"), explode(col("hh")).as("e"))
+        .select(col("day_epoch"), col("e.item").as("item"),
+          col("e.est").as("est"))
+        .orderBy(col("day_epoch"), col("est").desc, col("item")),
+      Some("""SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+             |event_type AS item, count(*) AS est
+             |FROM events GROUP BY 1, 2
+             |ORDER BY day_epoch, est DESC, item""".stripMargin)),
+
     // --- A18: the heavy-hitters GUARANTEE measured (same shape as
     //     x7_sketch_accuracy): a planted hot key (~half the stream) plus
     //     the per-user tail, k far below the distinct count so decrements
@@ -1454,6 +1472,51 @@ object SparkEntry {
              |t AS (SELECT CAST(sum(ns) AS BIGINT) AS n, count(*) AS s FROM c),
              |r AS (SELECT lang, least(CAST(n AS DOUBLE) / s / ns, 1.0) AS rate
              |      FROM c CROSS JOIN t)
+             |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+             |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+             |  printf('%08x', CAST(least(floor(greatest(rate, 0.0) * 4294967296.0),
+             |    4294967295.0) AS BIGINT))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // --- X14b: TEMPERATURE resampling (mT5/XLM-R α=0.5 language mix) —
+    //     the standard multilingual-corpus generalization of x14's
+    //     uniform target: p_lang ∝ share^α flattens the distribution
+    //     without forcing uniformity, keep rate = min(1, n·p_lang/n_lang)
+    //     = min(1, n / (sqrt(n_lang) · Σ_l sqrt(n_l))) at α = 0.5.
+    //     Σ sqrt is computed as an ORDERED fold over the lang-sorted
+    //     count list (HOF aggregate ↔ DuckDB list_reduce) so the float
+    //     sum has one reassociation-free order in both engines and the
+    //     md5-threshold sample stays bit-reproducible. ---
+    ("x14b_temperature_mix", (s, d) => {
+      val docs = T(s, d, "documents")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("ns"))
+      val tot = counts.agg(
+        sum(col("ns")).as("n"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("lang"), col("ns")))),
+            e => sqrt(e.getField("ns").cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("ssq"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          least(col("n").cast("double") /
+            (sqrt(col("ns").cast("double")) * col("ssq")), lit(1.0))
+            .as("rate"))
+      Relational.weightedSample(
+          docs.join(broadcast(rates), Seq("lang")),
+          col("doc_id"), col("rate"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH c AS (SELECT lang, count(*) AS ns FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(sum(ns) AS BIGINT) AS n,
+             |  list_reduce(list_prepend(0.0,
+             |    list_transform(list(ns ORDER BY lang),
+             |      x -> sqrt(CAST(x AS DOUBLE)))),
+             |    (acc, x) -> acc + x) AS ssq FROM c),
+             |r AS (SELECT lang,
+             |  least(CAST(n AS DOUBLE) / (sqrt(CAST(ns AS DOUBLE)) * ssq), 1.0) AS rate
+             |  FROM c CROSS JOIN t)
              |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
              |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
              |  printf('%08x', CAST(least(floor(greatest(rate, 0.0) * 4294967296.0),
