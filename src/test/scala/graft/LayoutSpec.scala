@@ -147,6 +147,29 @@ class LayoutSpec extends AnyFunSuite {
       grid.as[(Long, Long)].collect().toSet)
   }
 
+  test("statsManifest + pruneFraction: z-order beats linear sort on the non-sort dim") {
+    val grid = spark.range(4096)
+      .select((col("id") % 64).as("x"),
+        (col("id") / 64).cast("long").as("y"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zstat").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft-lstat").toString
+    Layout.zorderWrite(grid, "x", "y", zDir, nFiles = 16)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(linDir)
+    val zMan = Layout.statsManifest(spark, zDir, Seq("x", "y"))
+    val lMan = Layout.statsManifest(spark, linDir, Seq("x", "y"))
+    // manifest covers every row exactly once
+    assert(zMan.agg(sum(col("rows"))).as[Long].head() === 4096L)
+    // a narrow y-range predicate prunes most z-ordered files, no linear ones
+    val zPrune = Layout.pruneFraction(zMan, "y", lit(10L), lit(12L))
+    val lPrune = Layout.pruneFraction(lMan, "y", lit(10L), lit(12L))
+    assert(zPrune >= 0.5, s"zorder y-prune $zPrune")
+    assert(lPrune === 0.0, s"linear y-prune $lPrune")
+    // both layouts prune on x (the linear sort's own key is near-perfect)
+    assert(Layout.pruneFraction(lMan, "x", lit(10L), lit(12L)) >= 0.75)
+    assert(Layout.pruneFraction(zMan, "x", lit(10L), lit(12L)) >= 0.5)
+  }
+
   test("globalRowNumber: exact parallel ranking without a global window") {
     import graft.ops.Relational
     // multi-partition input, tie-heavy score + unique tiebreak; compare
