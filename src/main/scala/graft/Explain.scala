@@ -24,24 +24,38 @@ object Explain {
     if (audit) {
       var cartesian = List.empty[String]
       var bnlj = List.empty[String]
+      var globalWin = List.empty[String]
       var failed = List.empty[String]
       var pushed = 0
       var wgl = 0
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
         try {
-          val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+          val qe = fn(spark, sfDir).queryExecution
+          val p = qe.executedPlan.toString
           if (p.contains("CartesianProduct")) cartesian ::= n
           if (p.contains("BroadcastNestedLoopJoin")) bnlj ::= n
+          // Structural check for THE scale killer this suite eliminated:
+          // a full-rank window with no partition key moves every row to
+          // one task (sparkPlan = pre-AQE tree, so WindowExec nodes are
+          // visible un-wrapped). WindowGroupLimit-able rank-filters are
+          // fine — they partial-limit before the exchange.
+          val hasGlobalWindow = qe.sparkPlan.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if w.partitionSpec.isEmpty => w
+          }.nonEmpty
+          if (hasGlobalWindow) globalWin ::= n
           pushed += "PushedFilters: \\[[^\\]]".r.findAllIn(p).length
           wgl += "WindowGroupLimit".r.findAllIn(p).length
         } catch { case e: Throwable => failed ::= s"$n (${e.getMessage})" }
       }
       println(s"[audit] queries=${SparkEntry.queries.size} " +
         s"cartesian=${cartesian.size} bnlj=${bnlj.size} " +
+        s"global_windows=${globalWin.size} " +
         s"pushed_filters=$pushed window_group_limit=$wgl " +
         s"plan_failures=${failed.size}")
       if (cartesian.nonEmpty) println(s"[audit] CARTESIAN: ${cartesian.sorted.mkString(", ")}")
       if (bnlj.nonEmpty) println(s"[audit] BNLJ (verify each is an intended one-row scalar cross): ${bnlj.sorted.mkString(", ")}")
+      if (globalWin.nonEmpty) println(s"[audit] GLOBAL WINDOWS (single-partition rank — should be none): ${globalWin.sorted.mkString(", ")}")
       if (failed.nonEmpty) println(s"[audit] FAILED: ${failed.sorted.mkString(", ")}")
     } else {
       val names = if (rest.length > 1) rest.drop(1).toSeq
