@@ -437,6 +437,56 @@ object SparkEntry {
              |  FROM events) t
              |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // --- W10: SCD2 validity intervals from a change log — each event's
+    //     state is valid [ts, next ts); the open (current) version has no
+    //     end. The warehouse-dimension sibling of the as-of join (j8
+    //     answers "state at time T" against exactly these intervals).
+    //     Durations summed in LONG microseconds (unix_micros ↔ epoch_us)
+    //     so the aggregate is integer-exact in both engines — a float
+    //     seconds sum could land exactly on a rounding-digit .5. ---
+    ("w10_scd2_intervals", (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      E(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_versions"),
+          count(when(col("valid_to").isNull, 1)).as("n_current"),
+          sum(unix_micros(col("valid_to")) - unix_micros(col("ts")))
+            .as("closed_dur_us"))
+        .orderBy(col("user_id"))
+    },
+      Some("""WITH v AS (SELECT user_id, ts,
+             |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+             |  FROM events)
+             |SELECT user_id, count(*) AS n_versions,
+             |CAST(count(*) FILTER (WHERE valid_to IS NULL) AS BIGINT) AS n_current,
+             |CAST(sum(epoch_us(valid_to) - epoch_us(ts)) AS BIGINT) AS closed_dur_us
+             |FROM v GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // --- X23: data-contract expectations — the declarative validation
+    //     pass (null rate, domain membership, range, decodability) every
+    //     ingest runs before publishing; one linear scan, violations as
+    //     conditional counts (the x18/x19 audit family's generic form) ---
+    ("x23_expectations", (s, d) =>
+      E(s, d).agg(
+        count(lit(1)).as("n"),
+        count(when(col("user_id").isNull, 1)).as("null_user"),
+        count(when(col("value") < 0, 1)).as("neg_value"),
+        count(when(!col("event_type").isin(
+          "click", "view", "purchase", "signup", "error"), 1))
+          .as("unknown_type"),
+        count(when(get_json_object(col("props"), "$.k").isNull, 1))
+          .as("undecodable_props")),
+      Some("""SELECT count(*) AS n,
+             |CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT) AS null_user,
+             |CAST(count(*) FILTER (WHERE value < 0) AS BIGINT) AS neg_value,
+             |CAST(count(*) FILTER (WHERE event_type NOT IN
+             |  ('click', 'view', 'purchase', 'signup', 'error')) AS BIGINT) AS unknown_type,
+             |CAST(count(*) FILTER (WHERE props->>'$.k' IS NULL) AS BIGINT) AS undecodable_props
+             |FROM events""".stripMargin)),
+
     // --- S8: online point lookup with TTL freshness ---
     ("s8_online_lookup", (s, d) => {
       val keys = s.range(10).select(col("id").as("user_id"))
