@@ -568,6 +568,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrich matches the batch join") {
+    // the serving-side enrichment shape: an unbounded stream joined to a
+    // broadcastable dimension — per micro-batch a broadcast hash join,
+    // no stream-side state at all (unlike stream-stream)
+    val dir = Files.createTempDirectory("graft-enrich-stream").toString
+    val rows = Seq(
+      (1L, 10L, 1L, "click", 1.0, "{}"),
+      (2L, 20L, 2L, "view", 2.0, "{}"),
+      (3L, 30L, 3L, "click", 3.0, "{}"),
+      (4L, 40L, 1L, "view", 4.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.coalesce(1).write.mode("overwrite").parquet(dir)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val enriched = StreamingJobs.fileEvents(spark, dir)
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("segment"), lit("unknown")).as("segment"))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .as[(Long, Long, String)].collect().toSet
+      assert(got === Set((1L, 1L, "gold"), (2L, 2L, "silver"),
+        (3L, 3L, "unknown"), (4L, 1L, "gold")))
+    } finally q.stop()
+  }
+
   test("TTL freshness filter drops expired rows (T8)") {
     val store = Seq((1L, 100L), (2L, 240L)).toDF("k", "ts_s")
       .withColumn("ts", timestamp_seconds(col("ts_s")))
