@@ -220,4 +220,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(!ws.contains("Exchange"),
       s"weightedSample should be shuffle-free:\n$ws")
   }
+
+  test("rerouted global ranks never regrow a single-partition window") {
+    // Round-7 invariant, checked structurally (same walk as
+    // Explain --audit): the queries that used to rank on one task must
+    // plan zero WindowExec nodes with an empty partition spec.
+    val sf = "/root/testdata/sf0.001"
+    Seq("w2_time_split", "p_id_encode", "p_quantile_bin",
+        "t_quality_filter", "t_zipf_slope", "r11_spearman",
+        "o7_global_rownumber").foreach { name =>
+      val bad = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+      assert(bad.isEmpty,
+        s"$name plans a single-partition window:\n${bad.mkString("\n")}")
+    }
+  }
 }
