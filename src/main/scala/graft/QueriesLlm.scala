@@ -50,6 +50,34 @@ object QueriesLlm {
              |min(doc_id) AS keep_id, count(*) AS dup_count
              |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
 
+    // --- Dedup observability: per-language duplicate RATE — each
+    //     non-keeper member of a (global) content group counts against
+    //     its language. The number a corpus-prep pipeline tracks per
+    //     source/snapshot to catch an ingest regression (a crawler
+    //     re-fetching a language doubles its rate) before training. ---
+    ("d_dup_rate", (s, d) => {
+      val docs = SparkEntry.T(s, d, "documents")
+      val h = docs.select(col("lang"), col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("ch"))
+      val keep = h.groupBy(col("ch")).agg(min(col("doc_id")).as("keep_id"))
+      h.join(keep, Seq("ch"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("doc_id") =!= col("keep_id"), 1)).as("n_dups"),
+          round(count(when(col("doc_id") =!= col("keep_id"), 1))
+            .cast("double") / count(lit(1)), 6).as("dup_rate"))
+        .orderBy(col("lang"))
+    },
+      Some("""WITH h AS (SELECT lang, doc_id,
+             |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ch
+             |  FROM documents),
+             |k AS (SELECT ch, min(doc_id) AS keep_id FROM h GROUP BY 1)
+             |SELECT lang, count(*) AS n_docs,
+             |CAST(count(*) FILTER (WHERE doc_id <> keep_id) AS BIGINT) AS n_dups,
+             |round(CAST(count(*) FILTER (WHERE doc_id <> keep_id) AS DOUBLE)
+             |  / count(*), 6) AS dup_rate
+             |FROM h JOIN k USING (ch) GROUP BY 1 ORDER BY lang""".stripMargin)),
+
     // --- Inverted-index n-gram Jaccard near-dups, bucketed by (lang, source) ---
     ("d_token_jaccard", (s, d) =>
       Dedup.tokenJaccardPairs(SparkEntry.T(s, d, "documents"), "doc_id",

@@ -465,6 +465,24 @@ object SparkEntry {
              |CAST(sum(epoch_us(valid_to) - epoch_us(ts)) AS BIGINT) AS closed_dur_us
              |FROM v GROUP BY 1 ORDER BY user_id""".stripMargin)),
 
+    // --- X24: K-fold cross-validation assignment — deterministic fold id
+    //     from the md5-prefix device (fold = hash64(key) mod k): content-
+    //     pure, partition-independent, stable under corpus growth (a
+    //     doc's fold never changes when data is added — the property CV
+    //     over a growing corpus needs). Emits the fold histogram; exact
+    //     in both engines because the 8-hex prefix is integer arithmetic.
+    //     The x8 hashSplit is the fractional sibling; this is the
+    //     equal-k variant. ---
+    ("x24_kfold", (s, d) =>
+      T(s, d, "documents")
+        .select(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(5L)).as("fold"))
+        .groupBy(col("fold")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("fold")),
+      Some("""SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS BIGINT) AS fold,
+             |count(*) AS n_docs FROM documents
+             |GROUP BY 1 ORDER BY fold""".stripMargin)),
+
     // --- X23: data-contract expectations — the declarative validation
     //     pass (null rate, domain membership, range, decodability) every
     //     ingest runs before publishing; one linear scan, violations as
