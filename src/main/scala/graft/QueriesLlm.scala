@@ -390,6 +390,35 @@ object QueriesLlm {
               |row_number() OVER (ORDER BY cnt DESC, term) AS trank
               |FROM c ORDER BY trank LIMIT 50""".stripMargin)),
 
+    // --- Vocab heavy hitters through the MG sketch — the 100 TB path for
+    //     t_vocab_topk: ONE pass, O(k) state, no term-count shuffle at
+    //     all; recall vs the exact top-50 and the worst count
+    //     underestimate measured in-query (x7's self-check shape — MG
+    //     summary content is processing-order-dependent in the approx
+    //     regime, so no row oracle; the n/k contract is the assertion,
+    //     HeavyHittersSpec). ---
+    ("t_vocab_mg_recall", (s, d) => {
+      val toks = SparkEntry.T(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val mg = toks
+        .agg(graft.functions.expr.HeavyHittersAgg
+          .heavyHitters(col("term"), 1024).as("hh"),
+          count(lit(1)).as("n"))
+        .select(col("n"), explode(col("hh")).as("e"))
+        .select(col("n"), col("e.item").as("term"), col("e.est").as("est"))
+      val exact50 = toks.groupBy(col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(50)
+      exact50.join(mg, Seq("term"), "left")
+        .agg(
+          count(lit(1)).as("top50"),
+          count(col("est")).as("found"),
+          round(count(col("est")).cast("double") / count(lit(1)), 4)
+            .as("recall"),
+          max(col("cnt") - col("est")).as("worst_underestimate"),
+          max(col("n") / 1024L).as("bound"))
+    }, None),
+
     // --- Hashing-trick vectorizer summary (murmur3-seeded → no DuckDB
     //     oracle; invariants in RelationalSpec): sparse triple counts and
     //     mass over the documents corpus at dim=1024. ---
