@@ -109,7 +109,16 @@ object ScaleUp {
 
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     write(replicated(t("documents"), factor) { (df, r) =>
-      val rot = alpha.drop(r % 26) + alpha.take(r % 26)
+      // r < 26: rotation cipher (byte-identical to the sf1 runs measured in
+      // BENCH_SF1.md). r >= 26: a rotation alone would repeat every 26
+      // replicas and create exact cross-replica duplicates (groups growing
+      // DEEPER, quadratically inflating pair output) — use a seeded
+      // alphabet permutation instead, one distinct substitution cipher per
+      // replica, still length- and token-structure-preserving.
+      val rot =
+        if (r < 26) alpha.drop(r) + alpha.take(r)
+        else new String(new scala.util.Random(r.toLong * 2654435761L)
+          .shuffle(alpha.toList).toArray)
       df.select(shift(r)("doc_id"),
         translate(col("text"), alpha + alpha.toUpperCase,
           rot + rot.toUpperCase).as("text"),

@@ -1312,31 +1312,42 @@ object SparkEntry {
     ("x20_bucketed_join", (s0, d) => {
       val s = s0.newSession()
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      // Drop catalog entries AND stale warehouse directories: the
-      // in-memory catalog forgets tables across JVMs but the directory
-      // persists, and saveAsTable refuses a location it didn't create
-      // (LOCATION_ALREADY_EXISTS).
-      Seq("x20_customer_b", "x20_orders_b").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val wh = s.conf.get("spark.sql.warehouse.dir")
-        val base = if (wh.startsWith("file:"))
-          new java.io.File(new java.net.URI(wh).getPath)
-        else new java.io.File(wh)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
+      // Table names are keyed by the source dir so the tables are
+      // write-once per (JVM, sf dir): repeat invocations (Bench's min-of-2
+      // runs, Explain --audit sweeps) find them in the in-memory catalog
+      // (SharedState — shared across newSession clones) and skip the
+      // destructive drop/delete/rewrite entirely. Bucketing metadata
+      // lives only in the catalog, so across JVMs a rewrite is
+      // unavoidable — then stale warehouse directories must go first
+      // (saveAsTable refuses a location it didn't create:
+      // LOCATION_ALREADY_EXISTS).
+      val key = java.lang.Long.toHexString(
+        d.hashCode.toLong & 0xffffffffL)
+      val custT = s"x20_customer_b_$key"
+      val ordT = s"x20_orders_b_$key"
+      if (!s.catalog.tableExists(custT) || !s.catalog.tableExists(ordT)) {
+        Seq(custT, ordT).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val wh = s.conf.get("spark.sql.warehouse.dir")
+          val base = if (wh.startsWith("file:"))
+            new java.io.File(new java.net.URI(wh).getPath)
+          else new java.io.File(wh)
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          val dir = new java.io.File(base, t)
+          if (dir.exists) rm(dir)
         }
-        val dir = new java.io.File(base, t)
-        if (dir.exists) rm(dir)
+        Layout.writeBucketed(
+          T(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          custT, 8, Seq("c_custkey"))
+        Layout.writeBucketed(
+          T(s, d, "orders").select(col("o_custkey"), col("o_totalprice")),
+          ordT, 8, Seq("o_custkey"))
       }
-      Layout.writeBucketed(
-        T(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
-        "x20_customer_b", 8, Seq("c_custkey"))
-      Layout.writeBucketed(
-        T(s, d, "orders").select(col("o_custkey"), col("o_totalprice")),
-        "x20_orders_b", 8, Seq("o_custkey"))
-      val joined = s.table("x20_customer_b")
-        .join(s.table("x20_orders_b"),
+      val joined = s.table(custT)
+        .join(s.table(ordT),
           col("c_custkey") === col("o_custkey"))
       val plan = joined.queryExecution.executedPlan.toString
       require(!plan.contains("Exchange"),

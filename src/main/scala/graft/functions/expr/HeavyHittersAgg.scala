@@ -100,11 +100,20 @@ case class HeavyHittersAgg(child: Expression, k: Int,
     })
   }
 
+  // Items are length-prefixed UTF-8 byte arrays, not writeUTF: writeUTF
+  // caps entries at 65535 encoded bytes and throws UTFDataFormatException
+  // past it — and the vocab queries feed raw corpus tokens, where one
+  // pathological >64 KB "token" would kill the job at shuffle time.
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (ky, c) => out.writeUTF(ky); out.writeLong(c) }
+    buf.foreach { case (ky, c) =>
+      val b = ky.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -114,7 +123,14 @@ case class HeavyHittersAgg(child: Expression, k: Int,
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val ky = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      buf.update(ky, in.readLong())
+      i += 1
+    }
     buf
   }
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -118,7 +118,18 @@ object Relational {
     *
     * `sortCols` must be a total order (unique tiebreak) for the ranks to be
     * well-defined; ties crossing a range boundary would otherwise make
-    * ranks partition-placement-dependent. */
+    * ranks partition-placement-dependent.
+    *
+    * CONSTRAINT — do not persist/localCheckpoint between this call and the
+    * action: correctness hinges on `spark_partition_id()` agreeing between
+    * the offsets subtree and the main subtree, i.e. on ReuseExchange
+    * deduping the single range shuffle and AQE coalescing both reads
+    * identically. A caller-inserted persist between the branches would
+    * split them into two independently-coalesced exchanges and silently
+    * corrupt ranks rather than fail. Set `spark.graft.rankGuard=true`
+    * (done in the test suites) to pay two extra jobs per call for a
+    * runtime invariant check (`max(rn) == count` and `min(rn) == 1`) that
+    * turns that silent corruption into an assertion error. */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
                       rnCol: String = "rn"): DataFrame = {
     val parted = df.repartitionByRange(sortCols: _*)
@@ -137,10 +148,23 @@ object Relational {
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__offset"))
     val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-    parted.join(broadcast(offsets), Seq("__pid"))
+    val ranked = parted.join(broadcast(offsets), Seq("__pid"))
       .withColumn(rnCol,
         row_number().over(wLocal).cast("long") + col("__offset"))
       .drop("__pid", "__offset")
+    val guard = df.sparkSession.conf
+      .getOption("spark.graft.rankGuard").contains("true")
+    if (guard) {
+      // Debug/test invariant (see scaladoc): a dense 1..n rank proves the
+      // offsets subtree and main subtree observed the same partitioning.
+      val Row(mn, mx, n) = ranked
+        .agg(min(col(rnCol)), max(col(rnCol)), count(lit(1))).head()
+      require(n == java.lang.Long.valueOf(0L) ||
+        (mn == java.lang.Long.valueOf(1L) && mx == n),
+        s"globalRowNumber invariant violated: min=$mn max=$mx n=$n — " +
+          "the range exchange was not reused identically across subtrees")
+    }
+    ranked
   }
 
   /** W1 (+J4): leave-last-N-per-user split (ref `src/data/movielens.py:204-236`):

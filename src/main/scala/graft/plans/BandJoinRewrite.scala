@@ -44,18 +44,22 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
           val leftB = Project(left.output :+ bl, left)
           val br = Floor(Divide(rv, delta))
           val one = Literal(1L, LongType)
-          // Neighbor buckets are computed on a CLAMPED copy of br: at the
+          // Neighbor buckets are computed on CLAMPED copies of br: at the
           // Long extremes (v = ±Infinity saturates Floor's cast, or
           // |v| >= δ·2^63) br ± 1 overflows, and under ANSI mode the
           // rewritten plan would throw where the original theta-join just
-          // returned no match. ArrayDistinct drops the duplicate replica
-          // the clamp creates at the boundary, preserving the
+          // returned no match. Each neighbor is clamped INDEPENDENTLY
+          // (low from MinValue+1, high from MaxValue-1): a single shared
+          // clamp would skip the true adjacent bucket at the saturation
+          // boundary (br = MaxValue would yield {MaxValue-2, MaxValue},
+          // omitting MaxValue-1). ArrayDistinct drops the duplicate
+          // replica the clamp creates at the boundary, preserving the
           // each-pair-meets-exactly-once invariant.
-          val brSafe = Least(Seq(
-            Greatest(Seq(br, Literal(Long.MinValue + 1L, LongType))),
-            Literal(Long.MaxValue - 1L, LongType)))
-          val replicas = ArrayDistinct(
-            CreateArray(Seq(Subtract(brSafe, one), br, Add(brSafe, one))))
+          val lowNbr = Subtract(
+            Greatest(Seq(br, Literal(Long.MinValue + 1L, LongType))), one)
+          val highNbr = Add(
+            Least(Seq(br, Literal(Long.MaxValue - 1L, LongType))), one)
+          val replicas = ArrayDistinct(CreateArray(Seq(lowNbr, br, highNbr)))
           val gOut = AttributeReference("__band_r", LongType)()
           val rightB = Generate(Explode(replicas), unrequiredChildIndex = Nil,
             outer = false, qualifier = None, generatorOutput = Seq(gOut),

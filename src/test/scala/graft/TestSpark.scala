@@ -12,6 +12,9 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Pay globalRowNumber's runtime invariant check (max(rn)==count) in
+      // every test — turns exchange-reuse regressions into hard failures.
+      .config("spark.graft.rankGuard", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
