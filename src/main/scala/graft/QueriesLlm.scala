@@ -178,6 +178,21 @@ object QueriesLlm {
           countDistinct(col("id1")).as("n_docs"),
           min(col("hamming")).as("min_hamming")), None),
 
+    // --- The LOSSLESS radius-8-equivalent form: 128-bit fingerprint
+    //     (two independent 64-bit SimHash lanes), Hamming radius 16 of
+    //     128 = the same similarity threshold as 8 of 64, banded as 18
+    //     blocks × 2-block combo keys (~15 bits → 2¹⁵ bucket keys vs the
+    //     64-bit banding's 2⁷). No maxBucketSize cap needed: the wider
+    //     key space keeps bucket depth flat as the corpus grows — this
+    //     is the completeness-preserving scale path the capped query
+    //     above trades away. ---
+    ("d_simhash128", (s, d) =>
+      Dedup.simHashNearDups128(SparkEntry.T(s, d, "documents"), "doc_id",
+        "text", maxHamming = 16, blockCombos = 2)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id1")).as("n_docs"),
+          min(col("hamming")).as("min_hamming")), None),
+
     // --- Per-document text statistics + quality score ---
     ("t_text_stats", (s, d) =>
       TextAnalysis.documentStats(SparkEntry.T(s, d, "documents"), "doc_id",

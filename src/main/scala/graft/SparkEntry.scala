@@ -1163,6 +1163,31 @@ object SparkEntry {
              |  AND abs(a.p_retailprice - b.p_retailprice) <= 0.5
              |ORDER BY k1, k2""".stripMargin)),
 
+    // --- J11c: the OUTPUT-BOUNDED band join — each part's 3 nearest
+    //     same-band (±0.50) neighbors by price. The fixed-δ forms above
+    //     are output-quadratic in value density by their own semantics
+    //     (BENCH_SF1.md: ~100× pairs for 10× rows); this is the variant
+    //     whose result is capped at k·n regardless of density, executed
+    //     as the same bucketed equi-join + a WindowGroupLimit-pruned
+    //     per-row top-k. Ties on |Δprice| break by neighbor key in both
+    //     engines. ---
+    ("j11c_band_topk", (s, d) =>
+      Relational.bandJoinNearestK(
+          T(s, d, "part").select(col("p_partkey"), col("p_retailprice")),
+          "p_partkey", "p_retailprice", 0.5, 3)
+        .select(col("id1"), col("id2"),
+          round(abs(col("v1") - col("v2")), 2).as("price_diff"), col("rnk"))
+        .orderBy(col("id1"), col("rnk")),
+      Some("""WITH c AS (SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+             |  round(abs(a.p_retailprice - b.p_retailprice), 2) AS price_diff,
+             |  row_number() OVER (PARTITION BY a.p_partkey
+             |    ORDER BY abs(a.p_retailprice - b.p_retailprice), b.p_partkey)
+             |    AS rnk
+             |  FROM part a JOIN part b ON a.p_partkey <> b.p_partkey
+             |    AND abs(a.p_retailprice - b.p_retailprice) <= 0.5)
+             |SELECT id1, id2, price_diff, CAST(rnk AS BIGINT) AS rnk
+             |FROM c WHERE rnk <= 3 ORDER BY id1, rnk""".stripMargin)),
+
     // --- O6: per-group top-k THROUGH the custom TopKByScore operator
     //     (logical node + SparkStrategy + partial/final heap execs) —
     //     the §7.3 escalation path proven in the oracle gate. Scores are

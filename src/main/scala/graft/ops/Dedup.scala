@@ -669,6 +669,145 @@ object Dedup {
     identical.unionByName(cross)
   }
 
+  /** 128-bit SimHash fingerprint as a struct of two independent 64-bit
+    * lanes. Lane 0 is [[simHash64]]'s fingerprint of the token hashes;
+    * lane 1 re-hashes each token hash (`xxhash64(h)`) so its 64 bit
+    * votes are independent of lane 0's. Null text → struct of null
+    * lanes.
+    *
+    * Why widen: the pigeonhole banding guarantee needs `radius + combos`
+    * disjoint blocks, so at 64 bits a radius-8 band key is only ~7 bits
+    * wide — bucket depth then grows with corpus density and candidate
+    * generation goes quadratic (measured 14.8× time at 10× docs,
+    * BENCH_SF1.md). 128 bits doubles every block's width at the same
+    * RELATIVE radius: the same cosine-similarity threshold that meant
+    * Hamming ≤ 8 of 64 means Hamming ≤ 16 of 128 (each bit flips
+    * independently with the same probability), and 18 blocks × 2-block
+    * combo keys are ~15 bits — 2¹⁵ bucket keys instead of 2⁷. */
+  def simHash128(textCol: Column): Column =
+    simHash128FromHashes(tokenHashes(textCol))
+
+  def simHash128FromHashes(th: Column): Column = struct(
+    simHash64Native(th).as("l0"),
+    simHash64Native(transform(th, h => xxhash64(h))).as("l1"))
+
+  /** Hamming distance between two 128-bit fingerprints (structs from
+    * [[simHash128]]). */
+  def hamming128(a: Column, b: Column): Column =
+    bit_count(a.getField("l0").bitwiseXOR(b.getField("l0"))) +
+      bit_count(a.getField("l1").bitwiseXOR(b.getField("l1")))
+
+  /** [[simHashNearDups]] over the 128-bit fingerprint — the LOSSLESS
+    * scale path for radius-8-equivalent near-dup detection. Semantics
+    * mirror the 64-bit form (pigeonhole banding over distinct
+    * fingerprints, identical-fingerprint groups short-circuited, each
+    * pair emitted once) with `maxHamming` measured over 128 bits:
+    * radius 2r of 128 selects (in expectation) the same similarity
+    * threshold as radius r of 64. Defaults are the radius-8-equivalent
+    * configuration: maxHamming=16, blockCombos=2 → 18 blocks split 9/9
+    * across the lanes, ~7-bit blocks, C(18,2)=153 two-block combo keys
+    * of ~14-15 bits. The 153× replication of each DISTINCT fingerprint
+    * is linear in the corpus and buys a 2⁸× larger bucket-key space —
+    * the quadratic accidental-collision regime of the 64-bit radius-8
+    * banding (BENCH_SF1.md: 14.8× at 10×) is gone without any lossy
+    * bucket cap. No block ever spans the lane boundary, so every block
+    * is a shift-and-mask of one lane. Returns (id1, id2, hamming). */
+  def simHashNearDups128(df: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int = 16, blockCombos: Int = 2,
+                         maxBucketSize: Int = 0): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming=$maxHamming outside [0, 31]: past 31 the 128-bit " +
+        "banding keys get too coarse to prune")
+    require(blockCombos >= 1 && blockCombos <= 3,
+      s"blockCombos=$blockCombos outside [1, 3]")
+    val numBlocks = maxHamming + blockCombos
+    require(numBlocks >= 2, "need at least 2 blocks (raise blockCombos)")
+    // Blocks never cross the lane boundary: lanes get ceil/floor(b/2)
+    // blocks, each lane's 64 bits split as evenly as possible (first
+    // 64 mod k blocks one bit wider). Any disjoint cover of the 128 bits
+    // preserves the pigeonhole guarantee; per-lane assignment keeps
+    // every block a single shift-and-mask.
+    val perLane = {
+      val base = numBlocks / 2
+      Seq(numBlocks - base, base)
+    }
+    require(perLane.forall(_ >= 1), "need at least one block per lane")
+    // (lane, offset, width) per global block index
+    val blocks: Seq[(Int, Int, Int)] =
+      perLane.zipWithIndex.flatMap { case (k, lane) =>
+        val baseW = 64 / k
+        val ws = Seq.tabulate(k)(i => if (i < 64 % k) baseW + 1 else baseW)
+        val offs = ws.scanLeft(0)(_ + _).init
+        ws.zip(offs).map { case (w, o) => (lane, o, w) }
+      }
+    def laneCol(fp: Column, lane: Int): Column =
+      fp.getField(if (lane == 0) "l0" else "l1")
+    def blockVal(fp: Column, blk: Int): Column = {
+      val (lane, off, w) = blocks(blk)
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      shiftright(laneCol(fp, lane), off).bitwiseAND(lit(mask))
+    }
+    val combos = (0 until numBlocks).combinations(blockCombos).toSeq
+    combos.foreach { c =>
+      // The packed key must fit one long: the fold shifts by each
+      // block's width before OR-ing, so total bits used = sum of widths
+      // (exactly 64 is fine — the first shift acts on a zero
+      // accumulator).
+      require(c.map(blocks(_)._3).sum <= 64,
+        s"combo key ${c.mkString("+")} exceeds 64 bits — lower " +
+          "blockCombos for this radius (or use the 64-bit form for " +
+          "tiny radii)")
+    }
+    val withFp = df
+      .select(col(idCol), tokenHashes(col(textCol)).as("__th"))
+      .select(col(idCol), simHash128FromHashes(col("__th")).as("fp"))
+      .filter(col("fp.l0").isNotNull)
+    val fpGroups = withFp.groupBy(col("fp"))
+      .agg(collect_list(col(idCol)).as("__ids"))
+    val identical = fpGroups
+      .filter(size(col("__ids")) > 1)
+      .select(col("fp"), explode(col("__ids")).as("ida"), col("__ids"))
+      .select(col("ida"), explode(col("__ids")).as("idb"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("id1"), col("idb").as("id2"),
+        lit(0).as("hamming"))
+    val bandedAll = fpGroups.select(col("fp"),
+      explode(array(combos.zipWithIndex.map { case (blks, ci) =>
+        val packed = blks.foldLeft(lit(0L): Column) { (acc, blk) =>
+          shiftleft(acc, blocks(blk)._3).bitwiseOR(blockVal(col("fp"), blk))
+        }
+        struct(lit(ci).as("block"), packed.as("key"))
+      }: _*)).as("bb"))
+      .select(col("fp"), col("bb.block").as("block"), col("bb.key").as("key"))
+    val banded =
+      if (maxBucketSize <= 0) bandedAll
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("block"), col("key"))
+          .orderBy(xxhash64(col("fp.l0"), col("fp.l1"), col("block")),
+            col("fp"))
+        bandedAll.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxBucketSize).drop("__rn")
+      }
+    val fpPairs = banded.select(col("fp").as("fp1"), col("block"), col("key"))
+      .join(banded.select(col("fp").as("fp2"), col("block"), col("key")),
+        Seq("block", "key"))
+      .filter(col("fp1") < col("fp2"))
+      .select("fp1", "fp2").distinct()
+      .withColumn("hamming", hamming128(col("fp1"), col("fp2")))
+      .filter(col("hamming") <= maxHamming)
+    val cross = fpPairs
+      .join(fpGroups.select(col("fp").as("fp1"), col("__ids").as("ids1")),
+        Seq("fp1"))
+      .join(fpGroups.select(col("fp").as("fp2"), col("__ids").as("ids2")),
+        Seq("fp2"))
+      .select(explode(col("ids1")).as("ida"), col("ids2"), col("hamming"))
+      .select(col("ida"), explode(col("ids2")).as("idb"), col("hamming"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"), col("hamming"))
+    identical.unionByName(cross)
+  }
+
   /** Edit-distance (Levenshtein) near-dup verify over bucketed candidates —
     * the fuzzy-dedup verifier for corpora where token-set overlap misses
     * character-level variants (OCR noise, diacritics, small in-place

@@ -374,6 +374,52 @@ object Relational {
       .select(col("id1"), col("id2"), col("v1"), col("v2"))
   }
 
+  /** Output-BOUNDED band join: for every row, its `k` nearest neighbors
+    * by |v − v'| among the rows within `delta` — the variant of
+    * [[bandJoin]] a careless caller can't detonate. A band join at fixed
+    * δ is output-quadratic in value density (BENCH_SF1.md measured ~100×
+    * pairs for 10× rows); this form caps the result at k·n rows no
+    * matter how dense the corpus gets, which is what similarity-join
+    * consumers (near-dup verify, kNN features) actually want.
+    *
+    * Plan shape: same δ-width bucketing as [[bandJoin]], but DIRECTED —
+    * the probe side keeps its own bucket, the build side is replicated
+    * to (b−1, b, b+1), so every within-δ partner meets the probe row in
+    * exactly one bucket (no distinct). The per-row top-k is a
+    * row_number window partitioned by the probe id — high-cardinality
+    * partitioning (parallelism = #rows, not #buckets) that Spark
+    * executes with WindowGroupLimit: each shuffle side pre-prunes to k
+    * rows per id before the sort, so post-join state is bounded even
+    * when a hot bucket floods candidates. Ties on |Δv| break by
+    * neighbor id — deterministic, engine-reproducible output. Emits
+    * (id1, id2, v1, v2, rnk) with rnk 1..k; rows with no within-δ
+    * neighbor emit nothing (inner-join semantics, like bandJoin).
+    *
+    * The candidate cost is still 3-bucket occupancy per probe row — a
+    * value-concentrated corpus pays wide intermediate joins — but the
+    * WindowGroupLimit prune bounds every post-shuffle buffer at k, and
+    * the output (the part that feeds downstream joins, the actual
+    * scale-killer in pipelines) is k·n by construction. */
+  def bandJoinNearestK(df: DataFrame, idCol: String, valCol: String,
+                       delta: Double, k: Int): DataFrame = {
+    require(delta > 0, "bandJoinNearestK needs a positive delta")
+    require(k >= 1, "bandJoinNearestK needs k >= 1")
+    val b = floor(col(valCol) / delta).cast("long")
+    val probe = df.select(col(idCol).as("id1"), col(valCol).as("v1"),
+      b.as("__b"))
+    val build = df.select(col(idCol).as("id2"), col(valCol).as("v2"),
+      explode(array(b - 1, b, b + 1)).as("__b"))
+    val w = Window.partitionBy(col("id1"))
+      .orderBy(abs(col("v1") - col("v2")), col("id2"))
+    probe.join(build, Seq("__b"))
+      .filter(col("id1") =!= col("id2"))
+      .filter(abs(col("v1") - col("v2")) <= delta)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("id1"), col("id2"), col("v1"), col("v2"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** Exact SQL `rank()` within LOW-cardinality groups, in parallel.
     * `rank().over(Window.partitionBy(g).orderBy(v))` with a 3-value group
     * key plans 3 single-task sorts of n/3 rows each — the per-group twin

@@ -120,6 +120,43 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash128: banding is COMPLETE vs brute force at the requested radius") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val fp = corpus.select(col("doc_id").as("id"),
+      Dedup.simHash128(col("text")).as("fp"))
+    // radius 16 of 128 = the radius-8-of-64-equivalent similarity
+    // threshold (the registry configuration); radius 6 probes a second
+    // block geometry. combos 1 and 2 take different banding paths.
+    for (radius <- Seq(6, 16); combos <- Seq(1, 2)) {
+      val brute = fp.select(col("id").as("id1"), col("fp").as("fp1"))
+        .crossJoin(fp.select(col("id").as("id2"), col("fp").as("fp2")))
+        .filter(col("id1") < col("id2"))
+        .filter(Dedup.hamming128(col("fp1"), col("fp2")) <= radius)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val banded = Dedup.simHashNearDups128(corpus, "doc_id", "text",
+        maxHamming = radius, blockCombos = combos)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(banded === brute,
+        s"radius $radius combos $combos: banded ${banded.size} vs brute " +
+          s"${brute.size}; missed=${brute.diff(banded).take(5)} " +
+          s"extra=${banded.diff(brute).take(5)}")
+    }
+    // the two lanes are genuinely independent fingerprints: no doc in the
+    // corpus has l0 == l1, and lane 0 equals the 64-bit fingerprint
+    val lanes = corpus.select(Dedup.simHash128(col("text")).as("fp"),
+      Dedup.simHash64(col("text")).as("fp64"))
+    assert(lanes.filter(col("fp.l0") === col("fp.l1")).count() === 0)
+    assert(lanes.filter(col("fp.l0") =!= col("fp64")).count() === 0)
+    // identical docs collide on BOTH lanes (hamming 0); the near-dup pair
+    // is closer than the unrelated pair in 128-bit hamming too
+    val small = Dedup.simHashNearDups128(docs, "doc_id", "text",
+      maxHamming = 16)
+      .select("id1", "id2", "hamming")
+      .as[(Long, Long, Int)].collect()
+    assert(small.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
   test("native SimHash64 expression is bit-identical to the HOF form") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val cmp = corpus.select(

@@ -280,6 +280,32 @@ class RelationalSpec extends AnyFunSuite {
       s"band join must stay an equi-join:\n$plan")
   }
 
+  test("bandJoinNearestK: per-row k nearest within delta, output bounded") {
+    val df = (1L to 400L)
+      .map(i => (i, ((i * 2654435761L) % 1000L) / 10.0)).toDF("id", "v")
+    val delta = 1.5
+    val k = 3
+    val q = Relational.bandJoinNearestK(df, "id", "v", delta, k)
+    val got = q.select(col("id1"), col("id2"), col("rnk"))
+      .as[(Long, Long, Long)].collect()
+    val rows = df.as[(Long, Double)].collect()
+    val want = rows.flatMap { case (i1, v1) =>
+      rows.filter { case (i2, v2) => i2 != i1 && math.abs(v1 - v2) <= delta }
+        .sortBy { case (i2, v2) => (math.abs(v1 - v2), i2) }
+        .take(k).zipWithIndex
+        .map { case ((i2, _), r) => (i1, i2, (r + 1).toLong) }
+    }.toSet
+    assert(got.toSet === want)
+    // the output bound the operator exists for: ≤ k rows per probe id
+    assert(got.groupBy(_._1).forall(_._2.length <= k))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"nearest-k band join must stay an equi-join:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-row top-k should prune via WindowGroupLimit:\n$plan")
+  }
+
   test("rankInGroups equals the window rank() exactly, ties included") {
     // 3 groups, heavy ties (values mod 7) — the low-cardinality-group
     // shape whose direct window serializes into #groups tasks
