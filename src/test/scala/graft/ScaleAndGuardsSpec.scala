@@ -52,6 +52,33 @@ class ScaleAndGuardsSpec extends AnyFunSuite {
     }
   }
 
+  test("ScaleUp past 26 replicas: permutation ciphers stay pairwise distinct") {
+    // The rotation cipher repeats every 26 replicas — a 100× corpus
+    // (r8's sf10) would otherwise carry exact cross-replica duplicates,
+    // deepening dup groups quadratically instead of multiplying them.
+    // factor 28 exercises r=26,27 (seeded permutations) alongside every
+    // rotation; the texts of one doc across all replicas must be
+    // pairwise distinct yet length/token-structure preserving.
+    val src = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-scaleup28").toString
+    ScaleUp.run(spark, src, out, 28)
+    val stride = 1000000000000L
+    val srcDocs = spark.read.parquet(s"$src/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val sample = srcDocs.filter(_._2.count(_.isLetter) >= 10).take(5)
+    val outDocs = spark.read.parquet(s"$out/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    sample.foreach { case (id, text) =>
+      val replicas = (0 until 28).map(r => outDocs(id + r * stride))
+      assert(replicas.distinct.size === 28,
+        s"doc $id: cipher collision across replicas")
+      replicas.foreach { t =>
+        assert(t.length === text.length)
+        assert(t.split(" ").length === text.split(" ").length)
+      }
+    }
+  }
+
   test("w9_anomaly: zero-variance history emits no NaN rows (guard)") {
     val dir = Files.createTempDirectory("graft-w9").toString
     def day(d: Int) = timestamp_seconds(lit(86400L * d + 3600L))
