@@ -37,6 +37,26 @@ object SparkEntry {
     }
   }
 
+  /** Drop catalog tables AND their stale warehouse directories — across
+    * JVMs the in-memory catalog is gone but the directories remain, and
+    * `saveAsTable` refuses a location it didn't create
+    * (LOCATION_ALREADY_EXISTS). Used by the bucketed-layout queries before
+    * their write-once-per-(JVM, sf dir) table builds. */
+  private def dropWarehouseTables(s: SparkSession, names: Seq[String]): Unit =
+    names.foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val base = if (wh.startsWith("file:"))
+        new java.io.File(new java.net.URI(wh).getPath)
+      else new java.io.File(wh)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      val dir = new java.io.File(base, t)
+      if (dir.exists) rm(dir)
+    }
+
   /** [[E]] with a time-range predicate applied on the RAW nanos long,
     * BEFORE the timestamp conversion: a filter on the derived µs column
     * can never reach the parquet scan (the conversion expression blocks
@@ -543,6 +563,29 @@ object SparkEntry {
       Some("""SELECT o_orderkey, o_totalprice,
              |row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
              |FROM orders WHERE o_totalprice > 150000.0 ORDER BY rn""".stripMargin)),
+
+    // --- O8: the o3 global-top-k semantics routed through TopKByScore's
+    //     EMPTY-grouping form (partial per-partition heaps → AllTuples →
+    //     one final heap — the TakeOrdered shape expressed by the custom
+    //     operator, third green query plan-asserting the exec). Score
+    //     folds the o_orderkey-ASC tiebreak in (minus epsilon, exact at
+    //     these magnitudes and identical in the oracle) because heap ties
+    //     at the cut are otherwise arbitrary. ---
+    ("o8_global_topk_strategy", (s, d) => {
+      val scored = T(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          (col("o_totalprice") - col("o_orderkey") * 1.0e-9).as("__score"))
+      val top = graft.plans.TopK.topKByScore(scored, Seq.empty, "__score", 100)
+      val plan = top.queryExecution.executedPlan.toString
+      require(plan.contains("TopKPerGroup"),
+        s"o8_global_topk_strategy: TopKByScore exec missing from plan:\n$plan")
+      top.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM (
+             |  SELECT * FROM orders
+             |  ORDER BY o_totalprice - o_orderkey * 1.0e-9 DESC LIMIT 100) t
+             |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)),
 
     // --- J3/P7: per-window agg frames full-outer combined + fill (A-fanout alt) ---
     ("j3_outer_join_fill", (s, d) => {
@@ -1351,19 +1394,7 @@ object SparkEntry {
       val custT = s"x20_customer_b_$key"
       val ordT = s"x20_orders_b_$key"
       if (!s.catalog.tableExists(custT) || !s.catalog.tableExists(ordT)) {
-        Seq(custT, ordT).foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS $t")
-          val wh = s.conf.get("spark.sql.warehouse.dir")
-          val base = if (wh.startsWith("file:"))
-            new java.io.File(new java.net.URI(wh).getPath)
-          else new java.io.File(wh)
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(); ()
-          }
-          val dir = new java.io.File(base, t)
-          if (dir.exists) rm(dir)
-        }
+        dropWarehouseTables(s, Seq(custT, ordT))
         Layout.writeBucketed(
           T(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
           custT, 8, Seq("c_custkey"))
@@ -1386,6 +1417,53 @@ object SparkEntry {
              |round(sum(o_totalprice), 2) AS total_price
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- C3: the layout surface composed into the serving flow — the
+    //     online-store refresh + lookup path (W7 latestPerKey → S8 join)
+    //     read THROUGH a bucketed store. The event log and the request
+    //     entity table are both bucketBy(8, user_id) (write-once per
+    //     (JVM, sf dir), as x20); the latest-per-key window needs
+    //     ClusteredDistribution(user_id), which the bucketed scan already
+    //     provides, and the request join needs the same — so the ENTIRE
+    //     lookup (window + join) plans with ZERO exchanges, REQUIREd
+    //     in-query. At 100 TB this is an online-store refresh that only
+    //     sorts within buckets vs one that reshuffles the event log every
+    //     run. Broadcast disabled on the session clone so the assert
+    //     can't be satisfied by a broadcast join. ---
+    ("c3_bucketed_lookup", (s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val key = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+      val evT = s"c3_events_b_$key"
+      val reqT = s"c3_requests_b_$key"
+      if (!s.catalog.tableExists(evT) || !s.catalog.tableExists(reqT)) {
+        dropWarehouseTables(s, Seq(evT, reqT))
+        Layout.writeBucketed(
+          E(s, d).select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), col("ts")),
+          evT, 8, Seq("user_id"))
+        Layout.writeBucketed(
+          T(s, d, "customer").select(col("c_custkey").as("user_id"),
+            col("c_mktsegment")),
+          reqT, 8, Seq("user_id"))
+      }
+      val feats = FeatureStore.latestPerKey(
+        s.table(evT), Seq("user_id"), "ts", "event_id")
+      val lookup = feats.join(s.table(reqT), Seq("user_id"))
+      val plan = lookup.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"c3_bucketed_lookup: bucketed lookup must be exchange-free:\n$plan")
+      lookup.select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("c_mktsegment"))
+        .orderBy(col("user_id"))
+    },
+      Some("""WITH latest AS (SELECT user_id, event_id, event_type, value,
+             |  row_number() OVER (PARTITION BY user_id
+             |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             |SELECT l.user_id, l.event_id, l.event_type, l.value,
+             |  c.c_mktsegment
+             |FROM latest l JOIN customer c ON c.c_custkey = l.user_id
+             |WHERE l.rn = 1 ORDER BY l.user_id""".stripMargin)),
 
     // --- J13: runtime bloom-filter join (Catalyst InjectRuntimeFilter).
     //     At 100 TB the fact join's probe side scans the FULL fact table

@@ -233,6 +233,17 @@ object StreamingJobs {
     // read nor rewritten. Both steps are O(touched buckets).
     val stage = storePath + ".stage"
     merged.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
+    // Failure-injection point for the exactly-once proof (StreamingSpec):
+    // "once" aborts the micro-batch AFTER the staging write but BEFORE the
+    // store swap — the worst crash window (work done, store untouched,
+    // checkpoint uncommitted). The streaming engine retries the batch from
+    // the checkpoint; the retry re-merges from the UNMODIFIED store, so
+    // recovery must equal the no-failure run.
+    val abortKey = "spark.graft.upsert.abortAfterStage"
+    if (spark.conf.getOption(abortKey).contains("once")) {
+      spark.conf.set(abortKey, "done")
+      throw new IllegalStateException("injected post-stage abort (test)")
+    }
     spark.read.parquet(stage)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

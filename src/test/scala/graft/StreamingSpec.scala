@@ -331,6 +331,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((1L, 300L, 9.0), (2L, 100L, 2.0)))
   }
 
+  test("partitioned upsert: mid-write crash after staging, before swap, " +
+      "recovers exactly-once from checkpoint (T6 failure injection)") {
+    // The worst crash window: the micro-batch has done its work (staging
+    // directory written) but the store swap and checkpoint commit have NOT
+    // happened. The engine must retry the batch on restart, the retry must
+    // re-merge against the UNTOUCHED store, and the recovered store must
+    // equal the no-failure run bit-for-semantics.
+    val base = Files.createTempDirectory("graft-pcrash").toString
+    val src = base + "/src"
+    val store = base + "/store"
+    val ckpt = base + "/ckpt"
+    def feat(rows: Seq[(Long, Long, Double)]) = rows
+      .toDF("k", "ts_s", "v")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .select("k", "ts", "v")
+    def readStore() = spark.read.parquet(store)
+      .select(col("k"), col("ts").cast("long"), col("v"))
+      .as[(Long, Long, Double)].collect().toSet
+    def runStream(): Unit = {
+      val stream = spark.readStream
+        .schema("k LONG, ts TIMESTAMP, v DOUBLE").parquet(src)
+      val q = StreamingJobs.upsertOnlineStorePartitioned(stream, Seq("k"),
+        "ts", "v", store, ckpt, numBuckets = 4)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val abortKey = "spark.graft.upsert.abortAfterStage"
+
+    // batch 0: clean seed
+    feat(Seq((1L, 100L, 1.0), (2L, 100L, 2.0)))
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    runStream()
+    val afterSeed = readStore()
+    assert(afterSeed === Set((1L, 100L, 1.0), (2L, 100L, 2.0)))
+
+    // batch 1 arrives; its micro-batch is aborted post-stage
+    feat(Seq((1L, 300L, 9.0), (3L, 100L, 3.0)))
+      .coalesce(1).write.mode("append").parquet(src)
+    spark.conf.set(abortKey, "once")
+    val failed = intercept[Exception](runStream())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(failed).exists(c =>
+        Option(c.getMessage).exists(_.contains("injected post-stage abort"))),
+      s"expected the injected abort, got: $failed")
+    // the crash window left the store untouched
+    assert(readStore() === afterSeed, "store mutated before the swap")
+
+    // restart from the checkpoint: the engine retries batch 1 against the
+    // unmodified store; recovery must equal the no-failure outcome
+    spark.conf.unset(abortKey)
+    runStream()
+    assert(readStore() ===
+      Set((1L, 300L, 9.0), (2L, 100L, 2.0), (3L, 100L, 3.0)))
+    // and an extra restart with nothing new is a no-op (no double apply)
+    runStream()
+    assert(readStore() ===
+      Set((1L, 300L, 9.0), (2L, 100L, 2.0), (3L, 100L, 3.0)))
+  }
+
   test("streaming sessionization matches the batch lag+cumsum form (T11)") {
     val dir = Files.createTempDirectory("graft-sess").toString
     eventsFixture(dir) // user 1: ts 10,70,290,310; user 2: ts 20,330
