@@ -728,6 +728,35 @@ object QueriesLlm {
               |     (CAST(cq + 1 AS DOUBLE) / (nq + v)))), 6) AS kl
               |FROM ex CROSS JOIN tot GROUP BY source ORDER BY source""".stripMargin)),
 
+    // --- KL drift over a CAPPED head vocabulary (top-500 corpus terms,
+    //     ties by term): the open-vocab form's broadcast grows with the
+    //     corpus (billions of distinct tokens at web scale); this is the
+    //     bounded form the t_kl_drift audit contract names — the explicit
+    //     limit makes the broadcast build provably bounded to the plan
+    //     audit. Event space = capped vocab, all totals recomputed within
+    //     it, so the smoothed distributions still sum to 1. ---
+    ("t_kl_drift_capped", (s, d) =>
+      TextAnalysis.klDriftCapped(SparkEntry.T(s, d, "documents"),
+        "source", "text", vocabCap = 500)
+        .orderBy(col("source")),
+      Some(s"""WITH toks AS (SELECT source, unnest($DuckTokens) AS term FROM documents),
+              |vocab AS (SELECT term, count(*) AS cq FROM toks GROUP BY term
+              |          ORDER BY cq DESC, term LIMIT 500),
+              |iv AS (SELECT t.source, t.term FROM toks t
+              |       JOIN vocab v ON v.term = t.term),
+              |tot AS (SELECT count(*) AS nq, count(DISTINCT term) AS v FROM iv),
+              |bg AS (SELECT source, term, count(*) AS cp FROM iv GROUP BY 1, 2),
+              |gt AS (SELECT source, count(*) AS np FROM iv GROUP BY 1),
+              |ex AS (SELECT gt.source, gt.np, vocab.term, vocab.cq,
+              |         coalesce(bg.cp, 0) AS cp
+              |       FROM gt CROSS JOIN vocab
+              |       LEFT JOIN bg ON bg.source = gt.source AND bg.term = vocab.term)
+              |SELECT source, max(np) AS n_tokens,
+              |round(sum((CAST(cp + 1 AS DOUBLE) / (np + v)) *
+              |  ln((CAST(cp + 1 AS DOUBLE) / (np + v)) /
+              |     (CAST(cq + 1 AS DOUBLE) / (nq + v)))), 6) AS kl
+              |FROM ex CROSS JOIN tot GROUP BY source ORDER BY source""".stripMargin)),
+
     // --- Train→test n-gram decontamination (GPT-3 appendix-C style
     //     eval-leakage check): trigram membership of each test doc in the
     //     train gram set, over the same md5 hash-split both engines

@@ -357,6 +357,44 @@ object TextAnalysis {
         round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl"))
   }
 
+  /** [[klDrift]] with the vocabulary CAPPED to the `vocabCap` most
+    * frequent corpus terms (ties broken by term) — the open-vocabulary
+    * form's broadcast grows with corpus vocab, which at 100 TB (web-scale
+    * text ≈ billions of distinct tokens) outgrows any broadcast budget.
+    * Here the event space IS the capped vocab: all counts and totals
+    * (np, nq) are recomputed within it, so the smoothed distributions
+    * still sum to 1 over vocabCap+ terms and KL stays well-defined. The
+    * explicit `limit` also makes the broadcast build side PROVABLY
+    * bounded to the plan audit (no acknowledged-contract entry needed).
+    * Head-vocabulary KL captures virtually all practical drift signal —
+    * tail terms contribute O(1/np) each to the sum. */
+  def klDriftCapped(df: DataFrame, groupCol: String, textCol: String,
+                    vocabCap: Int): DataFrame = {
+    val toks = df.select(col(groupCol), explode(tokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cq"))
+      .orderBy(col("cq").desc, col("term")).limit(vocabCap)
+    // Totals within the capped vocab (vocab is tiny — broadcast semi-join).
+    val inVocab = toks.join(broadcast(vocab.select(col("term"))),
+      Seq("term"), "left_semi")
+    val nTotal = inVocab.agg(count(lit(1)).as("nq"),
+      countDistinct(col("term")).as("v"))
+    val byGroup = inVocab.groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("cp"))
+    val groupTotals = inVocab.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("np"))
+    groupTotals
+      .crossJoin(broadcast(vocab))
+      .join(byGroup, Seq(groupCol, "term"), "left")
+      .na.fill(0L, Seq("cp"))
+      .crossJoin(broadcast(nTotal))
+      .select(col(groupCol), col("np"),
+        ((col("cp") + 1).cast("double") / (col("np") + col("v"))).as("p"),
+        ((col("cq") + 1).cast("double") / (col("nq") + col("v"))).as("q"))
+      .groupBy(col(groupCol))
+      .agg(max(col("np")).as("n_tokens"),
+        round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl"))
+  }
+
   /** Train→test n-gram decontamination report (the GPT-3 appendix-C /
     * C4 eval-leakage check): for each test document, how many of its
     * word n-grams also appear anywhere in the training corpus. Returns

@@ -8,7 +8,8 @@ set -e
 cd /root/repo
 SUBSET="ann_cluster_recall ann_mllib_lsh_recall c2_corpus_pipeline \
 d_containment d_dup_groups d_embedding_neardup d_minhash_cap_recall \
-d_minhash_lsh d_simhash d_simhash128 d_token_jaccard e_means_coverage \
+d_minhash_lsh d_simhash d_simhash128 d_token_jaccard c3_bucketed_lookup \
+o8_global_topk_strategy e_means_coverage \
 e_multik_metrics e_ndcg_mrr_ap f_zorder g1_pagerank j11c_band_topk \
 j13_bloom_join o7_global_rownumber p_quantile_bin r9_diversity \
 r10_novelty r11_spearman r12_cooccurrence r13_int8_recall \
