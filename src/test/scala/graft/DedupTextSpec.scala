@@ -529,6 +529,25 @@ class DedupTextSpec extends AnyFunSuite {
     assert(kl("g1") >= 0.0 && kl("g2") > kl("g1"))
   }
 
+  test("KL drift capped: cap >= vocab reproduces the open form exactly; " +
+      "a tight cap keeps the head-term drift ordering") {
+    val df = Seq(
+      ("g1", "a b a b a b a b a b"),
+      ("g2", "a a a a")).toDF("src", "text")
+    val open = TextAnalysis.klDrift(df, "src", "text")
+      .select("src", "kl").as[(String, Double)].collect().toMap
+    // vocab here is {a, b}: any cap >= 2 is the SAME event space, so the
+    // capped form must agree to the rounded digit
+    val wide = TextAnalysis.klDriftCapped(df, "src", "text", vocabCap = 100)
+      .select("src", "kl").as[(String, Double)].collect().toMap
+    assert(wide === open)
+    // cap = 1 keeps only the most frequent term ("a", 14 occurrences);
+    // the skewed group must still dominate and both stay >= 0
+    val tight = TextAnalysis.klDriftCapped(df, "src", "text", vocabCap = 1)
+      .select("src", "kl").as[(String, Double)].collect().toMap
+    assert(tight("g1") >= 0.0 && tight("g2") >= tight("g1"))
+  }
+
   test("decontamination report: planted shared n-gram flagged, clean doc not") {
     val train = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val test_ = Seq(
