@@ -33,6 +33,11 @@ object SparkEntry {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet reads as NTZ;
+      // normalize to session-local (UTC) TIMESTAMP so downstream
+      // cast-to-long / unix_micros keep resolving.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
@@ -83,6 +88,14 @@ object SparkEntry {
         val hi = until.map(d => raw("ts") < nanosOf(d))
         (lo ++ hi).reduceOption(_ && _).map(raw.filter).getOrElse(raw)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // NTZ scan: filter on the NTZ column with NTZ literals (the
+      // predicate stays pushable to the parquet scan), THEN normalize
+      // to session-local (UTC) TIMESTAMP for downstream arithmetic.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        val lo = from.map(d => raw("ts") >= lit(d).cast("timestamp_ntz"))
+        val hi = until.map(d => raw("ts") < lit(d).cast("timestamp_ntz"))
+        (lo ++ hi).reduceOption(_ && _).map(raw.filter).getOrElse(raw)
+          .withColumn("ts", col("ts").cast("timestamp"))
       case _ =>
         val lo = from.map(d => col("ts") >= lit(d).cast("timestamp"))
         val hi = until.map(d => col("ts") < lit(d).cast("timestamp"))

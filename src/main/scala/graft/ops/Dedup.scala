@@ -648,13 +648,22 @@ object Dedup {
         bandedAll.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= maxBucketSize).drop("__rn")
       }
+    // Hamming filter BEFORE distinct: the bucket join streams its
+    // candidate pairs straight through the codegen'd bit_count filter
+    // with no shuffle, so the distinct() dedup (same pair witnessed by
+    // several bands) only pays for SURVIVORS. Banding buckets of
+    // natural-language SimHashes are heavily skewed — correlated head
+    // tokens make some block values near-constant — so candidates can
+    // be 10-100× the uniform estimate (measured 4.3×10⁸ at 50 K docs
+    // for the 128-bit form); a distinct-first ordering shuffles all of
+    // them.
     val fpPairs = banded.select(col("fp").as("fp1"), col("block"), col("key"))
       .join(banded.select(col("fp").as("fp2"), col("block"), col("key")),
         Seq("block", "key"))
       .filter(col("fp1") < col("fp2"))
-      .select("fp1", "fp2").distinct()
       .withColumn("hamming", hamming64(col("fp1"), col("fp2")))
       .filter(col("hamming") <= maxHamming)
+      .select("fp1", "fp2", "hamming").distinct()
     // Expand distinct-fp pairs to member id pairs (g1 × g2 — the output
     // size itself, nothing more).
     val cross = fpPairs
@@ -789,13 +798,58 @@ object Dedup {
         bandedAll.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= maxBucketSize).drop("__rn")
       }
-    val fpPairs = banded.select(col("fp").as("fp1"), col("block"), col("key"))
-      .join(banded.select(col("fp").as("fp2"), col("block"), col("key")),
-        Seq("block", "key"))
-      .filter(col("fp1") < col("fp2"))
-      .select("fp1", "fp2").distinct()
-      .withColumn("hamming", hamming128(col("fp1"), col("fp2")))
+    // Depth-proportional SALTED self-join. Natural-language SimHash
+    // bits are correlated (head tokens vote identically across a
+    // corpus), so band buckets are heavily skewed — measured at 50 K
+    // docs: p50 depth 2, max 2222, Σd² ≈ 4.3×10⁸ candidate pairs, and
+    // a plain (block,key) join serializes the deepest buckets onto one
+    // task (load_avg ~1 on 32 cores; AQE's skew split keys off input
+    // BYTES and never sees compute skew). Each bucket of depth d is
+    // split into S=⌈d/τ⌉ cells: every LEFT row lands in one cell by
+    // fp hash, the RIGHT side is replicated to all S cells, so cell
+    // work is ≤ τ·d pairs and extra shuffle is Σd·S ≈ Σd²/τ — ~1 % of
+    // the candidate volume at τ=256. Cold buckets (d ≤ τ) keep S=1 and
+    // pay nothing. Coverage: pair (a,b) meets exactly once per
+    // witnessing bucket, in a's cell.
+    val saltTau = 256
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block"), col("key"))
+    // The path below runs once per CANDIDATE (Σd² — measured 4.3×10⁸
+    // at 50 K docs / 5.0×10⁹ at 500 K), so every joined and filtered
+    // column is kept a primitive long: flattening the fingerprint
+    // struct into (l0, l1) keeps the join keys, the pair-order
+    // predicate and the bit_count filter in whole-stage codegen over
+    // flat longs instead of nested-struct compares.
+    val bandedD = banded
+      .withColumn("__s",
+        least(ceil(count(lit(1)).over(wd) / saltTau), lit(64L)).cast("int"))
+      .select(col("fp.l0").as("l0"), col("fp.l1").as("l1"),
+        col("block"), col("key"), col("__s"))
+    val left = bandedD.select(col("l0").as("a0"), col("l1").as("a1"),
+      col("block"), col("key"),
+      pmod(xxhash64(col("l0"), col("l1"), col("block"), col("key")),
+        col("__s")).cast("int").as("__cell"))
+    val right = bandedD.select(col("l0").as("b0"), col("l1").as("b1"),
+      col("block"), col("key"),
+      explode(sequence(lit(0), col("__s") - 1)).as("__cell"))
+    // Hamming filter BEFORE distinct — see the 64-bit form above: the
+    // candidate join pipelines into the bit_count filter with no
+    // shuffle, and distinct() pays only for surviving near-pairs (the
+    // same pair witnessed by up to C(18,2) combos), not for the skewed
+    // candidate volume. Pair order is signed-lexicographic on (l0, l1),
+    // matching the struct order of the identical-fp branch.
+    val fpPairs = left
+      .join(right, Seq("block", "key", "__cell"))
+      .filter(col("a0") < col("b0") ||
+        (col("a0") === col("b0") && col("a1") < col("b1")))
+      .withColumn("hamming",
+        (bit_count(col("a0").bitwiseXOR(col("b0"))) +
+          bit_count(col("a1").bitwiseXOR(col("b1")))).cast("int"))
       .filter(col("hamming") <= maxHamming)
+      .select(struct(col("a0").as("l0"), col("a1").as("l1")).as("fp1"),
+        struct(col("b0").as("l0"), col("b1").as("l1")).as("fp2"),
+        col("hamming"))
+      .distinct()
     val cross = fpPairs
       .join(fpGroups.select(col("fp").as("fp1"), col("__ids").as("ids1")),
         Seq("fp1"))
