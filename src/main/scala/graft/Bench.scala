@@ -37,6 +37,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Generous pre-coalesce width so AQE sizes each shuffle by BYTES,
+      // not by the core count: at 10-100x data, 32 shuffle partitions put
+      // millions of rows per task and spill; with a wide initial width
+      // AQE coalesces small exchanges back to a handful of tasks and
+      // leaves big ones wide. This is the knob that makes the same
+      // session config survive a scale-up (BENCH_SF10.md).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "512"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

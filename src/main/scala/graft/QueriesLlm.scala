@@ -653,13 +653,24 @@ object QueriesLlm {
         .withColumn("recall", col("n_hits") / col("n_exact"))
     }, None),
 
-    // --- Embedding-cosine near-dup pairs (cluster-bucketed, never all-pairs) ---
-    ("d_embedding_neardup", (s, d) =>
-      Similarity.embeddingNearDups(
-        SparkEntry.T(s, d, "embeddings").select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", threshold = 0.2, nlist = 16)
+    // --- Embedding-cosine near-dup pairs (cluster-bucketed, never
+    //     all-pairs). nlist scales WITH the corpus (target ~1000 vectors
+    //     per cluster): a fixed nlist makes per-cluster size grow
+    //     linearly and the within-cluster pair join quadratic (measured
+    //     40× time at 10× vectors in the r8 sweep with nlist=16); a
+    //     corpus-proportional nlist keeps pair work Θ(n·1000). Centroid
+    //     ASSIGNMENT is Θ(n·nlist) = n²/1000 — negligible below ~1 M
+    //     vectors; past that the scale path is a two-level (coarse →
+    //     fine) assignment, documented at Similarity.embeddingNearDups. ---
+    ("d_embedding_neardup", (s, d) => {
+      val e = SparkEntry.T(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val nlist = math.max(16L, e.count() / 1000L).toInt
+      Similarity.embeddingNearDups(e, "vec_id", "embedding",
+        threshold = 0.2, nlist = nlist)
         .agg(count(lit(1)).as("n_pairs"),
-          round(avg(col("cosine")), 4).as("avg_cosine")), None),
+          round(avg(col("cosine")), 4).as("avg_cosine"))
+    }, None),
 
     // --- Multimodal: opaque binary payload + typed metadata + chunking ---
     ("m_multimodal_meta", (s, d) => {

@@ -1234,15 +1234,19 @@ object SparkEntry {
         .select(col("id1"), col("id2"),
           round(abs(col("v1") - col("v2")), 2).as("price_diff"), col("rnk"))
         .orderBy(col("id1"), col("rnk")),
-      Some("""WITH c AS (SELECT a.p_partkey AS id1, b.p_partkey AS id2,
-             |  round(abs(a.p_retailprice - b.p_retailprice), 2) AS price_diff,
-             |  row_number() OVER (PARTITION BY a.p_partkey
-             |    ORDER BY abs(a.p_retailprice - b.p_retailprice), b.p_partkey)
-             |    AS rnk
-             |  FROM part a JOIN part b ON a.p_partkey <> b.p_partkey
-             |    AND abs(a.p_retailprice - b.p_retailprice) <= 0.5)
+      // Same (|Δv|, position distance, position) contract as the
+      // operator: the oracle derives identical sort positions, takes the
+      // ±k positional window, and ranks with the same tie-break.
+      Some("""WITH p AS (SELECT p_partkey AS id, p_retailprice AS v,
+             |  row_number() OVER (ORDER BY p_retailprice, p_partkey) AS pos FROM part),
+             |c AS (SELECT a.id AS id1, b.id AS id2, a.v AS v1, b.v AS v2, a.pos AS p1, b.pos AS p2
+             |  FROM p a JOIN p b ON b.pos BETWEEN a.pos - 3 AND a.pos + 3 AND b.pos <> a.pos
+             |  WHERE abs(a.v - b.v) <= 0.5),
+             |r AS (SELECT id1, id2, round(abs(v1 - v2), 2) AS price_diff,
+             |  row_number() OVER (PARTITION BY id1
+             |    ORDER BY abs(v1 - v2), abs(p1 - p2), p2) AS rnk FROM c)
              |SELECT id1, id2, price_diff, CAST(rnk AS BIGINT) AS rnk
-             |FROM c WHERE rnk <= 3 ORDER BY id1, rnk""".stripMargin)),
+             |FROM r WHERE rnk <= 3 ORDER BY id1, rnk""".stripMargin)),
 
     // --- O6: per-group top-k THROUGH the custom TopKByScore operator
     //     (logical node + SparkStrategy + partial/final heap execs) —

@@ -374,45 +374,52 @@ object Relational {
       .select(col("id1"), col("id2"), col("v1"), col("v2"))
   }
 
-  /** Output-BOUNDED band join: for every row, its `k` nearest neighbors
-    * by |v − v'| among the rows within `delta` — the variant of
-    * [[bandJoin]] a careless caller can't detonate. A band join at fixed
-    * δ is output-quadratic in value density (BENCH_SF1.md measured ~100×
-    * pairs for 10× rows); this form caps the result at k·n rows no
-    * matter how dense the corpus gets, which is what similarity-join
-    * consumers (near-dup verify, kNN features) actually want.
+  /** Output- AND WORK-bounded band join: for every row, its `k` nearest
+    * neighbors by |v − v'| among the rows within `delta` — the variant
+    * of [[bandJoin]] a careless caller can't detonate. A band join at
+    * fixed δ is output-quadratic in value density (BENCH_SF1.md measured
+    * ~100× pairs for 10× rows), and even a top-k prune over δ-bucketed
+    * candidates still PAYS n·(bucket depth) candidate work — measured
+    * blowing past 5×10⁹ intermediate rows at a 2 M-row / dense-value
+    * corpus (BENCH_SF10.md, r8). This form is Θ(n·k) end to end.
     *
-    * Plan shape: same δ-width bucketing as [[bandJoin]], but DIRECTED —
-    * the probe side keeps its own bucket, the build side is replicated
-    * to (b−1, b, b+1), so every within-δ partner meets the probe row in
-    * exactly one bucket (no distinct). The per-row top-k is a
-    * row_number window partitioned by the probe id — high-cardinality
-    * partitioning (parallelism = #rows, not #buckets) that Spark
-    * executes with WindowGroupLimit: each shuffle side pre-prunes to k
-    * rows per id before the sort, so post-join state is bounded even
-    * when a hot bucket floods candidates. Ties on |Δv| break by
-    * neighbor id — deterministic, engine-reproducible output. Emits
-    * (id1, id2, v1, v2, rnk) with rnk 1..k; rows with no within-δ
-    * neighbor emit nothing (inner-join semantics, like bandJoin).
+    * Algorithm: nearest neighbors on a LINE are contiguous in sort
+    * order. Sort by (v, id) via the parallel [[globalRowNumber]] device,
+    * then each row's within-δ nearest-k are necessarily among its ±k
+    * POSITIONAL neighbors: on either side of a row, |Δv| is monotone in
+    * position distance, so the candidates are an offset equi-join on
+    * position (2k rows per probe, no density term, no hot buckets).
     *
-    * The candidate cost is still 3-bucket occupancy per probe row — a
-    * value-concentrated corpus pays wide intermediate joins — but the
-    * WindowGroupLimit prune bounds every post-shuffle buffer at k, and
-    * the output (the part that feeds downstream joins, the actual
-    * scale-killer in pipelines) is k·n by construction. */
+    * Ranking order is (|Δv|, position distance, position): among equal
+    * |Δv| the positionally closer neighbor wins, then the earlier one —
+    * deterministic, engine-reproducible, and exactly computable by a SQL
+    * oracle that derives the same row_number positions. (A pure
+    * (|Δv|, id) tie-break would NOT be positionally local for fat ties —
+    * the k smallest ids of a 100-row tie class can sit anywhere in the
+    * class — which is why the contract ties by position.) Emits
+    * (id1, id2, v1, v2, rnk) with rnk 1..k; null values and rows with no
+    * within-δ neighbor emit nothing (inner-join semantics, like
+    * bandJoin). */
   def bandJoinNearestK(df: DataFrame, idCol: String, valCol: String,
                        delta: Double, k: Int): DataFrame = {
     require(delta > 0, "bandJoinNearestK needs a positive delta")
     require(k >= 1, "bandJoinNearestK needs k >= 1")
-    val b = floor(col(valCol) / delta).cast("long")
-    val probe = df.select(col(idCol).as("id1"), col(valCol).as("v1"),
-      b.as("__b"))
-    val build = df.select(col(idCol).as("id2"), col(valCol).as("v2"),
-      explode(array(b - 1, b, b + 1)).as("__b"))
+    val rn = globalRowNumber(
+      df.filter(col(valCol).isNotNull).select(col(idCol), col(valCol)),
+      Seq(col(valCol), col(idCol)), rnCol = "__pos")
+    val probe = rn.select(col(idCol).as("id1"), col(valCol).as("v1"),
+      col("__pos").as("__p1"))
+    val build = rn.select(col(idCol).as("id2"), col(valCol).as("v2"),
+      col("__pos").as("__p2"))
+    val offsets = ((-k to k).filterNot(_ == 0)).map(o => lit(o))
     val w = Window.partitionBy(col("id1"))
-      .orderBy(abs(col("v1") - col("v2")), col("id2"))
-    probe.join(build, Seq("__b"))
-      .filter(col("id1") =!= col("id2"))
+      .orderBy(abs(col("v1") - col("v2")),
+        abs(col("__p1") - col("__p2")), col("__p2"))
+    probe
+      .withColumn("__o", explode(array(offsets: _*)))
+      .withColumn("__p2", col("__p1") + col("__o"))
+      .drop("__o")
+      .join(build, Seq("__p2"))
       .filter(abs(col("v1") - col("v2")) <= delta)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -226,7 +226,16 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs at scale: cluster-prune then verify
-    * cosine >= threshold within clusters (never all-pairs). */
+    * cosine >= threshold within clusters (never all-pairs).
+    *
+    * Sizing nlist: choose nlist ∝ n (e.g. n/1000) so per-cluster size —
+    * and with it the within-cluster pair join — stays CONSTANT per row;
+    * a fixed nlist at growing n is quadratic (measured 40× time at 10×
+    * vectors, BENCH_SF10.md). The Θ(n·nlist) centroid-assignment term
+    * then grows n²/1000, which stays minor below ~1 M vectors; past
+    * that, assign hierarchically (√nlist coarse centroids, then fine
+    * within the chosen coarse cell — Θ(n·2√nlist)), the standard IVF
+    * escalation. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, nlist: Int = 64,
                         seed: Long = 42): DataFrame = {

@@ -289,13 +289,33 @@ class RelationalSpec extends AnyFunSuite {
     val got = q.select(col("id1"), col("id2"), col("rnk"))
       .as[(Long, Long, Long)].collect()
     val rows = df.as[(Long, Double)].collect()
-    val want = rows.flatMap { case (i1, v1) =>
-      rows.filter { case (i2, v2) => i2 != i1 && math.abs(v1 - v2) <= delta }
-        .sortBy { case (i2, v2) => (math.abs(v1 - v2), i2) }
-        .take(k).zipWithIndex
-        .map { case ((i2, _), r) => (i1, i2, (r + 1).toLong) }
-    }.toSet
-    assert(got.toSet === want)
+    // Brute force over ALL within-δ rows with the operator's
+    // (|Δv|, position distance, position) order — since the operator
+    // only ever examines ±k positional neighbors, agreement here PROVES
+    // the positional window captures every winner.
+    def wantFor(data: Seq[(Long, Double)], dl: Double, kk: Int) = {
+      val pos = data.sortBy { case (i, v) => (v, i) }.zipWithIndex
+        .map { case ((i, _), p) => i -> p.toLong }.toMap
+      data.flatMap { case (i1, v1) =>
+        data.filter { case (i2, v2) => i2 != i1 && math.abs(v1 - v2) <= dl }
+          .sortBy { case (i2, v2) =>
+            (math.abs(v1 - v2), math.abs(pos(i1) - pos(i2)), pos(i2)) }
+          .take(kk).zipWithIndex
+          .map { case ((i2, _), r) => (i1, i2, (r + 1).toLong) }
+      }.toSet
+    }
+    assert(got.toSet === wantFor(rows, delta, k))
+    // Fat ties: 40 rows sharing one exact value (tie class ≫ k) plus a
+    // near and a far band — the shape where an id-based tie-break would
+    // NOT be positionally local.
+    val fat = ((1L to 40L).map(i => (i, 5.0)) ++
+      (41L to 50L).map(i => (i, 5.3)) ++
+      (51L to 60L).map(i => (i, 9.0))).toDF("id", "v")
+    val fatGot = Relational.bandJoinNearestK(fat, "id", "v", 1.0, k)
+      .select(col("id1"), col("id2"), col("rnk"))
+      .as[(Long, Long, Long)].collect()
+    assert(fatGot.toSet === wantFor(
+      fat.as[(Long, Double)].collect(), 1.0, k))
     // the output bound the operator exists for: ≤ k rows per probe id
     assert(got.groupBy(_._1).forall(_._2.length <= k))
     val plan = q.queryExecution.executedPlan.toString
