@@ -59,7 +59,7 @@ object AnnCurve {
       val t0 = System.nanoTime()
       val approx = pairs(Similarity.clusterPrunedTopK(queries, emb,
         "vec_id", "vec_id", "embedding", k, nlist = nlist, nprobe = nprobe,
-        refineIters = lloyd))
+        refineIters = lloyd, excludeSelf = true))
       val hits = exact.join(approx, Seq("query_id", "item_id"), "left_semi")
         .count()
       val secs = (System.nanoTime() - t0) / 1e9

@@ -625,7 +625,8 @@ object QueriesLlm {
         .select(col("query_id"), col("item_id"))
       def recallOf(refineIters: Int, hitsName: String, recallName: String) = {
         val approx = Similarity.clusterPrunedTopK(qs, e, "vec_id", "vec_id",
-          "embedding", 5, nlist = 16, nprobe = 4, refineIters = refineIters)
+          "embedding", 5, nlist = 16, nprobe = 4, refineIters = refineIters,
+          excludeSelf = true)
           .select(col("query_id"), col("item_id"))
         exact.join(approx, Seq("query_id", "item_id"), "left_semi")
           .agg(count(lit(1)).as(hitsName))

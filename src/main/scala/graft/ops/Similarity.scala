@@ -134,7 +134,8 @@ object Similarity {
   def clusterPrunedTopK(queries: DataFrame, items: DataFrame, queryId: String,
                         itemId: String, vecCol: String, k: Int,
                         nlist: Int = 64, nprobe: Int = 8,
-                        seed: Long = 42, refineIters: Int = 0): DataFrame = {
+                        seed: Long = 42, refineIters: Int = 0,
+                        excludeSelf: Boolean = false): DataFrame = {
     val seeds = pickCentroids(items, itemId, vecCol, nlist, seed)
     val centroids =
       if (refineIters > 0) refineCentroids(items, vecCol, seeds, refineIters)
@@ -157,7 +158,13 @@ object Similarity {
     val pairs = normalized(qProbe, "__qv", "__qn").drop("__qv")
       .join(normalized(itemsC, "__iv", "__in").drop("__iv"),
         Seq("centroid_id"))
-    val scored = pairs.withColumn("score", vecDotNative(col("__qn"), col("__in")))
+    val scored0 = pairs.withColumn("score", vecDotNative(col("__qn"), col("__in")))
+    // Like bruteForceTopK's excludeSelf: when queries ⊆ items on shared
+    // ids, the query's own vector would otherwise take a top-k slot
+    // (recall-vs-exact harnesses read as a systematic 1/k miss).
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col("item_id"))
+      else scored0
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("item_id"))
     scored.withColumn("rank", row_number().over(w))
