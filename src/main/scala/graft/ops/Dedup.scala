@@ -723,7 +723,9 @@ object Dedup {
     * is a shift-and-mask of one lane. Returns (id1, id2, hamming). */
   def simHashNearDups128(df: DataFrame, idCol: String, textCol: String,
                          maxHamming: Int = 16, blockCombos: Int = 2,
-                         maxBucketSize: Int = 0): DataFrame = {
+                         maxBucketSize: Int = 0,
+                         saltTau: Int = 256): DataFrame = {
+    require(saltTau >= 1, s"saltTau=$saltTau must be >= 1")
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming=$maxHamming outside [0, 31]: past 31 the 128-bit " +
         "banding keys get too coarse to prune")
@@ -811,7 +813,6 @@ object Dedup {
     // the candidate volume at τ=256. Cold buckets (d ≤ τ) keep S=1 and
     // pay nothing. Coverage: pair (a,b) meets exactly once per
     // witnessing bucket, in a's cell.
-    val saltTau = 256
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("block"), col("key"))
     // The path below runs once per CANDIDATE (Σd² — measured 4.3×10⁸

@@ -142,6 +142,24 @@ class DedupTextSpec extends AnyFunSuite {
           s"${brute.size}; missed=${brute.diff(banded).take(5)} " +
           s"extra=${banded.diff(brute).take(5)}")
     }
+    // saltTau=2 forces the depth-proportional salted cells (production
+    // only engages them past depth 256) — pair coverage must be EXACTLY
+    // preserved: each pair meets once per witnessing bucket, in the
+    // left row's cell.
+    {
+      val brute = fp.select(col("id").as("id1"), col("fp").as("fp1"))
+        .crossJoin(fp.select(col("id").as("id2"), col("fp").as("fp2")))
+        .filter(col("id1") < col("id2"))
+        .filter(Dedup.hamming128(col("fp1"), col("fp2")) <= 16)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val salted = Dedup.simHashNearDups128(corpus, "doc_id", "text",
+        maxHamming = 16, blockCombos = 2, saltTau = 2)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(salted === brute,
+        s"saltTau=2: salted ${salted.size} vs brute ${brute.size}; " +
+          s"missed=${brute.diff(salted).take(5)} " +
+          s"extra=${salted.diff(brute).take(5)}")
+    }
     // the two lanes are genuinely independent fingerprints: no doc in the
     // corpus has l0 == l1, and lane 0 equals the 64-bit fingerprint
     val lanes = corpus.select(Dedup.simHash128(col("text")).as("fp"),
