@@ -176,11 +176,22 @@ object Similarity {
     * `BucketedRandomProjectionLSH`. Inputs are L2-normalized so Euclidean
     * distance is monotone in cosine (d² = 2 − 2cos for unit vectors); the
     * returned `score` is the cosine recovered from the LSH distance.
-    * Complements [[clusterPrunedTopK]] (the IVF-semantics path). */
+    * Complements [[clusterPrunedTopK]] (the IVF-semantics path).
+    *
+    * Knob physics (unit vectors; MLlib projects onto UNNORMALIZED
+    * N(0,1)^d directions, so a unit vector's projection is N(0,1)):
+    * `bucketLength` ≈ the projection gap of a true near pair — a pair at
+    * distance d projects Δ ~ N(0, d²), so buckets of ~1.0 separate
+    * far pairs while 6 OR-ed tables recover near ones (bucketLength 2.0
+    * had ~everything colliding in every table — a disguised all-pairs
+    * join); `maxDistance` must cover the true top-k distance spectrum
+    * (1.5 = cosine ≥ −0.125 here; 1.0 = cosine ≥ 0.5 dropped real
+    * neighbors of this corpus to 0.004 recall). Measured at the sf1
+    * corpus: recall 1.0 vs exact at these defaults. */
   def lshTopK(queries: DataFrame, items: DataFrame, queryId: String,
               itemId: String, vecCol: String, k: Int,
-              bucketLength: Double = 2.0, numHashTables: Int = 6,
-              maxDistance: Double = 2.0, seed: Long = 42): DataFrame = {
+              bucketLength: Double = 1.0, numHashTables: Int = 6,
+              maxDistance: Double = 1.5, seed: Long = 42): DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
     import org.apache.spark.ml.functions.array_to_vector
     def prep(df: DataFrame, idC: String, outId: String) =
