@@ -102,6 +102,9 @@ object Bench {
     val nCpu = osBean.getAvailableProcessors
     val total = results.map(_._2).sum
     val nFailed = results.count(!_._3)
+    // Self-describing estimator so cross-round totals compare like-for-like
+    // (r1-r6 were single cold runs; r7+ are min-of-N warm).
+    val estimator = if (runs == 1) "single-cold" else s"min-of-$runs-warm"
     val failedNames = results.collect { case (k, _, false) => s""""$k"""" }
 
     // Locale-pinned: the f-interpolator uses the JVM default locale, and a
@@ -117,7 +120,7 @@ object Bench {
         else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs""" +
         s""","n_queries":${results.size},"failed":$nFailed$fails$omit""" +
-        s""","runs":$runs,"load_avg":${fmt(loadAvg)},"n_cpu":$nCpu,"sf":"$sfDir"}"""
+        s""","runs":$runs,"estimator":"$estimator","load_avg":${fmt(loadAvg)},"n_cpu":$nCpu,"sf":"$sfDir"}"""
     }
 
     // Full detail: log line (may be sbt-prefixed/truncated — that's fine)
@@ -127,7 +130,7 @@ object Bench {
     val oks = results.map { case (k, _, ok) => s""""$k":$ok""" }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"ok":$oks,"failed":$nFailed,"runs":$runs,"load_avg":$loadAvg,"n_cpu":$nCpu,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"ok":$oks,"failed":$nFailed,"runs":$runs,"estimator":"$estimator","load_avg":$loadAvg,"n_cpu":$nCpu,"sf":"$sfDir"}"""
     println(fullLine)
     try {
       java.nio.file.Files.write(

@@ -1224,9 +1224,11 @@ object SparkEntry {
     //     are output-quadratic in value density by their own semantics
     //     (BENCH_SF1.md: ~100× pairs for 10× rows); this is the variant
     //     whose result is capped at k·n regardless of density, executed
-    //     as the same bucketed equi-join + a WindowGroupLimit-pruned
-    //     per-row top-k. Ties on |Δprice| break by neighbor key in both
-    //     engines. ---
+    //     POSITIONALLY (Θ(n·k), BENCH_SF10.md): rank rows by (value, id)
+    //     with the parallel globalRowNumber, join each row to its ±k
+    //     positional window, keep |Δv| ≤ δ, and rank candidates by
+    //     (|Δv|, position distance, position) — the tie-break the oracle
+    //     reproduces below. ---
     ("j11c_band_topk", (s, d) =>
       Relational.bandJoinNearestK(
           T(s, d, "part").select(col("p_partkey"), col("p_retailprice")),

@@ -63,6 +63,20 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(rows === Seq(("a", 3L), ("b", 1L), ("c", 1L)))
   }
 
+  test(">64KB items survive the serialize/deserialize shuffle round-trip") {
+    // writeUTF caps entries at 65535 encoded bytes; the length-prefixed
+    // byte-array serialization must not. 70_000 ASCII chars = 70_000 UTF-8
+    // bytes, and a multi-byte suffix exercises non-ASCII encode lengths.
+    val big = "x" * 70000 + "é€𝄞"
+    val df = (Seq.fill(5)(big) ++ Seq("small", "small", "tiny"))
+      .toDF("ky")
+      .repartition(7) // forces partial buffers through serialize/merge
+    val got = summarize(df, 16)
+    assert(got(big) === 5L)
+    assert(got("small") === 2L)
+    assert(got("tiny") === 1L)
+  }
+
   test("null inputs are ignored, not counted") {
     val df = Seq(Some("x"), None, Some("x"), None, Some("y"))
       .toDF("ky")

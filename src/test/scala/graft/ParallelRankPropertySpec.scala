@@ -36,6 +36,44 @@ class ParallelRankPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rankGuard invariant detects a non-reused range exchange") {
+    // globalRowNumber's correctness hinges on the offsets subtree and the
+    // main subtree hanging off ONE reused range exchange (identical
+    // spark_partition_id on both sides). This rebuilds the device with the
+    // failure the scaladoc warns about — two INDEPENDENT exchanges with
+    // different widths, the situation a caller-inserted persist() between
+    // the branches (or a future loss of ReuseExchange) would create — and
+    // asserts the guard's dense-1..n invariant catches the corruption.
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 1000L).map(i => (i % 13, i)).toDF("v", "id")
+    val sortCols = Seq(col("v"), col("id"))
+    def branch(width: Int) = df.repartitionByRange(width, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val offsets = branch(3).groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(
+          Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val corrupted = branch(5)
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(sortCols: _*)).cast("long") +
+        col("__offset"))
+    val Seq((mn, mx, n)) = corrupted
+      .agg(min(col("rn")), max(col("rn")), count(lit(1)))
+      .as[(Long, Long, Long)].collect().toSeq
+    // the exact corruption shape varies with AQE coalescing, but a dense
+    // 1..n rank is impossible when the two subtrees disagree on pids
+    assert(!(mn == 1L && mx == n),
+      s"mismatched exchanges unexpectedly produced dense ranks (n=$n)")
+    // and the real device, guard ON (TestSpark sets spark.graft.rankGuard),
+    // passes its own invariant on the same input
+    val ok = Relational.globalRowNumber(df, sortCols, rnCol = "rn")
+    assert(ok.count() === 1000L)
+  }
+
   test("rankInGroups = reference rank() on random grouped multisets") {
     (1 to 4).foreach { batch =>
       val rows = rowsGen
