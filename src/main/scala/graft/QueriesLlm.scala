@@ -638,20 +638,32 @@ object QueriesLlm {
         .withColumn("recall_refined", col("n_hits_refined") / col("n_exact"))
     }, None),
 
-    // --- ANN via MLlib BucketedRandomProjectionLSH with recall self-check ---
+    // --- ANN via MLlib BucketedRandomProjectionLSH hash family, through
+    //     the candidate-BOUNDED bucket join (Similarity.lshTopK): both
+    //     the OR-amplified config (bandSize=1 — the r8 registry knobs,
+    //     whose candidate volume densifies with neighbor density) and
+    //     the bounded config (bandSize=2 AND-amplification + per-bucket
+    //     cap — candidates ≤ bands·cap per query regardless of corpus)
+    //     are measured against the same exact ground truth, so the
+    //     bounded path's recall price is a number in every round. ---
     ("ann_mllib_lsh_recall", (s, d) => {
       val e = SparkEntry.T(s, d, "embeddings")
       val qs = e.filter(col("vec_id") < 50)
       val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "vec_id",
         "embedding", 5, "cosine", excludeSelf = true)
         .select(col("query_id"), col("item_id"))
-      val approx = Similarity.lshTopK(qs, e, "vec_id", "vec_id",
-        "embedding", 5)
-        .select(col("query_id"), col("item_id"))
-      val hits = exact.join(approx, Seq("query_id", "item_id"), "left_semi")
-      hits.agg(count(lit(1)).as("n_hits"))
+      def recallOf(bandSize: Int, cap: Int, hitsName: String) = {
+        val approx = Similarity.lshTopK(qs, e, "vec_id", "vec_id",
+          "embedding", 5, bandSize = bandSize, maxBucketSize = cap)
+          .select(col("query_id"), col("item_id"))
+        exact.join(approx, Seq("query_id", "item_id"), "left_semi")
+          .agg(count(lit(1)).as(hitsName))
+      }
+      recallOf(1, Int.MaxValue, "n_hits")
+        .crossJoin(recallOf(2, 1024, "n_hits_bounded"))
         .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
         .withColumn("recall", col("n_hits") / col("n_exact"))
+        .withColumn("recall_bounded", col("n_hits_bounded") / col("n_exact"))
     }, None),
 
     // --- Embedding-cosine near-dup pairs (cluster-bucketed, never
@@ -666,7 +678,9 @@ object QueriesLlm {
     ("d_embedding_neardup", (s, d) => {
       val e = SparkEntry.T(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val nlist = math.max(16L, e.count() / 1000L).toInt
+      // memoized footer count: repeat invocations don't re-pay a sizing scan
+      val nlist = math.max(16L,
+        SparkEntry.rowCount(s, d, "embeddings") / 1000L).toInt
       Similarity.embeddingNearDups(e, "vec_id", "embedding",
         threshold = 0.2, nlist = nlist)
         .agg(count(lit(1)).as("n_pairs"),

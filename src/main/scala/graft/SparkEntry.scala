@@ -22,6 +22,18 @@ object SparkEntry {
   private[graft] def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Memoized table row count, keyed by parquet path. Sizing decisions
+    * (e.g. corpus-proportional nlist in `d_embedding_neardup`) need a
+    * count at query-CONSTRUCTION time; an eager `df.count()` there is an
+    * extra full action silently re-paid on every invocation and folded
+    * into that query's measured time (r8 ADVICE). Parquet footers answer
+    * it in milliseconds; the cache makes repeat invocations free. */
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def rowCount(s: SparkSession, dir: String, name: String): Long =
+    rowCountCache.computeIfAbsent(s"$dir/$name.parquet",
+      p => java.lang.Long.valueOf(s.read.parquet(p).count()))
+
   /** Events table loader. The driver's events.parquet carries
     * TIMESTAMP(NANOS) which Spark's vectorized parquet reader rejects;
     * read nanos as long (legacy conf) and convert losslessly to a

@@ -128,6 +128,63 @@ object Similarity {
       .drop("__rn", "__d", "centroid_vec", "__row")
   }
 
+  /** Two-level (coarse → fine) centroid assignment — the IVF escalation
+    * for nlist past ~10³ where flat assignment's Θ(n·nlist) scoring term
+    * dominates (BENCH_SF10.md analysis #4). ~√nlist coarse centroids are
+    * hash-picked FROM the fine centroids; each fine centroid maps to its
+    * nearest coarse cell (a centroids-sized job), and each data row then
+    * scores only √nlist coarse + the matched cell's ~√nlist fine
+    * centroids — Θ(n·2√nlist) total. `coarseProbe` > 1 scores fine
+    * candidates from the p nearest coarse cells, trading back some of
+    * the saved work for assignments closer to flat's (a row whose true
+    * fine centroid hides in the SECOND-nearest coarse cell is the one
+    * divergence mode vs [[assignClusters]]). Same output contract as
+    * [[assignClusters]]: input plus `centroid_id`. */
+  def assignClustersTwoLevel(df: DataFrame, vecCol: String,
+                             centroids: DataFrame, nlist: Int,
+                             coarseProbe: Int = 2,
+                             seed: Long = 42): DataFrame = {
+    val nCoarse = math.max(1, math.round(math.sqrt(nlist.toDouble)).toInt)
+    val coarse = pickCentroids(centroids, "centroid_id", "centroid_vec",
+        nCoarse, seed)
+      .select(col("centroid_id").as("__coarse_id"),
+        col("centroid_vec").as("__coarse_vec"))
+    // fine → coarse cell map (centroids-sized: nlist·√nlist scores)
+    val fineByCell = {
+      val scored = centroids
+        .select(col("centroid_id").as("__fine_id"),
+          col("centroid_vec").as("__fine_vec"))
+        .crossJoin(broadcast(coarse))
+        .withColumn("__d", l2Distance(col("__fine_vec"), col("__coarse_vec")))
+      val w = Window.partitionBy(col("__fine_id"))
+        .orderBy(col("__d"), col("__coarse_id"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__coarse_id"), col("__fine_id"), col("__fine_vec"))
+    }
+    // rows → coarseProbe nearest coarse cells (Θ(n·√nlist))
+    val withId = df.withColumn("__row", monotonically_increasing_id())
+    val rowCells = {
+      val scored = withId.crossJoin(broadcast(coarse))
+        .withColumn("__d", l2Distance(col(vecCol), col("__coarse_vec")))
+      val w = Window.partitionBy(col("__row"))
+        .orderBy(col("__d"), col("__coarse_id"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= coarseProbe)
+        .drop("__rn", "__d", "__coarse_vec")
+    }
+    // rows → nearest fine centroid within the probed cells (Θ(n·p·√nlist))
+    val scoredFine = rowCells
+      .join(broadcast(fineByCell), Seq("__coarse_id"))
+      .withColumn("__d", l2Distance(col(vecCol), col("__fine_vec")))
+    val w = Window.partitionBy(col("__row"))
+      .orderBy(col("__d"), col("__fine_id"))
+    scoredFine.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumn("centroid_id", col("__fine_id"))
+      .drop("__rn", "__d", "__fine_id", "__fine_vec", "__coarse_id", "__row")
+  }
+
   /** R4: IVF-style approximate top-k — probe only the query's `nprobe`
     * nearest clusters. Recall < 1 by construction; invariants (vs exact)
     * are asserted in tests rather than a SQL oracle. */
@@ -172,51 +229,102 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("item_id"), col("score"))
   }
 
-  /** R4 (MLlib path — SURVEY §7.3 option (a)): approximate top-k via
-    * `BucketedRandomProjectionLSH`. Inputs are L2-normalized so Euclidean
-    * distance is monotone in cosine (d² = 2 − 2cos for unit vectors); the
-    * returned `score` is the cosine recovered from the LSH distance.
-    * Complements [[clusterPrunedTopK]] (the IVF-semantics path).
+  /** R4 (MLlib path — SURVEY §7.3 option (a)): approximate top-k using
+    * `BucketedRandomProjectionLSH`'s hash family, executed through an
+    * explicitly CANDIDATE-BOUNDED bucket join instead of MLlib's
+    * `approxSimilarityJoin` (whose candidate volume densifies with
+    * true-neighbor density and has no per-query bound — the detonation
+    * class `bandJoin` had before `bandJoinNearestK`). Inputs are
+    * L2-normalized so Euclidean distance is monotone in cosine
+    * (d² = 2 − 2cos for unit vectors); the returned `score` is the exact
+    * cosine of each surviving candidate (candidates are re-scored
+    * exactly, so LSH only affects WHICH pairs are considered, never the
+    * score of a reported pair). Complements [[clusterPrunedTopK]] (the
+    * IVF-semantics path, and the recommended serving path at scale).
+    *
+    * Bounding devices, both deterministic:
+    *  - AND-amplification: the `bands × bandSize` hash tables are grouped
+    *    into `bands` compound keys of `bandSize` concatenated bucket ids
+    *    (classic banding, as in the MinHash-LSH dedup path). A single
+    *    projection bucket of occupancy fraction p shrinks to p^bandSize
+    *    per band — the multiplicative cut MLlib's OR-only join lacks.
+    *  - `maxBucketSize`: within each (band, compound-bucket), items
+    *    beyond the cap are dropped in seeded-hash order (the
+    *    `maxPostingSize` pattern from the token-Jaccard path). Candidates
+    *    per query are then ≤ bands·maxBucketSize REGARDLESS of corpus
+    *    density — lossy past the cap by design; measure the loss with
+    *    the `ann_mllib_lsh_recall` harness before trusting a config.
     *
     * Knob physics (unit vectors; MLlib projects onto UNNORMALIZED
     * N(0,1)^d directions, so a unit vector's projection is N(0,1)):
     * `bucketLength` ≈ the projection gap of a true near pair — a pair at
-    * distance d projects Δ ~ N(0, d²), so buckets of ~1.0 separate
-    * far pairs while 6 OR-ed tables recover near ones (bucketLength 2.0
-    * had ~everything colliding in every table — a disguised all-pairs
-    * join); `maxDistance` must cover the true top-k distance spectrum
-    * (1.5 = cosine ≥ −0.125 here; 1.0 = cosine ≥ 0.5 dropped real
-    * neighbors of this corpus to 0.004 recall). Measured at the sf1
-    * corpus: recall 1.0 vs exact at these defaults. */
+    * distance d projects Δ ~ N(0, d²), so buckets of ~1.0 separate far
+    * pairs (bucketLength 2.0 had ~everything colliding in every table —
+    * a disguised all-pairs join). `maxDistance` must cover the true
+    * top-k distance spectrum: the reachable cosine floor is
+    * 1 − maxDistance²/2 (1.5 ⇒ cosine ≥ −0.125 covers this corpus;
+    * 1.0 ⇒ cosine ≥ 0.5 dropped its real neighbors to 0.004 recall) —
+    * callers lowering maxDistance on a new corpus should check that
+    * floor against the corpus's true neighbor spectrum first. */
   def lshTopK(queries: DataFrame, items: DataFrame, queryId: String,
               itemId: String, vecCol: String, k: Int,
-              bucketLength: Double = 1.0, numHashTables: Int = 6,
-              maxDistance: Double = 1.5, seed: Long = 42): DataFrame = {
+              bucketLength: Double = 1.0, bands: Int = 6,
+              bandSize: Int = 1, maxDistance: Double = 1.5,
+              maxBucketSize: Int = 4096, seed: Long = 42): DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    require(bands >= 1 && bandSize >= 1 && maxBucketSize >= 1,
+      s"lshTopK: bands=$bands bandSize=$bandSize maxBucketSize=$maxBucketSize")
     def prep(df: DataFrame, idC: String, outId: String) =
       normalized(df.select(col(idC).as(outId), col(vecCol).as("__v")),
         "__v", "__v")
         .withColumn("features", array_to_vector(col("__v")))
-        .drop("__v")
     val qn = prep(queries, queryId, "query_id")
     val in = prep(items, itemId, "item_id")
     val lsh = new BucketedRandomProjectionLSH()
       .setBucketLength(bucketLength)
-      .setNumHashTables(numHashTables)
+      .setNumHashTables(bands * bandSize)
       .setInputCol("features")
       .setOutputCol("hashes")
       .setSeed(seed)
     val model = lsh.fit(in)
-    val joined = model.approxSimilarityJoin(qn, in, maxDistance, "dist")
-      .select(col("datasetA.query_id").as("query_id"),
-        col("datasetB.item_id").as("item_id"), col("dist"))
+    // (band, key) per row: key = one 64-bit hash of the band's bandSize
+    // bucket ids (a key collision only ever ADDS a candidate, which exact
+    // re-scoring then filters — never drops one). hashes is
+    // array<vector>, one single-element vector per hash table.
+    def banded(df: DataFrame, idC: String) =
+      model.transform(df)
+        .withColumn("__b",
+          transform(col("hashes"), h => vector_to_array(h)(0).cast("long")))
+        .select(col(idC), col("__v"), col("__b"),
+          explode(sequence(lit(0), lit(bands - 1))).as("__band"))
+        .withColumn("__key", xxhash64(
+          col("__band"),
+          slice(col("__b"), col("__band") * bandSize + 1, lit(bandSize))))
+        .select(col(idC), col("__v"), col("__band"), col("__key"))
+    val qb = banded(qn, "query_id")
+    val ib0 = banded(in, "item_id")
+    // deterministic per-(band,bucket) cap — seeded-hash order, so the
+    // retained sample is stable across runs and partitionings
+    val wCap = Window.partitionBy(col("__band"), col("__key"))
+      .orderBy(xxhash64(col("item_id"), col("__key"), lit(seed)),
+        col("item_id"))
+    val ib = ib0.withColumn("__rn", row_number().over(wCap))
+      .filter(col("__rn") <= maxBucketSize)
+      .select(col("item_id"), col("__v").as("__iv"),
+        col("__band"), col("__key"))
+    val candidates = qb.join(ib, Seq("__band", "__key"))
       .filter(col("query_id") =!= col("item_id"))
+      .select(col("query_id"), col("item_id"),
+        col("__v").as("__qv"), col("__iv"))
+      .dropDuplicates("query_id", "item_id")
+    val scored = candidates
+      .withColumn("score", vecDotNative(col("__qv"), col("__iv")))
+      .filter(col("score") >= lit(1.0) - lit(maxDistance * maxDistance) / 2.0)
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist"), col("item_id"))
-    joined.withColumn("rank", row_number().over(w))
+      .orderBy(col("score").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .withColumn("score", lit(1.0) - col("dist") * col("dist") / 2.0)
       .select(col("query_id"), col("rank"), col("item_id"), col("score"))
   }
 
@@ -250,19 +358,28 @@ object Similarity {
     * and with it the within-cluster pair join — stays CONSTANT per row;
     * a fixed nlist at growing n is quadratic (measured 40× time at 10×
     * vectors, BENCH_SF10.md). The Θ(n·nlist) centroid-assignment term
-    * then grows n²/1000, which stays minor below ~1 M vectors; past
-    * that, assign hierarchically (√nlist coarse centroids, then fine
-    * within the chosen coarse cell — Θ(n·2√nlist)), the standard IVF
-    * escalation. */
+    * then grows n²/1000, which stays minor below ~1 M vectors; past that
+    * — i.e. once nlist crosses `twoLevelNlistAbove` under the n/1000
+    * rule — assignment switches to [[assignClustersTwoLevel]]
+    * (√nlist coarse cells, fine within the probed cells, Θ(n·2√nlist)),
+    * the standard IVF escalation. The switch changes WHICH boundary
+    * rows land in which cluster; VectorSpec pins planted-pair PARITY
+    * (two-level recall ≥ flat's, within tolerance). Neither mode is
+    * lossless — hash-seeded clustering can split an ε-close pair when
+    * both members are picked as centroids or their cluster gets no
+    * centroid — which is why this is the scale path while the
+    * SimHash/MinHash families remain the exactness references. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, nlist: Int = 64,
-                        seed: Long = 42): DataFrame = {
+                        seed: Long = 42,
+                        twoLevelNlistAbove: Int = 1000): DataFrame = {
     val centroids = pickCentroids(df, idCol, vecCol, nlist, seed)
-    val assigned = normalized(
-      assignClusters(
-        df.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v",
-        centroids),
-      "__v", "__nv").drop("__v")
+    val ided = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val flat =
+      if (nlist > twoLevelNlistAbove)
+        assignClustersTwoLevel(ided, "__v", centroids, nlist, seed = seed)
+      else assignClusters(ided, "__v", centroids)
+    val assigned = normalized(flat, "__v", "__nv").drop("__v")
     val a = assigned.select(col("__id").as("id1"), col("__nv").as("v1"),
       col("centroid_id"))
     val b = assigned.select(col("__id").as("id2"), col("__nv").as("v2"),

@@ -193,4 +193,49 @@ class VectorSpec extends AnyFunSuite {
     assert(refined >= 0.7,
       s"refined recall $refined too low on planted clusters")
   }
+
+  test("two-level assignment recovers every planted near-dup pair (flat parity)") {
+    // Planted-cluster corpus (same construction as the Lloyd test): 10
+    // well-separated centers in 16-d, 6 base points per center (jitter
+    // 0.2), each base point twinned at 1e-4 → cosine ≈ 1. The measured
+    // property is PARITY: the two-level escalation loses (essentially)
+    // no planted pairs beyond what flat assignment already loses.
+    // Flat itself is NOT lossless here — hash-seeded centroid picking
+    // has two deterministic loss modes this fixture exhibits: (a) BOTH
+    // twins picked as centroids → each assigns to itself, splitting the
+    // pair; (b) a planted cluster left with no centroid → its points
+    // assign to near-equidistant remote centroids, where argmin margins
+    // can dip below the twin separation. Both are properties of
+    // clustering-based near-dup pruning (flat or hierarchical), which
+    // is why embeddingNearDups is the SCALE path while the exact pair
+    // families (SimHash/MinHash/Jaccard) remain the reference oracles.
+    def jit(c: Int, i: Int, dim: Int): Float =
+      (((c * 1009 + i * 131 + dim * 17) % 997) / 997.0f - 0.5f) * 0.2f
+    val rows = for {
+      c <- 0 until 10
+      i <- 0 until 6
+      twin <- 0 to 1
+    } yield {
+      val vec = (0 until 16).map { dim =>
+        (if (dim == c) 6.0f else if (dim == (c + 3) % 16) -4.0f else 0.0f) +
+          jit(c, i, dim) + (if (twin == 1) ((c + i + dim) % 7 - 3) * 1e-4f else 0.0f)
+      }
+      (((c * 6 + i) * 2 + twin).toLong, vec)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val want = (0 until 60).map(i => ((i * 2).toLong, (i * 2 + 1).toLong)).toSet
+    def pairsAt(twoLevelAbove: Int): Set[(Long, Long)] =
+      Similarity.embeddingNearDups(e, "vec_id", "embedding",
+          threshold = 0.999, nlist = 10, twoLevelNlistAbove = twoLevelAbove)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val flat = pairsAt(Int.MaxValue)  // flat assignment
+    val two = pairsAt(1)              // force the two-level path
+    val flatRecall = (want & flat).size.toDouble / want.size
+    val twoRecall = (want & two).size.toDouble / want.size
+    assert(flatRecall >= 0.9,
+      s"flat recall $flatRecall; lost ${want -- flat}")
+    assert(twoRecall >= flatRecall - 0.05,
+      s"two-level degraded recall: flat $flatRecall -> two-level " +
+        s"$twoRecall; lost ${want -- two}")
+  }
 }
