@@ -193,6 +193,26 @@ object QueriesLlm {
           countDistinct(col("id1")).as("n_docs"),
           min(col("hamming")).as("min_hamming")), None),
 
+    // --- 128-bit cap recall self-check (the d_minhash_cap_recall shape
+    //     for the SimHash family): maxBucketSize=1024 is the measured
+    //     >10⁶-doc decision rule (DEDUP_RECALL.md — 0.999994 pair recall
+    //     at 7.8× less wall-clock at sf1); this keeps that recall a
+    //     per-round NUMBER on the driver corpus rather than a one-off
+    //     measurement. Floor asserted in DedupTextSpec. ---
+    ("d_simhash128_cap_recall", (s, d) => {
+      val docs = SparkEntry.T(s, d, "documents")
+      def run(cap: Int) = Dedup.simHashNearDups128(docs, "doc_id", "text",
+        maxHamming = 16, blockCombos = 2, maxBucketSize = cap)
+        .select(col("id1"), col("id2"))
+      val kept = run(0).join(run(1024), Seq("id1", "id2"), "left_semi")
+        .agg(count(lit(1)).as("n_kept"))
+      val tot = run(0).agg(count(lit(1)).as("n_lossless"))
+      kept.crossJoin(tot)
+        .select(col("n_kept"), col("n_lossless"),
+          round(col("n_kept").cast("double") / col("n_lossless"), 4)
+            .as("recall"))
+    }, None),
+
     // --- Per-document text statistics + quality score ---
     ("t_text_stats", (s, d) =>
       TextAnalysis.documentStats(SparkEntry.T(s, d, "documents"), "doc_id",

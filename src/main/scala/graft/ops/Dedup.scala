@@ -720,7 +720,17 @@ object Dedup {
     * the quadratic accidental-collision regime of the 64-bit radius-8
     * banding (BENCH_SF1.md: 14.8× at 10×) is gone without any lossy
     * bucket cap. No block ever spans the lane boundary, so every block
-    * is a shift-and-mask of one lane. Returns (id1, id2, hamming). */
+    * is a shift-and-mask of one lane. Returns (id1, id2, hamming).
+    *
+    * SCALE DECISION RULE (measured, DEDUP_RECALL.md): past ~10⁶ docs the
+    * uncapped form's residual accidental-collision volume still grows
+    * superlinearly (11.1× at the 2nd decade, BENCH_SF10.md) — set
+    * `maxBucketSize = 1024`. At sf1 that kept pair recall 0.999994
+    * (127 of 20.3 M pairs) at 7.8× less wall-clock, and it bounds any
+    * bucket's candidate contribution at C(1024,2) regardless of corpus
+    * size. Do NOT substitute the 64-bit form at this radius: its
+    * signature alone misses ~18% of the 128-bit pair set (hyperplane
+    * noise at the radius boundary — no cap or compute fixes it). */
   def simHashNearDups128(df: DataFrame, idCol: String, textCol: String,
                          maxHamming: Int = 16, blockCombos: Int = 2,
                          maxBucketSize: Int = 0,

@@ -355,9 +355,22 @@ object Relational {
     * bucket order otherwise; callers wanting id order normalize with
     * least/greatest. Skew note: a bucket holding k rows contributes
     * O(k²) candidates — for value-concentrated data shrink delta or
-    * pre-aggregate exact ties. */
+    * pre-aggregate exact ties.
+    *
+    * Density guard (safe-by-default): the fixed-δ form is
+    * output-quadratic in value density BY ITS SEMANTICS — on a dense
+    * corpus it detonates no matter how well the plan shuffles
+    * (BENCH_SF1.md measured ~100× pairs at 10× rows). Per-bucket
+    * candidate counts are therefore pre-computed from a map-combined
+    * bucket histogram (buckets-sized, not data-sized), and any bucket
+    * whose candidate pairs exceed `maxPairsPerBucket` fails the job
+    * LOUDLY — with the measured density and a pointer to
+    * [[bandJoinNearestK]] — via an assert that trips on the first
+    * candidate row, BEFORE the blowup materializes. Callers choosing
+    * the blast radius explicitly pass a higher cap or 0 (off). */
   def bandJoin(df: DataFrame, idCol: String, valCol: String,
-               delta: Double): DataFrame = {
+               delta: Double,
+               maxPairsPerBucket: Long = 10000000L): DataFrame = {
     require(delta > 0, "bandJoin needs a positive delta")
     val b = floor(col(valCol) / delta).cast("long")
     val left = df.select(col(idCol).as("id1"), col(valCol).as("v1"),
@@ -365,13 +378,43 @@ object Relational {
     val right = df.select(col(idCol).as("id2"), col(valCol).as("v2"),
       b.as("__ob"),
       explode(array(b, b + 1)).as("__b"))
-    left.join(right, Seq("__b"))
+    val joined = left.join(right, Seq("__b"))
       .filter(
         (col("__ob") === col("__b") && col("id1") < col("id2")) ||
           col("__ob") === col("__b") - 1)
       .filter(abs(col("v1") - col("v2")) <= delta)
       .filter(col("id1") =!= col("id2"))
       .select(col("id1"), col("id2"), col("v1"), col("v2"))
+    if (maxPairsPerBucket <= 0) joined
+    else {
+      // candidate pairs touching bucket __b: C(c_b, 2) same-bucket +
+      // c_b · c_{b+1} adjacent — exact, from the histogram alone
+      val counts = df.filter(col(valCol).isNotNull)
+        .groupBy(b.as("__b")).agg(count(lit(1)).as("__c"))
+      val nextC = counts.select((col("__b") - lit(1L)).as("__b"),
+        col("__c").as("__cn"))
+      val worst = counts.join(nextC, Seq("__b"), "left")
+        .select(col("__b"),
+          (col("__c") * (col("__c") - 1) / 2 +
+            col("__c") * coalesce(col("__cn"), lit(0L))).as("__pairs"))
+        .filter(col("__pairs") > maxPairsPerBucket)
+        .orderBy(col("__pairs").desc).limit(1)
+        .select(concat(
+          lit("bandJoin density guard: bucket "), col("__b"),
+          lit(" yields "), col("__pairs"),
+          lit(s" candidate pairs > maxPairsPerBucket=$maxPairsPerBucket. " +
+            "Fixed-delta band joins are output-quadratic in value " +
+            "density; use bandJoinNearestK (output-bounded, Theta(n*k)), " +
+            "shrink delta, pre-aggregate exact ties, or pass a higher " +
+            "cap / maxPairsPerBucket=0 to accept the blast radius."))
+          .as("__guard"))
+      // 0-row guard frame normally; on violation the assert trips on the
+      // first candidate row flowing up, failing fast. The broadcast BNLJ
+      // build side is limit(1)-gated — structurally bounded for the audit.
+      joined.join(broadcast(worst), lit(true), "left")
+        .filter(assert_true(col("__guard").isNull, col("__guard")).isNull)
+        .drop("__guard")
+    }
   }
 
   /** Output- AND WORK-bounded band join: for every row, its `k` nearest

@@ -395,6 +395,16 @@ class DedupTextSpec extends AnyFunSuite {
     assert(row.getAs[Double]("recall") >= 0.9)
   }
 
+  test("simhash128 cap-recall self-check query reports recall above the floor") {
+    // the >10^6-doc decision rule (DEDUP_RECALL.md): cap=1024 must keep
+    // essentially the whole lossless pair set (0.999994 measured at sf1;
+    // at the tiny spec corpus the cap shouldn't bind at all)
+    val row = SparkEntry.queries("d_simhash128_cap_recall")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(row.getAs[Long]("n_lossless") > 0L)
+    assert(row.getAs[Double]("recall") >= 0.99)
+  }
+
   test("token stats golden") {
     val df = Seq("Hello world, hello Spark!").toDF("t")
     val row = TextAnalysis.documentStats(

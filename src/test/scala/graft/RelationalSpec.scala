@@ -273,11 +273,44 @@ class RelationalSpec extends AnyFunSuite {
       if i1 < i2 && math.abs(v1 - v2) <= delta
     } yield (i1, i2)).toSet
     assert(band === naive)
-    val plan = Relational.bandJoin(df, "id", "v", delta)
+    // core candidate join must stay an equi-join (guard off isolates it;
+    // the guard itself adds only a limit(1)-gated broadcast probe, the
+    // structurally-bounded BNLJ class the Explain audit proves)
+    val corePlan = Relational
+      .bandJoin(df, "id", "v", delta, maxPairsPerBucket = 0)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      s"band join must stay an equi-join:\n$plan")
+    assert(!corePlan.contains("CartesianProduct") &&
+      !corePlan.contains("BroadcastNestedLoopJoin"),
+      s"band join must stay an equi-join:\n$corePlan")
+    val guardedPlan = Relational.bandJoin(df, "id", "v", delta)
+      .queryExecution.executedPlan.toString
+    assert(!guardedPlan.contains("CartesianProduct"),
+      s"guard must not introduce a cartesian:\n$guardedPlan")
+  }
+
+  test("bandJoin density guard: dense bucket fails loudly, opt-out runs") {
+    // 300 identical values → C(300,2) = 44850 same-bucket candidate
+    // pairs; a 1000-pair cap must fail the job with the measured
+    // density BEFORE materializing the blowup, and the message must
+    // point at the output-bounded alternative.
+    val dense = (1L to 300L).map(i => (i, 1.0)).toDF("id", "v")
+    val ex = intercept[Exception] {
+      Relational.bandJoin(dense, "id", "v", 0.5, maxPairsPerBucket = 1000L)
+        .count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val all = messages(ex).mkString("\n")
+    assert(all.contains("density guard") && all.contains("44850") &&
+      all.contains("bandJoinNearestK"),
+      s"unexpected guard failure text:\n$all")
+    // explicit opt-out accepts the blast radius and computes the pairs
+    assert(Relational.bandJoin(dense, "id", "v", 0.5,
+      maxPairsPerBucket = 0).count() === 44850L)
+    // a cap above the density passes untouched
+    assert(Relational.bandJoin(dense, "id", "v", 0.5,
+      maxPairsPerBucket = 50000L).count() === 44850L)
   }
 
   test("bandJoinNearestK: per-row k nearest within delta, output bounded") {
