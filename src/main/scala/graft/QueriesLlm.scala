@@ -976,6 +976,81 @@ object QueriesLlm {
               |              greatest(len(n1), len(n2)), 6) END AS edit_sim
               |  FROM cand)
               |SELECT id1, id2, CAST(lev AS BIGINT) AS lev, edit_sim
-              |FROM v WHERE edit_sim >= 0.35 ORDER BY id1, id2""".stripMargin))
+              |FROM v WHERE edit_sim >= 0.35 ORDER BY id1, id2""".stripMargin)),
+
+    // --- Span-level exact-duplicate stats (Lee et al. 2022: duplicated
+    //     SUBSTRINGS matter below doc granularity). Distinct 8-token
+    //     spans per doc; a span counts as duplicated when ≥1 OTHER doc
+    //     contains it. Spark shuffles 8-byte xxhash64 span keys, the
+    //     oracle groups the raw gram strings — same counts (a cross-doc
+    //     collision needs ~2³² distinct spans). ---
+    ("d_span_dups", (s, d) =>
+      TextAnalysis.spanDupStats(SparkEntry.T(s, d, "documents"),
+        "doc_id", "text", n = 8)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckTokens AS ts FROM documents),
+              |g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id,
+              |  unnest(CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+              |    ELSE list_transform(range(1, len(ts) - 6),
+              |      i -> array_to_string(ts[i:i+7], ' ')) END) AS gram FROM t) z),
+              |c AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY 1)
+              |SELECT g.doc_id, count(*) AS n_spans,
+              |count(*) FILTER (WHERE c.n_docs > 1) AS n_dup_spans,
+              |round((count(*) FILTER (WHERE c.n_docs > 1))::DOUBLE / count(*), 6) AS dup_ratio
+              |FROM g JOIN c USING (gram)
+              |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
+
+    // --- RAG chunking manifest: overlapping 32-token windows every 24
+    //     tokens (8-token overlap), one row per (doc, chunk) with the
+    //     md5 the embedding/indexing stage would key on. Pure per-row
+    //     explode — no shuffle. ---
+    ("t_chunk_docs", (s, d) =>
+      TextAnalysis.chunkDocs(SparkEntry.T(s, d, "documents"),
+        "doc_id", "text", size = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckTokens AS ts FROM documents),
+              |n AS (SELECT doc_id, ts,
+              |  greatest(0, CAST(ceil((len(ts) - 32)::DOUBLE / 24) AS BIGINT)) AS last_idx FROM t),
+              |x AS (SELECT doc_id, ts, unnest(range(0, last_idx + 1)) AS chunk_idx FROM n),
+              |ch AS (SELECT doc_id, chunk_idx,
+              |  ts[chunk_idx * 24 + 1 : chunk_idx * 24 + 32] AS chunk FROM x)
+              |SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_token,
+              |len(chunk)::BIGINT AS n_tokens,
+              |md5(array_to_string(chunk, ' ')) AS chunk_hash
+              |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // --- Semantic dedup, resolved (SemDeDup, Abbas et al. 2023): connect
+    //     within-bucket pairs at cosine ≥ 0.35, keep min-id per semantic
+    //     group. `label` is the blocking bucket here (the testdata's
+    //     semantic partition); the 100 TB bucket is a kmeans cluster id
+    //     from assignClusters — same operator, same resolution. Cosines
+    //     round to 6 before the threshold so the keep/drop boundary is
+    //     engine-reproducible. ---
+    ("d_semantic_resolve", (s, d) =>
+      Similarity.semanticDedupResolve(
+        SparkEntry.T(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding")),
+        "vec_id", "embedding", "label", threshold = 0.35)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id")),
+      Some("""WITH RECURSIVE ea AS (SELECT vec_id, unnest(range(len(embedding))) AS pos,
+             |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+             |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ea GROUP BY vec_id),
+             |pr AS (SELECT a.vec_id AS i1, b.vec_id AS i2 FROM embeddings a
+             |  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id),
+             |dt AS (SELECT p.i1, p.i2, sum(x.v * y.v) AS dot FROM pr p
+             |  JOIN ea x ON x.vec_id = p.i1
+             |  JOIN ea y ON y.vec_id = p.i2 AND y.pos = x.pos GROUP BY 1, 2),
+             |ok AS (SELECT d.i1, d.i2 FROM dt d
+             |  JOIN nrm n1 ON n1.vec_id = d.i1 JOIN nrm n2 ON n2.vec_id = d.i2
+             |  WHERE round(d.dot / (n1.nrm * n2.nrm), 6) >= 0.35),
+             |e AS (SELECT i1 AS a, i2 AS b FROM ok UNION SELECT i2, i1 FROM ok),
+             |nodes AS (SELECT DISTINCT a AS n FROM e),
+             |reach(n, m) AS (SELECT n, n FROM nodes
+             |  UNION SELECT e.a, r.m FROM e JOIN reach r ON e.b = r.n),
+             |comp AS (SELECT n, min(m) AS component FROM reach GROUP BY n)
+             |SELECT vec_id, label FROM embeddings
+             |WHERE vec_id NOT IN (SELECT n FROM comp WHERE component <> n)
+             |ORDER BY vec_id""".stripMargin))
   )
 }

@@ -390,4 +390,40 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }
+
+  /** Semantic dedup, resolved — the SemDeDup recipe (Abbas et al. 2023):
+    * partition the corpus into buckets, connect every within-bucket pair
+    * whose cosine clears `threshold`, and keep exactly one member (min id)
+    * per connected semantic group. Returns the kept rows of `df` (all
+    * columns, non-keepers dropped) — the embedding-space sibling of the
+    * token-level `x16` resolution.
+    *
+    * `bucketCol` is the blocking key: a kmeans cluster id
+    * ([[assignClusters]] / [[assignClustersTwoLevel]]) at scale — pair
+    * work is Σ per-bucket n², linear when buckets are size-bounded — or a
+    * semantic label/partition column when one exists. Pairs never cross
+    * buckets (the SemDeDup approximation; its measured cost is the
+    * cross-cluster recall loss, bounded the same way embeddingNearDups'
+    * is). Cosines are rounded to 6 decimals BEFORE thresholding so the
+    * keep/drop boundary is reproducible across engines and reassociation
+    * orders. */
+  def semanticDedupResolve(df: DataFrame, idCol: String, vecCol: String,
+                           bucketCol: String,
+                           threshold: Double): DataFrame = {
+    val e = normalized(
+      df.select(col(idCol), col(bucketCol), col(vecCol)), vecCol, "__nv")
+    val a = e.select(col(bucketCol), col(idCol).as("__id1"),
+      col("__nv").as("__v1"))
+    val b = e.select(col(bucketCol), col(idCol).as("__id2"),
+      col("__nv").as("__v2"))
+    val pairs = a.join(b, Seq(bucketCol))
+      .filter(col("__id1") < col("__id2"))
+      .filter(round(vecDotNative(col("__v1"), col("__v2")), 6)
+        >= lit(threshold))
+      .select(col("__id1"), col("__id2"))
+    val cc = Dedup.connectedComponents(pairs, "__id1", "__id2")
+    val drop = cc.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -434,4 +434,76 @@ object TextAnalysis {
       .select(col(idCol), col("n_grams"), col("n_contaminated"),
         (col("n_contaminated") > 0).as("contaminated"))
   }
+
+  /** Span-level exact-duplicate statistics — the n-token-granularity form
+    * of exact dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": duplicated SUBSTRINGS matter even when no
+    * whole document repeats; reference has no analog — doc-granularity
+    * only, `feature_engineering.py` content hashing). Per document: the
+    * count of its distinct `n`-token spans, how many of those spans also
+    * occur in at least one OTHER document, and the ratio — the per-doc
+    * signal a span-masking / span-dropping pass keys on.
+    *
+    * Scale shape: explode to one row per (doc, span) — linear in corpus
+    * tokens — then ONE count aggregation keyed on the span's 64-bit
+    * xxhash64 (not the span string: the shuffle carries 8 bytes per span
+    * instead of ~n words; a cross-doc hash collision would need ~2³²
+    * distinct spans to be likely — at that corpus size the span STRING
+    * shuffle is the thing that doesn't scale). Spans already distinct per
+    * doc before the count, so the per-span group sees docs, not
+    * occurrences — the same two-stage shape as the skew-proof distinct.
+    * Docs shorter than `n` tokens contribute their whole text as one span
+    * (the [[Dedup.wordShingles]] convention, shared with decontamination).
+    */
+  def spanDupStats(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 8): DataFrame = {
+    val spans = df
+      .select(col(idCol),
+        explode(Dedup.wordShingles(col(textCol), n)).as("__span"))
+      .select(col(idCol), xxhash64(col("__span")).as("__h"))
+      .distinct()
+    val perSpan = spans.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n_docs"))
+    spans.join(perSpan, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__n_docs") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col(idCol), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
+          .as("dup_ratio"))
+  }
+
+  /** Overlapping token-window chunking — the RAG/embedding-prep splitter:
+    * each document becomes ceil((len−size)/stride)+1 chunks of up to
+    * `size` tokens starting every `stride` tokens (consecutive chunks
+    * overlap by size−stride). Emits (id, chunk_idx, start_token,
+    * n_tokens, chunk_hash) — the manifest an embedding/indexing stage
+    * consumes; callers wanting the text swap the md5 for the joined
+    * chunk itself. Pure per-row explode: no shuffle, linear in corpus
+    * tokens, chunk identity (id, chunk_idx) is deterministic so the
+    * downstream embedding table is stable across re-runs. Documents
+    * shorter than `size` (including empty) yield exactly one chunk. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                size: Int = 32, stride: Int = 24): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+    // last chunk index: ceil((len - size) / stride), floored at 0.
+    // Double ceil (not integer tricks): DuckDB's integer `/` is float
+    // division and its `//` floors while Scala truncates — the double
+    // form is the one both engines compute identically.
+    val lastIdx = greatest(
+      ceil((org.apache.spark.sql.functions.size(col("__t")) - size)
+        .cast("double") / stride).cast("long"), lit(0L))
+    base
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0L), lastIdx),
+          i => slice(col("__t"), (i * stride + 1).cast("int"), lit(size)))))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        (col("pos").cast("long") * stride).as("start_token"),
+        org.apache.spark.sql.functions.size(col("col")).cast("long")
+          .as("n_tokens"),
+        md5(concat_ws(" ", col("col"))).as("chunk_hash"))
+  }
 }

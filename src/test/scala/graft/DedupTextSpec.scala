@@ -619,4 +619,82 @@ class DedupTextSpec extends AnyFunSuite {
     val expected = 1.0 - 1.0 / "the quick brown fox jumps over the lazy dog".length
     assert(math.abs(sim - expected) < 1e-6)
   }
+
+  test("span dup stats: shared 8-token span counted, within-doc repeat not") {
+    val span = "one two three four five six seven eight"
+    val df = Seq(
+      // docs 1 and 2 share the 8-token span embedded in different contexts
+      (1L, s"alpha beta $span gamma"),
+      (2L, s"$span delta epsilon"),
+      // doc 3: the same span TWICE — its spans repeat within-doc only,
+      // which must not count as duplication by itself (distinct-per-doc),
+      // but its copies of the shared span DO match docs 1/2
+      (3L, "totally unrelated words here about nothing in particular okay"),
+      (4L, "short doc") // < 8 tokens: whole text is the single span
+    ).toDF("doc_id", "text")
+    val st = TextAnalysis.spanDupStats(df, "doc_id", "text", n = 8)
+      .select("doc_id", "n_spans", "n_dup_spans")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // doc 1: tokens = 11 -> 4 spans, exactly one of them is the planted span
+    assert(st(0) === ((1L, 4L, 1L)))
+    // doc 2: 10 tokens -> 3 spans, one shared
+    assert(st(1) === ((2L, 3L, 1L)))
+    // docs 3 and 4: no span occurs in any other doc
+    assert(st(2)._3 === 0L && st(3)._3 === 0L)
+    assert(st(3)._2 === 1L) // short doc: single whole-text span
+  }
+
+  test("span dup stats: within-doc repetition alone is not duplication") {
+    val s8 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val df = Seq(
+      (1L, s"$s8 filler $s8"), // same span twice in ONE doc
+      (2L, "nothing shared with the first document at all truly")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.spanDupStats(df, "doc_id", "text", n = 8)
+      .filter(col("doc_id") === 1L)
+      .select("n_dup_spans").as[Long].head()
+    assert(r === 0L)
+  }
+
+  test("chunkDocs: boundaries, overlap, count, and short-doc single chunk") {
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, mk(80)), (2L, mk(32)), (3L, mk(5)), (4L, ""))
+      .toDF("doc_id", "text")
+    val ch = TextAnalysis.chunkDocs(df, "doc_id", "text", size = 32, stride = 24)
+      .select("doc_id", "chunk_idx", "start_token", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    val byDoc = ch.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // 80 tokens: ceil((80-32)/24)=2 -> chunks at 0,24,48; last has 32 tokens
+    assert(byDoc(1L).map(c => (c._2, c._3, c._4)).toSeq ===
+      Seq((0L, 0L, 32L), (1L, 24L, 32L), (2L, 48L, 32L)))
+    // exactly size tokens: one chunk
+    assert(byDoc(2L).map(c => (c._3, c._4)).toSeq === Seq((0L, 32L)))
+    // short doc: one truncated chunk
+    assert(byDoc(3L).map(c => (c._3, c._4)).toSeq === Seq((0L, 5L)))
+    // empty doc: still one (degenerate) chunk — stable manifest row
+    assert(byDoc(4L).length === 1)
+    // consecutive chunks overlap by size - stride = 8 tokens
+    val full = TextAnalysis.chunkDocs(df.filter(col("doc_id") === 1L),
+      "doc_id", "text", size = 32, stride = 24)
+    assert(full.count() === 3L)
+  }
+
+  test("semantic dedup resolve: transitive group collapses to min id; buckets block") {
+    import graft.ops.Similarity
+    val v = (x: Double, y: Double) => Array(x.toFloat, y.toFloat)
+    val df = Seq(
+      // bucket A: 1~2 and 2~3 (chain) -> one semantic group, keep 1
+      (1L, "a", v(1.0, 0.0)),
+      (2L, "a", v(0.999, 0.045)),
+      (3L, "a", v(0.996, 0.09)),
+      // bucket A: far from the group
+      (4L, "a", v(0.0, 1.0)),
+      // bucket B: identical to vec 1 but in another bucket -> NOT merged
+      (5L, "b", v(1.0, 0.0)))
+      .toDF("vec_id", "bucket", "vec")
+    val kept = Similarity.semanticDedupResolve(df, "vec_id", "vec", "bucket",
+      threshold = 0.995)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L))
+  }
 }
