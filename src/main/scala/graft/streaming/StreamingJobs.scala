@@ -227,10 +227,18 @@ object StreamingJobs {
     val merged = FeatureStore.latestPerKey(
       existing.unionByName(incoming, allowMissingColumns = true),
       keyCols, tsCol, tiebreakCol)
-    // Stage the merged touched buckets first (Spark rejects overwriting a
-    // path the plan reads from), then dynamic-overwrite ONLY those bucket
-    // partitions into the store; untouched bucket directories are neither
-    // read nor rewritten. Both steps are O(touched buckets).
+    stageAndSwapBuckets(spark, merged, storePath)
+  }
+
+  /** Stage the merged touched buckets, then dynamic-overwrite ONLY those
+    * bucket partitions into the store (Spark rejects overwriting a path
+    * the plan reads from); untouched bucket directories are neither read
+    * nor rewritten. Both steps are O(touched buckets). Shared by every
+    * bucketed foreachBatch merge ([[upsertBucketedBatch]],
+    * [[incrementalDedupBatch]]) so the crash-window proof covers all of
+    * them. */
+  private def stageAndSwapBuckets(spark: SparkSession, merged: DataFrame,
+                                  storePath: String): Unit = {
     val stage = storePath + ".stage"
     merged.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
     // Failure-injection point for the exactly-once proof (StreamingSpec):
@@ -250,6 +258,77 @@ object StreamingJobs {
       .partitionBy("__bucket")
       .parquet(storePath)
   }
+
+  /** Streaming incremental exact dedup — the ingest-time form of
+    * `Dedup.exactDedup`: documents arrive in micro-batches and the store
+    * accumulates the FIRST-seen row per normalized-content key, so a doc
+    * that duplicates anything already ingested (or an earlier row of its
+    * own batch) never enters the corpus. The store IS the deduped corpus:
+    * hash-bucketed parquet keyed on the md5 content key, merged per batch
+    * with the same touched-buckets-only staged swap as the feature-store
+    * upsert — per-batch work is O(batch + touched buckets), never a
+    * corpus rescan, and the crash-recovery/replay-idempotence proofs
+    * carry over ([[stageAndSwapBuckets]]). First-writer-wins keeps the
+    * merge idempotent under at-least-once delivery: replaying a batch
+    * re-derives the same (seen-batch, id) minimum.
+    *
+    * Complements the watermark-horizon `dedupStream` form: that one holds
+    * O(rate × watermark) in-memory state and forgets old content; this
+    * one is FULL-HISTORY — dedup identity lives in the partitioned store,
+    * not executor state, so the horizon is unbounded and restart-safe.
+    * Same content key as batch `Dedup.exactDupGroups`, so the three forms
+    * (batch, horizon-stream, incremental-store) agree on identity. */
+  def incrementalDedupStream(docs: DataFrame, idCol: String,
+                             textCol: String, storePath: String,
+                             checkpointPath: String,
+                             numBuckets: Int = 64): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        incrementalDedupBatch(batch, idCol, textCol, storePath, batchId,
+          numBuckets)
+      }
+      .start()
+
+  /** The per-micro-batch first-wins merge (exposed for batch backfills and
+    * tests). The `touched` collect is bounded by numBuckets — it IS the
+    * partition-pruning decision, same contract as [[upsertBucketedBatch]]. */
+  def incrementalDedupBatch(batch: DataFrame, idCol: String, textCol: String,
+                            storePath: String, batchId: Long,
+                            numBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val incoming = batch
+      .withColumn("__key", md5(graft.ops.Dedup.normalizeText(col(textCol))))
+      .withColumn("__seen_batch", lit(batchId))
+      .withColumn("__bucket",
+        pmod(xxhash64(col("__key")), lit(numBuckets)).cast("int"))
+    val touched = incoming.select(col("__bucket")).distinct()
+      .collect().map(_.getInt(0))
+    val existing =
+      if (pathExists(spark, storePath))
+        spark.read.parquet(storePath)
+          .filter(col("__bucket").isin(touched.map(Integer.valueOf): _*))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        incoming.schema)
+    // First writer wins: min (seen_batch, id) per content key. A replayed
+    // batch carries its ORIGINAL batchId from the checkpoint, so the
+    // minimum — and the store — is unchanged on retry.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__key"))
+      .orderBy(col("__seen_batch").asc, col(idCol).asc)
+    val merged = existing.unionByName(incoming, allowMissingColumns = true)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    stageAndSwapBuckets(spark, merged, storePath)
+  }
+
+  /** The deduped corpus accumulated by [[incrementalDedupStream]], with
+    * the merge's bookkeeping columns dropped. */
+  def dedupedCorpus(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .drop("__key", "__seen_batch", "__bucket")
 
   /** Does `path` exist on its filesystem? (Hadoop FS — works for any
     * scheme the session is configured for, not just local files.) */

@@ -664,4 +664,84 @@ class StreamingSpec extends AnyFunSuite {
       timestamp_seconds(lit(300L)), 100L)
     assert(fresh.select("k").as[Long].collect().toSeq === Seq(2L))
   }
+
+  test("incremental dedup stream: first-seen doc wins within and across batches") {
+    val base = Files.createTempDirectory("graft-incdedup").toString
+    val src = base + "/src"
+    val store = base + "/store"
+    val ckpt = base + "/ckpt"
+    def run(): Unit = {
+      val s = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+      val q = StreamingJobs.incrementalDedupStream(s, "doc_id", "text",
+        store, ckpt, numBuckets = 4)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def kept(): Set[Long] = StreamingJobs.dedupedCorpus(spark, store)
+      .select("doc_id").as[Long].collect().toSet
+
+    // batch 0: one within-batch normalize-dup (11 of 10) + a unique doc
+    val b0 = Seq((10L, "the quick brown fox"),
+      (11L, "THE QUICK  brown fox"), (12L, "unique one"))
+    b0.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(src)
+    run()
+    assert(kept() === Set(10L, 12L))
+
+    // batch 1: a cross-batch dup of doc 10, a new doc, and a dup PAIR
+    // arriving together (first of the pair is the keeper)
+    val b1 = Seq((20L, "the  QUICK brown fox"), (21L, "unique two"),
+      (22L, "pair text"), (23L, "PAIR  text"))
+    b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert(kept() === Set(10L, 12L, 21L, 22L))
+
+    // at-least-once safety: directly re-applying a batch 1 row with its
+    // original batchId is a no-op (replay re-derives the same minimum)
+    StreamingJobs.incrementalDedupBatch(
+      Seq((20L, "the quick brown fox")).toDF("doc_id", "text"),
+      "doc_id", "text", store, batchId = 1L, numBuckets = 4)
+    assert(kept() === Set(10L, 12L, 21L, 22L))
+
+    // the accumulated store equals the BATCH exact dedup of everything
+    // ingested (ids arrive in increasing order here, so first-seen and
+    // min-id winners coincide — the regime where the two forms must agree)
+    val batchKept = graft.ops.Dedup.exactDedup(
+      (b0 ++ b1).toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept() === batchKept)
+
+    // kept rows carry the original payload, bookkeeping columns dropped
+    assert(StreamingJobs.dedupedCorpus(spark, store).columns.sorted
+      === Array("doc_id", "text"))
+  }
+
+  test("incremental dedup: post-stage crash recovers exactly-once from checkpoint") {
+    val base = Files.createTempDirectory("graft-incdedup-crash").toString
+    val src = base + "/src"
+    val store = base + "/store"
+    val ckpt = base + "/ckpt"
+    def run(): Unit = {
+      val s = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+      val q = StreamingJobs.incrementalDedupStream(s, "doc_id", "text",
+        store, ckpt, numBuckets = 4)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def kept(): Set[Long] = StreamingJobs.dedupedCorpus(spark, store)
+      .select("doc_id").as[Long].collect().toSet
+    Seq((1L, "seed doc")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    run()
+    assert(kept() === Set(1L))
+
+    Seq((2L, "SEED  doc"), (3L, "fresh doc")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val abortKey = "spark.graft.upsert.abortAfterStage"
+    spark.conf.set(abortKey, "once")
+    intercept[Exception](run())
+    assert(kept() === Set(1L), "store mutated before the swap")
+    spark.conf.unset(abortKey)
+    run()
+    assert(kept() === Set(1L, 3L))
+    run() // extra restart with nothing new: no-op
+    assert(kept() === Set(1L, 3L))
+  }
 }
