@@ -1051,6 +1051,27 @@ object QueriesLlm {
              |comp AS (SELECT n, min(m) AS component FROM reach GROUP BY n)
              |SELECT vec_id, label FROM embeddings
              |WHERE vec_id NOT IN (SELECT n FROM comp WHERE component <> n)
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // --- SemDeDup blocking-approximation recall (same shape as the
+    //     MinHash-cap and ANN recall harnesses): the kmeans-cluster
+    //     blocking the 100 TB path substitutes for d_semantic_resolve's
+    //     label blocking, measured as pair recall against the
+    //     label-blocked set every round. Hash-seeded centroids → no SQL
+    //     oracle; the nlist=1 ≡ exact anchor is pinned in VectorSpec.
+    //     Reading the number: this testdata's labels are NOT geometric
+    //     clusters (embeddings are near-uniform within label), so the two
+    //     blockings genuinely disagree (~0.35 at sf0.01) — the harness's
+    //     job is to REPORT that divergence; on a corpus whose near-dups
+    //     are geometrically tight the cluster path recovers them
+    //     (VectorSpec planted-pair cases). ---
+    ("d_semantic_recall", (s, d) => {
+      val emb = SparkEntry.T(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val nlist = math.max(4L,
+        SparkEntry.rowCount(s, d, "embeddings") / 1000L).toInt
+      Similarity.semanticBlockingRecall(emb, "vec_id", "embedding", "label",
+        threshold = 0.35, nlist = nlist)
+    }, None)
   )
 }

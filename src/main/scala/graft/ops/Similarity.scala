@@ -426,4 +426,49 @@ object Similarity {
       .select(col("id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Measures the SemDeDup blocking approximation: pair recall of the
+    * kmeans-cluster-blocked semantic pair set against the
+    * `refBucketCol`-blocked reference pair set at the same cosine
+    * threshold (the [[semanticDedupResolve]] semantics). One row:
+    * (n_ref_pairs, n_cluster_pairs, n_found, recall) — the number that
+    * turns "pairs never cross clusters" from a scaladoc caveat into a
+    * per-round measurement, same shape as the MinHash-cap and ANN recall
+    * harnesses. Both pair generators are equi-joins (bucket key /
+    * centroid id); nothing here is all-pairs. With nlist = 1 every
+    * vector shares one cluster, so recall is exactly 1.0 — the spec's
+    * structural anchor. */
+  def semanticBlockingRecall(df: DataFrame, idCol: String, vecCol: String,
+                             refBucketCol: String, threshold: Double,
+                             nlist: Int, seed: Long = 42): DataFrame = {
+    val e = normalized(
+      df.select(col(idCol), col(refBucketCol), col(vecCol)), vecCol, "__nv")
+    val a = e.select(col(refBucketCol), col(idCol).as("id1"),
+      col("__nv").as("__v1"))
+    val b = e.select(col(refBucketCol), col(idCol).as("id2"),
+      col("__nv").as("__v2"))
+    val ref = a.join(b, Seq(refBucketCol))
+      .filter(col("id1") < col("id2"))
+      .filter(round(vecDotNative(col("__v1"), col("__v2")), 6)
+        >= lit(threshold))
+      .select(col("id1"), col("id2"))
+    // Candidate filter runs 1e-6 BELOW the threshold, then the rounded
+    // threshold is applied — so the cluster path's keep/drop boundary is
+    // identical to the reference's (a raw >= t filter would drop a pair
+    // whose unrounded cosine sits a hair under t while round(·,6) >= t).
+    val clus = embeddingNearDups(df.select(col(idCol), col(vecCol)),
+      idCol, vecCol, threshold = threshold - 1e-6, nlist = nlist,
+      seed = seed)
+      .filter(round(col("cosine"), 6) >= lit(threshold))
+      .select(col("id1"), col("id2"))
+    val found = ref.join(clus, Seq("id1", "id2"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+    val nRef = ref.agg(count(lit(1)).as("n_ref_pairs"))
+    val nClus = clus.agg(count(lit(1)).as("n_cluster_pairs"))
+    nRef.crossJoin(nClus).crossJoin(found)
+      .select(col("n_ref_pairs"), col("n_cluster_pairs"), col("n_found"),
+        round(when(col("n_ref_pairs") === 0, 1.0)
+          .otherwise(col("n_found").cast("double") / col("n_ref_pairs")), 4)
+          .as("recall"))
+  }
 }

@@ -238,4 +238,36 @@ class VectorSpec extends AnyFunSuite {
       s"two-level degraded recall: flat $flatRecall -> two-level " +
         s"$twoRecall; lost ${want -- two}")
   }
+
+  test("semantic blocking recall: nlist=1 is exact (recall 1.0); found never exceeds ref") {
+    // Two reference buckets, each with a close pair and an outlier; one
+    // cross-bucket near-pair that the reference blocking CANNOT see (it
+    // must not count against recall).
+    val rows = Seq(
+      (1L, "a", Array(1.0f, 0.0f, 0.0f)),
+      (2L, "a", Array(0.998f, 0.06f, 0.0f)),   // ~1: same bucket
+      (3L, "a", Array(0.0f, 1.0f, 0.0f)),
+      (4L, "b", Array(0.0f, 0.0f, 1.0f)),
+      (5L, "b", Array(0.0f, 0.05f, 0.997f)),   // ~4: same bucket
+      (6L, "b", Array(1.0f, 0.01f, 0.0f)))     // ~1 but bucket b
+      .toDF("vec_id", "bucket", "vec")
+    // nlist=1: every vector lands in the single cluster, so the cluster
+    // path sees a superset of any bucket-blocked pair set -> recall 1.0
+    val r = Similarity.semanticBlockingRecall(rows, "vec_id", "vec",
+      "bucket", threshold = 0.9, nlist = 1)
+      .as[(Long, Long, Long, Double)].head()
+    val (nRef, nClus, nFound, recall) = r
+    assert(nRef === 2L)          // (1,2) and (4,5)
+    assert(nFound === nRef)
+    assert(recall === 1.0)
+    // the single cluster ALSO finds the cross-bucket pair (1,6)
+    assert(nClus >= 3L)
+    // degenerate corpus with no qualifying pairs: recall defined as 1.0
+    val none = Seq((1L, "a", Array(1.0f, 0.0f, 0.0f)),
+      (2L, "a", Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "bucket", "vec")
+    val r0 = Similarity.semanticBlockingRecall(none, "vec_id", "vec",
+      "bucket", threshold = 0.9, nlist = 1)
+      .as[(Long, Long, Long, Double)].head()
+    assert(r0._1 === 0L && r0._4 === 1.0)
+  }
 }
