@@ -1072,6 +1072,82 @@ object QueriesLlm {
         SparkEntry.rowCount(s, d, "embeddings") / 1000L).toInt
       Similarity.semanticBlockingRecall(emb, "vec_id", "embedding", "label",
         threshold = 0.35, nlist = nlist)
-    }, None)
+    }, None),
+
+    // --- Flagship composition #4: the per-document text-feature MATRIX —
+    //     every per-row text signal (counts, ratios, entropy, quality,
+    //     language, fingerprint, pattern counts) in ONE pass with ONE
+    //     tokenization, REQUIREd to plan as a pure projection (no joins,
+    //     no aggregations — the only exchange is the presentation sort).
+    //     The frame a corpus-filter model trains on; at 100 TB this is
+    //     scan-bound and embarrassingly parallel. ---
+    ("c4_text_features", (s, d) => {
+      val sorted = TextAnalysis.textFeatureMatrix(
+        SparkEntry.T(s, d, "documents"), "doc_id", "text",
+        Stopwords, LangProfiles)
+        .orderBy(col("doc_id"))
+      val offending = sorted.queryExecution.executedPlan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+          a.nodeName
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          j.nodeName
+      }
+      require(offending.isEmpty,
+        s"c4_text_features must be a single-scan projection; found: $offending")
+      sorted
+    }, {
+      val score = LangProfiles.map { case (lang, markers) =>
+        val arr = markers.map(m => s"'$m'").mkString("[", ",", "]")
+        s"len(list_intersect(td, $arr)) AS s_$lang"
+      }.mkString(", ")
+      val langs = LangProfiles.map(_._1) // alphabetical already
+      val caseChain = langs.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1)
+        if (rest.isEmpty) s"ELSE '$l' END"
+        else s"WHEN ${rest.map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
+      }
+      val langCase = s"CASE ${caseChain.init.mkString(" ")} ${caseChain.last}"
+      val stopArr = "['the','a','an','of','in','and','to','is']"
+      val punctSql = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+        "(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / length(text) END"
+      val stopSql = s"CASE WHEN len(ts) = 0 THEN 0.0 ELSE " +
+        s"len(list_filter(ts, x -> list_contains($stopArr, x)))::DOUBLE / len(ts) END"
+      Some(s"""WITH t0 AS (SELECT doc_id, text, $DuckTokens AS ts FROM documents),
+              |t AS (SELECT doc_id, text, ts, list_distinct(ts) AS td FROM t0),
+              |sc AS (SELECT doc_id, $score FROM t),
+              |f AS (SELECT doc_id,
+              |CAST(len(ts) AS INTEGER) AS n_tokens,
+              |CAST(length(text) AS INTEGER) AS n_chars,
+              |CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+              |  list_sum(list_transform(ts, x -> CAST(length(x) AS BIGINT)))::DOUBLE / len(ts) END AS avg_word_len,
+              |$punctSql AS punct_ratio,
+              |CASE WHEN length(text) = 0 THEN 0.0 ELSE
+              |  (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE / length(text) END AS upper_ratio,
+              |CASE WHEN length(text) = 0 THEN 0.0 ELSE
+              |  (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text) END AS digit_ratio,
+              |$stopSql AS stopword_ratio,
+              |CAST(len(td) AS INTEGER) AS n_distinct_tokens,
+              |round(len(td)::DOUBLE / len(ts), 6) AS ttr,
+              |round(ln(len(ts)::DOUBLE) - list_reduce(
+              |  list_concat([CAST(0.0 AS DOUBLE)],
+              |    list_transform(td, x -> len(list_filter(ts, y -> y = x))::DOUBLE)),
+              |  (a, c) -> a + c * ln(c)) / len(ts), 6) AS entropy,
+              |least(greatest(
+              |  least(len(ts) / 100.0, 1.0) * 0.4 +
+              |  (1.0 - least($punctSql * 5.0, 1.0)) * 0.3 +
+              |  least($stopSql * 4.0, 1.0) * 0.3,
+              |  0.0), 1.0) AS quality,
+              |list_reduce(
+              |  list_concat([CAST(7 AS BIGINT)],
+              |              list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT))),
+              |  (a, b) -> (a * 31 + b) % 2147483647) AS fp,
+              |CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
+              |CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INTEGER) AS n_emails,
+              |CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_digit_runs
+              |FROM t)
+              |SELECT f.*, $langCase AS lang_pred
+              |FROM f JOIN sc ON f.doc_id = sc.doc_id
+              |ORDER BY f.doc_id""".stripMargin)
+    })
   )
 }

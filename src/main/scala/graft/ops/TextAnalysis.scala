@@ -66,8 +66,14 @@ object TextAnalysis {
     * doc tokens in that language's marker list; predict argmax (ties broken
     * by language code ascending). `profiles` rides along as array literals —
     * an n-gram-profile upgrade slots in the same shape. */
-  def langIdByProfiles(c: Column, profiles: Seq[(String, Seq[String])]): Column = {
-    val t = array_distinct(tokens(c))
+  def langIdByProfiles(c: Column, profiles: Seq[(String, Seq[String])]): Column =
+    langIdFromTokens(tokens(c), profiles)
+
+  /** [[langIdByProfiles]] over an already-tokenized array — the
+    * single-tokenization entry point fused pipelines thread their token
+    * column through. */
+  def langIdFromTokens(toks: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val t = array_distinct(toks)
     // argmax via array_max over (score, -alphabetical_rank, lang) structs:
     // lexicographic struct comparison picks highest score; on ties the
     // negated rank makes the alphabetically-first language win.
@@ -505,5 +511,71 @@ object TextAnalysis {
         org.apache.spark.sql.functions.size(col("col")).cast("long")
           .as("n_tokens"),
         md5(concat_ws(" ", col("col"))).as("chunk_hash"))
+  }
+
+  /** The per-document text-feature MATRIX: every per-row signal the text
+    * tranche computes — counts, ratios, entropy, quality, language,
+    * fingerprint, pattern counts — assembled in ONE pass with ONE
+    * tokenization. This is the frame a corpus-filtering model trains on
+    * and a quality gate thresholds against; at 100 TB its plan shape is
+    * the whole point: a single parquet scan, zero joins, zero
+    * aggregations, zero exchanges — every feature is a scalar expression
+    * over (text, tokens), so throughput is scan-bound and the operator
+    * parallelizes perfectly at any width.
+    *
+    * Entropy is the per-row HOF form (distinct-token counts folded
+    * in-place) rather than t_entropy's explode+groupBy — O(types·len)
+    * inside the row beats a corpus-wide exploded shuffle when the whole
+    * matrix is being built anyway. */
+  def textFeatureMatrix(df: DataFrame, idCol: String, textCol: String,
+                        stopwords: Seq[String],
+                        profiles: Seq[(String, Seq[String])]): DataFrame = {
+    val sw = array(stopwords.map(lit): _*)
+    val base = df.select(col(idCol), col(textCol).as("__text"),
+      tokens(col(textCol)).as("__t"))
+    val t = col("__t")
+    val n = length(col("__text"))
+    val nt = org.apache.spark.sql.functions.size(t)
+    def ratioVs(cleaned: Column): Column =
+      when(n === 0, 0.0).otherwise((n - length(cleaned)).cast("double") / n)
+    val punct = ratioVs(regexp_replace(col("__text"), "[\\p{Punct}]", ""))
+    val stopr = when(nt === 0, 0.0).otherwise(
+      org.apache.spark.sql.functions.size(
+        filter(t, w => array_contains(sw, w))).cast("double") / nt)
+    // distinct-token counts, folded per row for the entropy term
+    val counts = transform(array_distinct(t),
+      x => org.apache.spark.sql.functions.size(filter(t, y => y === x)))
+    val entSum = aggregate(counts, lit(0.0),
+      (acc, c) => acc + c.cast("double") * log(c.cast("double")))
+    val lenScore = least(nt.cast("double") / 100.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punct * 5.0, lit(1.0))
+    val stopScore = least(stopr * 4.0, lit(1.0))
+    base.select(
+      col(idCol),
+      nt.as("n_tokens"),
+      n.as("n_chars"),
+      when(nt === 0, 0.0).otherwise(
+        aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+          nt).as("avg_word_len"),
+      punct.as("punct_ratio"),
+      ratioVs(regexp_replace(col("__text"), "[A-Z]", "")).as("upper_ratio"),
+      ratioVs(regexp_replace(col("__text"), "[0-9]", "")).as("digit_ratio"),
+      stopr.as("stopword_ratio"),
+      org.apache.spark.sql.functions.size(array_distinct(t))
+        .as("n_distinct_tokens"),
+      when(nt === 0, 0.0).otherwise(
+        round(org.apache.spark.sql.functions.size(array_distinct(t))
+          .cast("double") / nt, 6)).as("ttr"),
+      when(nt === 0, 0.0).otherwise(
+        round(log(nt.cast("double")) - entSum / nt, 6)).as("entropy"),
+      Features.clip(
+        lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3, 0.0, 1.0)
+        .as("quality"),
+      langIdFromTokens(t, profiles).as("lang_pred"),
+      fingerprint(col("__text")).as("fp"),
+      regexp_count(col("__text"), lit("https?://[^ ]+")).as("n_urls"),
+      regexp_count(col("__text"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"))
+        .as("n_emails"),
+      regexp_count(col("__text"), lit("[0-9]+")).as("n_digit_runs"))
   }
 }

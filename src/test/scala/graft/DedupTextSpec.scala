@@ -679,6 +679,23 @@ class DedupTextSpec extends AnyFunSuite {
     assert(full.count() === 3L)
   }
 
+  test("text feature matrix: golden row and language tiebreak in one pass") {
+    val profiles = Seq("aa" -> Seq("join"), "bb" -> Seq("join"))
+    val df = Seq((1L, "the JOIN join 42 ok http://x.io a@b.co")).toDF("doc_id", "text")
+    val r = TextAnalysis.textFeatureMatrix(df, "doc_id", "text",
+      Seq("the"), profiles).head()
+    assert(r.getAs[Int]("n_tokens") === 7)
+    // tokens: the, join, join, 42, ok, http://x.io, a@b.co -> 6 distinct
+    assert(r.getAs[Int]("n_distinct_tokens") === 6)
+    // entropy: ln(7) - (2 ln 2)/7 (only "join" repeats)
+    val want = math.log(7.0) - 2.0 * math.log(2.0) / 7.0
+    assert(math.abs(r.getAs[Double]("entropy") - want) < 1e-6)
+    assert(r.getAs[Double]("stopword_ratio") === 1.0 / 7.0)
+    // equal marker scores -> alphabetically-first profile wins
+    assert(r.getAs[String]("lang_pred") === "aa")
+    assert(r.getAs[Int]("n_urls") === 1 && r.getAs[Int]("n_emails") === 1)
+  }
+
   test("semantic dedup resolve: transitive group collapses to min id; buckets block") {
     import graft.ops.Similarity
     val v = (x: Double, y: Double) => Array(x.toFloat, y.toFloat)
