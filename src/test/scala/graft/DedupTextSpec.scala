@@ -679,6 +679,42 @@ class DedupTextSpec extends AnyFunSuite {
     assert(full.count() === 3L)
   }
 
+  test("prefix-filtered jaccard equals the full posting join (lossless AllPairs prefix)") {
+    // Corpus with a corpus-hot token ("hot" in every doc — the candidate
+    // quadratic the prefix filter exists to kill), near-dup pairs, docs
+    // shorter than the prefix bound, and an exact duplicate.
+    val df = Seq(
+      (1L, "hot alpha beta gamma delta epsilon"),
+      (2L, "hot alpha beta gamma delta zeta"),      // near-dup of 1
+      (3L, "hot mu nu xi omicron pi rho"),
+      (4L, "hot mu nu xi omicron pi rho"),          // exact dup of 3
+      (5L, "hot unrelated words entirely here now"),
+      (6L, "hot two"),                              // tiny doc
+      (7L, "hot two")                               // tiny dup
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      // cap far above every posting size => the capped branch IS the full
+      // posting join; the default branch is the prefix-filtered form
+      val full = Dedup.tokenJaccardPairs(df, "doc_id", "text", t,
+        maxPostingSize = 1000)
+        .select("id1", "id2", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.tokenJaccardPairs(df, "doc_id", "text", t)
+        .select("id1", "id2", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref === full, s"threshold $t")
+    }
+    // bucketed form agrees too
+    val bdf = df.withColumn("b", col("doc_id") % 2)
+    val fullB = Dedup.tokenJaccardPairs(bdf, "doc_id", "text", 0.5,
+      bucketCols = Seq("b"), maxPostingSize = 1000)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val prefB = Dedup.tokenJaccardPairs(bdf, "doc_id", "text", 0.5,
+      bucketCols = Seq("b"))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(prefB === fullB)
+  }
+
   test("text feature matrix: golden row and language tiebreak in one pass") {
     val profiles = Seq("aa" -> Seq("join"), "bb" -> Seq("join"))
     val df = Seq((1L, "the JOIN join 42 ok http://x.io a@b.co")).toDF("doc_id", "text")
