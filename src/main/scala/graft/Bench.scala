@@ -72,6 +72,16 @@ object Bench {
     val runs = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Inter-query hygiene (untimed): a long single-JVM sweep otherwise
+      // AGES — cached plans/broadcasts pile up and the ContextCleaner's
+      // shuffle-file cleanup lags behind, so a query running after a
+      // multi-hundred-second neighbor measures several times slower than
+      // isolated (BENCH_SF10.md round-10 methodology note: a12_funnel
+      // 41.3 s in-leg vs 5.8 s isolated on the same build). Clearing the
+      // cache and forcing a reference-processing GC between queries
+      // reclaims that state so each timing starts from a comparable JVM.
+      spark.catalog.clearCache()
+      System.gc()
       var best = Double.MaxValue
       var succeeded = false
       var failed = false
