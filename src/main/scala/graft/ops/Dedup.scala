@@ -521,6 +521,65 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Asymmetric prefix filter for containment (the [[jaccardViaPrefix]]
+    * theorem ported to a two-sided threshold): a directed pair qualifies
+    * with common ≥ t·|source|, and in EITHER direction common ≥
+    * t·min(|A|,|B|) — so the SMALLER document's (df, token)-ordered
+    * prefix always shares its lowest-ordered common token with the
+    * larger document's FULL posting set. Candidates therefore come from
+    * prefix(smaller) ⋈ full(larger-or-equal); corpus-hot tokens have
+    * full-side postings ∝ corpus but near-zero prefix-side presence, so
+    * the Σdf² candidate quadratic collapses while staying lossless (the
+    * larger side's own prefix bound t·|L| would be WRONG here — its
+    * partner may only clear t·|S| — which is why Jaccard's symmetric
+    * prefix⋈prefix join does not port directly). Exact containment is
+    * verified on the full arrays; output matches the posting-join form
+    * bit-for-bit (same integer common, same division). */
+  private def containmentViaPrefix(toks: DataFrame, idCol: String,
+                                   threshold: Double,
+                                   bucketCols: Seq[String]): DataFrame = {
+    val joinKeys = "__tok" +: bucketCols
+    val exploded = toks
+      .withColumn("__n", size(col("__t")))
+      .select((Seq(col(idCol), col("__n"), explode(col("__t")).as("__tok")) ++
+        bucketCols.map(col)): _*)
+    val wTok = org.apache.spark.sql.expressions.Window
+      .partitionBy(joinKeys.map(col): _*)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__df").asc, col("__tok").asc)
+    val prefix = exploded
+      .withColumn("__df", count(lit(1)).over(wTok))
+      .withColumn("__rn", row_number().over(wDoc))
+      .filter(col("__rn") <=
+        col("__n") - ceil(lit(threshold) * col("__n") - 1e-9) + 1)
+      .select((Seq(col(idCol).as("__ids"), col("__n").as("__ns"),
+        col("__tok")) ++ bucketCols.map(col)): _*)
+    val fullSide = exploded
+      .select((Seq(col(idCol).as("__idl"), col("__n").as("__nl"),
+        col("__tok")) ++ bucketCols.map(col)): _*)
+    val cand = prefix.join(fullSide, joinKeys)
+      .filter(col("__ns") < col("__nl") ||
+        (col("__ns") === col("__nl") && col("__ids") =!= col("__idl")))
+      .select(least(col("__ids"), col("__idl")).as("__ida"),
+        greatest(col("__ids"), col("__idl")).as("__idb"))
+      .distinct()
+    val f1 = toks.select(col(idCol).as("__ida"), col("__t").as("__ta"))
+    val f2 = toks.select(col(idCol).as("__idb"), col("__t").as("__tb"))
+    cand.join(f1, Seq("__ida")).join(f2, Seq("__idb"))
+      .withColumn("common",
+        size(array_intersect(col("__ta"), col("__tb"))))
+      .select(explode(array(
+        struct(col("__ida").as("a"), col("__idb").as("b"),
+          (col("common").cast("double") / size(col("__ta"))).as("c")),
+        struct(col("__idb").as("a"), col("__ida").as("b"),
+          (col("common").cast("double") / size(col("__tb"))).as("c"))))
+        .as("p"))
+      .select(col("p.a").as("id1"), col("p.b").as("id2"),
+        col("p.c").as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   private def jaccardFromPostings(posting: DataFrame, idCol: String,
                                   threshold: Double,
                                   bucketCols: Seq[String]): DataFrame = {
@@ -550,6 +609,12 @@ object Dedup {
                             threshold: Double,
                             bucketCols: Seq[String] = Nil,
                             maxPostingSize: Int = 0): DataFrame = {
+    if (maxPostingSize <= 0)
+      return containmentViaPrefix(
+        df.select((Seq(col(idCol),
+          array_distinct(tokens(col(textCol))).as("__t")) ++
+          bucketCols.map(col)): _*),
+        idCol, threshold, bucketCols)
     val posting = tokenPostings(df, idCol, textCol, bucketCols, maxPostingSize)
     val joinKeys = "__tok" +: bucketCols
     val p1 = posting.withColumnRenamed(idCol, "id1")

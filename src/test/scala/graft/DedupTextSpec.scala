@@ -715,6 +715,35 @@ class DedupTextSpec extends AnyFunSuite {
     assert(prefB === fullB)
   }
 
+  test("prefix-filtered containment equals the full posting join (asymmetric prefix)") {
+    // Exercises the direction the Jaccard theorem does NOT cover: a small
+    // doc contained in a much larger one (common ≥ t·|small| but far
+    // below t·|large|), plus a hot token and tiny/equal-size pairs.
+    val df = Seq(
+      (1L, "hot alpha beta gamma"),
+      (2L, "hot alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa lambda mu nu xi omicron"),       // contains 1's set
+      (3L, "hot mu nu xi"),
+      (4L, "hot mu nu xi"),                      // equal-size exact dup of 3
+      (5L, "hot unrelated things written here"),
+      (6L, "hot solo")
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.75, 0.9)) {
+      val full = Dedup.tokenContainmentPairs(df, "doc_id", "text", t,
+        maxPostingSize = 1000)
+        .select("id1", "id2", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.tokenContainmentPairs(df, "doc_id", "text", t)
+        .select("id1", "id2", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref === full, s"threshold $t")
+    }
+    // the subset-dup direction is actually present at t=0.9
+    val pairs = Dedup.tokenContainmentPairs(df, "doc_id", "text", 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // 1's tokens ⊂ 2's tokens
+  }
+
   test("text feature matrix: golden row and language tiebreak in one pass") {
     val profiles = Seq("aa" -> Seq("join"), "bb" -> Seq("join"))
     val df = Seq((1L, "the JOIN join 42 ok http://x.io a@b.co")).toDF("doc_id", "text")
