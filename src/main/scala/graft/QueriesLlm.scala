@@ -1074,6 +1074,39 @@ object QueriesLlm {
         threshold = 0.35, nlist = nlist)
     }, None),
 
+    // --- Incremental dedup store, gated end-to-end: the corpus ingested
+    //     as two waves (even ids, then odd) through the REAL bucketed
+    //     first-writer-wins merge (StreamingJobs.incrementalDedupBatch —
+    //     same code the streaming form runs per micro-batch), then the
+    //     accumulated store read back as the deduped corpus. The store is
+    //     rebuilt fresh per invocation (tiny at gate scale) so the query
+    //     is idempotent. Oracle: min (wave, id) per content hash. ---
+    ("x25_incremental_dedup", (s, d) => {
+      val docs = SparkEntry.T(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_incdedup_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.streaming.StreamingJobs.incrementalDedupBatch(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        store, batchId = 0L, numBuckets = 8)
+      graft.streaming.StreamingJobs.incrementalDedupBatch(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        store, batchId = 1L, numBuckets = 8)
+      graft.streaming.StreamingJobs.dedupedCorpus(s, store)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH k AS (SELECT doc_id, lang,
+             |  row_number() OVER (
+             |    PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             |    ORDER BY doc_id % 2, doc_id) AS rn
+             |  FROM documents)
+             |SELECT doc_id, lang FROM k WHERE rn = 1
+             |ORDER BY doc_id""".stripMargin)),
+
     // --- Flagship composition #4: the per-document text-feature MATRIX —
     //     every per-row text signal (counts, ratios, entropy, quality,
     //     language, fingerprint, pattern counts) in ONE pass with ONE
