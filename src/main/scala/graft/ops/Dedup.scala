@@ -677,6 +677,20 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** All banding combo keys in one native expression
+    * ([[graft.functions.expr.SimHashBands]]): element `ci` of the result is
+    * combo `ci`'s packed key, so `posexplode` recovers the (block, key)
+    * rows. Replaces the `explode(array(<C(b,c) fold-packed structs>))`
+    * column form, whose generated `doConsume` exceeded janino's 64 KB
+    * method limit at radius-16-class configs (153 combos) and silently
+    * dropped the banding stage to interpreted eval; the native kernel's
+    * generated code is a constant-size data loop. Key packing is
+    * bit-for-bit the old fold (asserted across configs in DedupTextSpec). */
+  def simHashBandsNative(lanes: Column, blocks: Seq[(Int, Int, Int)],
+                         combos: Seq[Seq[Int]]): Column =
+    ColumnBridge.column(graft.functions.expr.SimHashBands(
+      ColumnBridge.expression(lanes), blocks, combos))
+
   /** SimHash near-dup candidates: split the 64-bit fingerprint into
     * `maxHamming + 1` sub-blocks — a pair within Hamming distance
     * `maxHamming` has fewer differing bits than blocks, so by pigeonhole it
@@ -738,10 +752,8 @@ object Dedup {
     val widths = Seq.tabulate(numBlocks)(i =>
       if (i < 64 % numBlocks) baseW + 1 else baseW)
     val offsets = widths.scanLeft(0)(_ + _).init
-    def blockVal(blk: Int): Column = {
-      val mask = if (widths(blk) == 64) -1L else (1L << widths(blk)) - 1L
-      shiftright(col("fp"), offsets(blk)).bitwiseAND(lit(mask))
-    }
+    val blocks: Seq[(Int, Int, Int)] =
+      widths.zip(offsets).map { case (w, o) => (0, o, w) }
     val combos = (0 until numBlocks).combinations(blockCombos).toSeq
     val withFp = df
       .select(col(idCol), tokenHashes(col(textCol)).as("__th"))
@@ -761,15 +773,13 @@ object Dedup {
       .filter(col("ida") < col("idb"))
       .select(col("ida").as("id1"), col("idb").as("id2"),
         lit(0).as("hamming"))
-    // Banded candidate join over DISTINCT fingerprints only.
+    // Banded candidate join over DISTINCT fingerprints only. All combo
+    // keys come from ONE native SimHashBands kernel (constant generated
+    // code size — see simHashBandsNative; the unrolled struct-array form
+    // overflowed janino's 64 KB method limit at high-radius configs).
     val bandedAll = fpGroups.select(col("fp"),
-      explode(array(combos.zipWithIndex.map { case (blks, ci) =>
-        val packed = blks.foldLeft(lit(0L): Column) { (acc, blk) =>
-          shiftleft(acc, widths(blk)).bitwiseOR(blockVal(blk))
-        }
-        struct(lit(ci).as("block"), packed.as("key"))
-      }: _*)).as("bb"))
-      .select(col("fp"), col("bb.block").as("block"), col("bb.key").as("key"))
+      posexplode(simHashBandsNative(array(col("fp")), blocks, combos)))
+      .select(col("fp"), col("pos").as("block"), col("col").as("key"))
     val banded =
       if (maxBucketSize <= 0) bandedAll
       else {
@@ -892,13 +902,6 @@ object Dedup {
         val offs = ws.scanLeft(0)(_ + _).init
         ws.zip(offs).map { case (w, o) => (lane, o, w) }
       }
-    def laneCol(fp: Column, lane: Int): Column =
-      fp.getField(if (lane == 0) "l0" else "l1")
-    def blockVal(fp: Column, blk: Int): Column = {
-      val (lane, off, w) = blocks(blk)
-      val mask = if (w == 64) -1L else (1L << w) - 1L
-      shiftright(laneCol(fp, lane), off).bitwiseAND(lit(mask))
-    }
     val combos = (0 until numBlocks).combinations(blockCombos).toSeq
     combos.foreach { c =>
       // The packed key must fit one long: the fold shifts by each
@@ -923,14 +926,13 @@ object Dedup {
       .filter(col("ida") < col("idb"))
       .select(col("ida").as("id1"), col("idb").as("id2"),
         lit(0).as("hamming"))
+    // One native SimHashBands kernel over the two lanes — constant
+    // generated code size at ANY radius (the unrolled 153-struct explode
+    // of the radius-16 default was the r10 64 KB codegen overflow).
     val bandedAll = fpGroups.select(col("fp"),
-      explode(array(combos.zipWithIndex.map { case (blks, ci) =>
-        val packed = blks.foldLeft(lit(0L): Column) { (acc, blk) =>
-          shiftleft(acc, blocks(blk)._3).bitwiseOR(blockVal(col("fp"), blk))
-        }
-        struct(lit(ci).as("block"), packed.as("key"))
-      }: _*)).as("bb"))
-      .select(col("fp"), col("bb.block").as("block"), col("bb.key").as("key"))
+      posexplode(simHashBandsNative(
+        array(col("fp.l0"), col("fp.l1")), blocks, combos)))
+      .select(col("fp"), col("pos").as("block"), col("col").as("key"))
     val banded =
       if (maxBucketSize <= 0) bandedAll
       else {

@@ -175,6 +175,73 @@ class DedupTextSpec extends AnyFunSuite {
     assert(small.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("SimHashBands native kernel is bit-identical to the unrolled fold packing") {
+    // Differential spec for the r11 codegen-overflow fix: the native
+    // kernel's packed combo keys must equal the old
+    // shiftleft/bitwiseOR fold column form at every supported geometry,
+    // including the radius-16-of-128 registry config whose 153-struct
+    // unrolled explode overflowed janino's 64 KB method limit.
+    val rnd = new scala.util.Random(42)
+    val lanes = Seq.fill(300)((rnd.nextLong(), rnd.nextLong()))
+      .toDF("l0", "l1")
+    def geometry(numBits: Int, numBlocks: Int): Seq[(Int, Int, Int)] =
+      if (numBits == 64) {
+        val baseW = 64 / numBlocks
+        val ws = Seq.tabulate(numBlocks)(i =>
+          if (i < 64 % numBlocks) baseW + 1 else baseW)
+        ws.zip(ws.scanLeft(0)(_ + _).init).map { case (w, o) => (0, o, w) }
+      } else {
+        val perLane = { val b = numBlocks / 2; Seq(numBlocks - b, b) }
+        perLane.zipWithIndex.flatMap { case (k, lane) =>
+          val baseW = 64 / k
+          val ws = Seq.tabulate(k)(i => if (i < 64 % k) baseW + 1 else baseW)
+          ws.zip(ws.scanLeft(0)(_ + _).init).map { case (w, o) => (lane, o, w) }
+        }
+      }
+    val configs = Seq((64, 3, 1), (64, 8, 2), (64, 15, 3),
+      (128, 6, 1), (128, 16, 2), (128, 31, 2))
+    for ((bits, radius, bc) <- configs) {
+      val blocks = geometry(bits, radius + bc)
+      val combos = (0 until (radius + bc)).combinations(bc).toSeq
+      val laneCols = Seq(col("l0"), col("l1"))
+      val oldForm = array(combos.map { blks =>
+        blks.foldLeft(lit(0L): org.apache.spark.sql.Column) { (acc, blk) =>
+          val (lane, off, w) = blocks(blk)
+          val mask = if (w == 64) -1L else (1L << w) - 1L
+          shiftleft(acc, w).bitwiseOR(
+            shiftright(laneCols(lane), off).bitwiseAND(lit(mask)))
+        }
+      }: _*)
+      val lanesArr =
+        if (bits == 64) array(col("l0")) else array(col("l0"), col("l1"))
+      val mismatches = lanes.select(
+        Dedup.simHashBandsNative(lanesArr, blocks, combos).as("native"),
+        oldForm.as("old"))
+        .filter(col("native") =!= col("old")).count()
+      assert(mismatches === 0,
+        s"bits=$bits radius=$radius combos=$bc: native != fold packing")
+    }
+  }
+
+  test("high-radius banding compiles under whole-stage codegen (no 64 KB fallback)") {
+    // Pin the r10 defect structurally: with spark.sql.codegen.fallback=false
+    // a janino CompileException (the 'Code grows beyond 64 KB' overflow)
+    // ABORTS the query instead of silently dropping to interpreted eval, so
+    // this test fails if the banding stage ever stops codegen-compiling.
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(300)
+    val prior = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // the registry radius-16 config (153 combos) and the widest 64-bit
+      // geometry (C(18,3) = 816 combos) — both overflowed pre-fix
+      assert(Dedup.simHashNearDups128(corpus, "doc_id", "text",
+        maxHamming = 16, blockCombos = 2).count() >= 0)
+      assert(Dedup.simHashNearDups(corpus, "doc_id", "text",
+        maxHamming = 15, blockCombos = 3).count() >= 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prior)
+  }
+
   test("native SimHash64 expression is bit-identical to the HOF form") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val cmp = corpus.select(
