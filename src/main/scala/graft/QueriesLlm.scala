@@ -1084,8 +1084,14 @@ object QueriesLlm {
     ("x25_incremental_dedup", (s, d) => {
       val docs = SparkEntry.T(s, d, "documents")
         .select(col("doc_id"), col("text"), col("lang"))
+      // Keyed by (dataset-dir hash, applicationId): the app id makes the
+      // path private to this SparkSession, so concurrent harness processes
+      // on the same dataset dir (or a String.hashCode collision across
+      // dirs) can't race the delete/rebuild/read-back. Within one session
+      // the path is stable, so re-invocation still rebuilds idempotently.
       val store = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_incdedup_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+        s"graft_incdedup_${Integer.toHexString(d.hashCode)}_" +
+          s.sparkContext.applicationId).getAbsolutePath
       val p = new org.apache.hadoop.fs.Path(store)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
@@ -1119,7 +1125,13 @@ object QueriesLlm {
         SparkEntry.T(s, d, "documents"), "doc_id", "text",
         Stopwords, LangProfiles)
         .orderBy(col("doc_id"))
-      val offending = sorted.queryExecution.executedPlan.collect {
+      // Guard runs over sparkPlan (the pre-AQE physical plan): under
+      // adaptive execution the executedPlan is wrapped in
+      // AdaptiveSparkPlanExec — a LEAF node — so collecting over it sees
+      // nothing and the require passes vacuously (ADVICE r10). AQE only
+      // re-plans exchanges; it cannot introduce a join or aggregation the
+      // static plan lacks, so the pre-AQE plan is the right witness.
+      val offending = sorted.queryExecution.sparkPlan.collect {
         case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
           a.nodeName
         case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>

@@ -496,8 +496,15 @@ object Dedup {
         bucketCols.map(col)): _*)
     val wTok = org.apache.spark.sql.expressions.Window
       .partitionBy(joinKeys.map(col): _*)
+    // Per-doc prefix window is keyed by (id, bucketCols), not id alone:
+    // __df is per-bucket, so an id appearing in more than one bucket row
+    // would otherwise interleave its row_numbers across buckets and get
+    // prefixes too short (silently dropped pairs). NOTE the verify stage
+    // below still joins the full token arrays on id alone — ids repeating
+    // across buckets WITH DIFFERENT token arrays remain unsupported
+    // (duplicate verify rows); registry callers have unique ids.
     val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
+      .partitionBy((idCol +: bucketCols).map(col): _*)
       .orderBy(col("__df").asc, col("__tok").asc)
     val prefix = exploded
       .withColumn("__df", count(lit(1)).over(wTok))
@@ -545,8 +552,12 @@ object Dedup {
         bucketCols.map(col)): _*)
     val wTok = org.apache.spark.sql.expressions.Window
       .partitionBy(joinKeys.map(col): _*)
+    // (id, bucketCols) partitioning — same rationale as jaccardViaPrefix:
+    // per-bucket __df must not interleave row_numbers for an id that
+    // appears in several buckets. Verify stage joins arrays on id alone;
+    // ids must be unique per bucket (registry callers are).
     val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
+      .partitionBy((idCol +: bucketCols).map(col): _*)
       .orderBy(col("__df").asc, col("__tok").asc)
     val prefix = exploded
       .withColumn("__df", count(lit(1)).over(wTok))

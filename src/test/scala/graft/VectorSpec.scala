@@ -136,6 +136,23 @@ class VectorSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"MLlib LSH recall $recall vs exact too low")
   }
 
+  test("lshTopK warns loudly when maxDistance caps the reachable cosine") {
+    val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(50)
+    // default maxDistance = 1.5 < 2.0 → the floor warning must fire and
+    // state the reachable cosine floor 1 − 1.5²/2 = −0.125
+    Similarity.lastLshFloorWarning = None
+    Similarity.lshTopK(e, e, "vec_id", "vec_id", "embedding", 3)
+    assert(Similarity.lastLshFloorWarning.isDefined,
+      "maxDistance=1.5 must emit the cosine-floor warning")
+    assert(Similarity.lastLshFloorWarning.get.contains("-0.1250"))
+    // maxDistance = 2.0 covers the full cosine range → silent
+    Similarity.lshTopK(e, e, "vec_id", "vec_id", "embedding", 3,
+      maxDistance = 2.0)
+    assert(Similarity.lastLshFloorWarning.isEmpty,
+      "maxDistance=2.0 must not warn")
+  }
+
   test("clusterPrunedTopK achieves reasonable recall vs exact (retrieval.py IVF nprobe semantics)") {
     val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
     val qs = e.filter(col("vec_id") < 20)
