@@ -240,11 +240,14 @@ case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long])
   * arithmetic-shift sign-extension never reaches a kept bit; width 64 only
   * occurs as a combo's FIRST block where the accumulator is 0).
   *
-  * Null handling: null lane ARRAY → null result (no banding rows after the
-  * explode — same pair set as the old form's never-matching null keys). A
-  * null lane ELEMENT reads as 0; unreachable from graft's call sites, which
-  * filter null fingerprints before banding (Dedup.scala simHashNearDups /
-  * simHashNearDups128).
+  * Null handling: a null lane ARRAY — or ANY null lane element a block
+  * references — yields a null result (no banding rows after the explode —
+  * the same pair set as the old column form, whose null fingerprints
+  * produced null keys that never equi-join). Without the element rule a
+  * null lane would read as 0 and silently band every null-lane doc into
+  * the same buckets — wrong for any caller that has not pre-filtered
+  * null fingerprints (graft's own call sites do, but the expression is
+  * public via Dedup.simHashBandsNative).
   */
 case class SimHashBands(child: Expression, blocks: Seq[(Int, Int, Int)],
                         combos: Seq[Seq[Int]])
@@ -253,6 +256,8 @@ case class SimHashBands(child: Expression, blocks: Seq[(Int, Int, Int)],
   require(combos.nonEmpty && blocks.nonEmpty, "empty banding spec")
   require(combos.forall(_.forall(b => b >= 0 && b < blocks.length)),
     "combo references a block index out of range")
+
+  override def nullable: Boolean = true
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -286,6 +291,12 @@ case class SimHashBands(child: Expression, blocks: Seq[(Int, Int, Int)],
 
   override def nullSafeEval(v: Any): Any = {
     val lanes = v.asInstanceOf[ArrayData]
+    val nSteps = stepLane.length
+    var s0 = 0
+    while (s0 < nSteps) { // any referenced null lane → null result
+      if (lanes.isNullAt(stepLane(s0))) return null
+      s0 += 1
+    }
     val nc = combos.length
     val out = new Array[Long](nc)
     var ci = 0
@@ -294,8 +305,7 @@ case class SimHashBands(child: Expression, blocks: Seq[(Int, Int, Int)],
       var s = comboStart(ci)
       val end = comboStart(ci + 1)
       while (s < end) {
-        val lane =
-          if (lanes.isNullAt(stepLane(s))) 0L else lanes.getLong(stepLane(s))
+        val lane = lanes.getLong(stepLane(s))
         key = (key << stepWidth(s)) | ((lane >> stepOff(s)) & stepMask(s))
         s += 1
       }
@@ -327,23 +337,33 @@ case class SimHashBands(child: Expression, blocks: Seq[(Int, Int, Int)],
       val wd = ctx.freshName("wd")
       val mk = ctx.freshName("mk")
       val nc = combos.length
+      val nSteps = stepLane.length
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int[] $st = $startRef;
          |int[] $ln = $laneRef;
          |int[] $of = $offRef;
          |int[] $wd = $widthRef;
          |long[] $mk = $maskRef;
-         |long[] $out = new long[$nc];
-         |for (int $ci = 0; $ci < $nc; $ci++) {
-         |  long $key = 0L;
-         |  for (int $s = $st[$ci]; $s < $st[$ci + 1]; $s++) {
-         |    long $lane = $lanes.isNullAt($ln[$s]) ? 0L : $lanes.getLong($ln[$s]);
-         |    $key = ($key << $wd[$s]) | (($lane >> $of[$s]) & $mk[$s]);
-         |  }
-         |  $out[$ci] = $key;
+         |boolean $anyNull = false;
+         |for (int $s = 0; $s < $nSteps; $s++) {
+         |  if ($lanes.isNullAt($ln[$s])) { $anyNull = true; break; }
          |}
-         |${ev.value} =
-         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $out = new long[$nc];
+         |  for (int $ci = 0; $ci < $nc; $ci++) {
+         |    long $key = 0L;
+         |    for (int $s = $st[$ci]; $s < $st[$ci + 1]; $s++) {
+         |      long $lane = $lanes.getLong($ln[$s]);
+         |      $key = ($key << $wd[$s]) | (($lane >> $of[$s]) & $mk[$s]);
+         |    }
+         |    $out[$ci] = $key;
+         |  }
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |}
        """.stripMargin
     })
   }

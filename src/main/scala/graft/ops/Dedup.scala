@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ColumnBridge
 
@@ -435,7 +435,14 @@ object Dedup {
     * doc-pairs. `maxPostingSize` (opt-in) drops corpus-hot tokens from the
     * token sets before the join — see [[tokenPostings]] — bounding any one
     * token's candidate contribution at C(cap,2). Returns
-    * (id1, id2, jaccard >= threshold). */
+    * (id1, id2, jaccard >= threshold).
+    *
+    * CONTRACT: `idCol` must be unique across the WHOLE input — including
+    * across `bucketCols` values. A duplicate id silently corrupts the
+    * default (prefix-filtered) path: per-doc prefix row_numbers interleave
+    * (pairs dropped) and the exact-verify join on id fans out (wrong
+    * rows). Set `spark.graft.dedupIdGuard=true` to enforce at runtime
+    * (one extra count job; on in the test suites). */
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double,
                         bucketCols: Seq[String] = Nil,
@@ -452,7 +459,7 @@ object Dedup {
     * with the hot-token quadratic candidate term pruned by construction.
     * `maxPostingSize > 0` keeps the explicitly-lossy capped posting join
     * (drops corpus-hot tokens from the token SETS — different, documented
-    * semantics). */
+    * semantics). Same unique-id CONTRACT as [[tokenJaccardPairs]]. */
   def tokenJaccardPairsFromTokens(df: DataFrame, idCol: String,
                                   tokensCol: String, threshold: Double,
                                   bucketCols: Seq[String] = Nil,
@@ -486,6 +493,27 @@ object Dedup {
     * hair ABOVE an exact integer would otherwise shorten the prefix and
     * silently lose pairs (an undershoot merely admits extra candidates,
     * which the verify stage discards). */
+  /** Debug/test enforcement of the prefix-join family's id-uniqueness
+    * contract: with `spark.graft.dedupIdGuard=true` (set in the test
+    * suites), pays one extra count job to turn a duplicate id — which
+    * would otherwise silently drop pairs (interleaved prefix
+    * row_numbers) and duplicate verify rows (array join on id) — into an
+    * assertion error naming the operator. Off by default: production
+    * corpora carry unique doc ids and the check is a full scan. */
+  private def uniqueIdGuard(toks: DataFrame, idCol: String,
+                            op: String): Unit = {
+    val guard = toks.sparkSession.conf
+      .getOption("spark.graft.dedupIdGuard").contains("true")
+    if (guard) {
+      val Row(n, d) = toks.agg(count(lit(1)), count_distinct(col(idCol))).head()
+      require(n == d,
+        s"$op: id column '$idCol' must be unique across the whole input " +
+          s"(including across buckets) — $n rows but $d distinct ids. " +
+          "Duplicate ids silently corrupt prefix-filtered candidate " +
+          "generation and the verify join; dedupe or re-key first.")
+    }
+  }
+
   private def jaccardViaPrefix(toks: DataFrame, idCol: String,
                                threshold: Double,
                                bucketCols: Seq[String]): DataFrame = {
@@ -496,16 +524,19 @@ object Dedup {
         bucketCols.map(col)): _*)
     val wTok = org.apache.spark.sql.expressions.Window
       .partitionBy(joinKeys.map(col): _*)
-    // Per-doc prefix window is keyed by (id, bucketCols), not id alone:
-    // __df is per-bucket, so an id appearing in more than one bucket row
-    // would otherwise interleave its row_numbers across buckets and get
-    // prefixes too short (silently dropped pairs). NOTE the verify stage
-    // below still joins the full token arrays on id alone — ids repeating
-    // across buckets WITH DIFFERENT token arrays remain unsupported
-    // (duplicate verify rows); registry callers have unique ids.
+    // CONTRACT: ids are unique across the whole input, including across
+    // buckets ([[uniqueIdGuard]]; loud scaladoc on the public entries).
+    // Under that contract partitionBy(id) ≡ partitionBy(id, bucketCols),
+    // and the narrower key is measurably cheaper (~45% on the sf0.1
+    // Jaccard family — the r11 (id, bucketCols) hardening cost
+    // d_token_jaccard 3.6→5.1-5.6 s isolated). Widening the key alone
+    // could not lift the contract anyway: the verify stage below joins
+    // the full token arrays on id, so a duplicate id would still produce
+    // wrong verify rows — hence contract + guard, not a wider window.
     val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy((idCol +: bucketCols).map(col): _*)
+      .partitionBy(col(idCol))
       .orderBy(col("__df").asc, col("__tok").asc)
+    uniqueIdGuard(toks, idCol, "jaccardViaPrefix")
     val prefix = exploded
       .withColumn("__df", count(lit(1)).over(wTok))
       .withColumn("__rn", row_number().over(wDoc))
@@ -552,13 +583,13 @@ object Dedup {
         bucketCols.map(col)): _*)
     val wTok = org.apache.spark.sql.expressions.Window
       .partitionBy(joinKeys.map(col): _*)
-    // (id, bucketCols) partitioning — same rationale as jaccardViaPrefix:
-    // per-bucket __df must not interleave row_numbers for an id that
-    // appears in several buckets. Verify stage joins arrays on id alone;
-    // ids must be unique per bucket (registry callers are).
+    // partitionBy(id) under the unique-id contract — same rationale and
+    // guard as jaccardViaPrefix (the verify stage joins arrays on id, so
+    // only globally-unique ids are supportable regardless of window key).
     val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy((idCol +: bucketCols).map(col): _*)
+      .partitionBy(col(idCol))
       .orderBy(col("__df").asc, col("__tok").asc)
+    uniqueIdGuard(toks, idCol, "containmentViaPrefix")
     val prefix = exploded
       .withColumn("__df", count(lit(1)).over(wTok))
       .withColumn("__rn", row_number().over(wDoc))
@@ -615,7 +646,11 @@ object Dedup {
     * under-scores when |B| ≫ |A|. Same posting-list candidate join as
     * [[tokenJaccardPairs]] — linear in posting sizes, never all-pairs —
     * but pairs are DIRECTED (id1 ≠ id2, score = containment of id1's
-    * token set in id2's). */
+    * token set in id2's).
+    *
+    * CONTRACT: `idCol` must be unique across the WHOLE input (including
+    * across `bucketCols`) — see [[tokenJaccardPairs]];
+    * `spark.graft.dedupIdGuard=true` enforces at runtime. */
   def tokenContainmentPairs(df: DataFrame, idCol: String, textCol: String,
                             threshold: Double,
                             bucketCols: Seq[String] = Nil,
@@ -696,7 +731,10 @@ object Dedup {
     * method limit at radius-16-class configs (153 combos) and silently
     * dropped the banding stage to interpreted eval; the native kernel's
     * generated code is a constant-size data loop. Key packing is
-    * bit-for-bit the old fold (asserted across configs in DedupTextSpec). */
+    * bit-for-bit the old fold (asserted across configs in DedupTextSpec).
+    * A null lane array — or any null lane ELEMENT a block references —
+    * yields a null key array (posexplode then emits no banding rows), so
+    * null-fingerprint docs can never be banded together. */
   def simHashBandsNative(lanes: Column, blocks: Seq[(Int, Int, Int)],
                          combos: Seq[Seq[Int]]): Column =
     ColumnBridge.column(graft.functions.expr.SimHashBands(

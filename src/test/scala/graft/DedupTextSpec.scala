@@ -223,6 +223,37 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHashBands: null lane array OR null lane element propagates null (never bands)") {
+    // A null lane element reading as 0 would silently band every
+    // null-fingerprint doc into the same buckets — the expression must
+    // return null instead (posexplode then emits no banding rows, the
+    // old column form's never-joining null-key behavior).
+    val blocks = Seq((0, 0, 32), (0, 32, 32), (1, 0, 64))
+    val combos = Seq(Seq(0, 1), Seq(1, 2))
+    val df = Seq(
+      (1L, Some(7L), Some(9L)),
+      (2L, None, Some(9L)),    // null element in a referenced lane
+      (3L, Some(7L), None)
+    ).toDF("id", "l0", "l1")
+    val out = df.select(col("id"),
+      Dedup.simHashBandsNative(array(col("l0"), col("l1")), blocks, combos)
+        .as("keys"))
+    assert(out.filter(col("keys").isNull).select("id")
+      .as[Long].collect().toSet === Set(2L, 3L))
+    // null ARRAY input too
+    val nullArr = df.select(Dedup.simHashBandsNative(
+      when(col("id") === 1L, array(col("l0"), col("l1"))), blocks, combos)
+      .as("keys"))
+    assert(nullArr.filter(col("keys").isNull).count() === 2L)
+    // interpreted eval agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    import org.apache.spark.sql.types.LongType
+    val expr = graft.functions.expr.SimHashBands(
+      CreateArray(Seq(Literal(null, LongType), Literal(1L, LongType))),
+      blocks, combos)
+    assert(expr.eval(null) === null)
+  }
+
   test("high-radius banding compiles under whole-stage codegen (no 64 KB fallback)") {
     // Pin the r10 defect structurally: with spark.sql.codegen.fallback=false
     // a janino CompileException (the 'Code grows beyond 64 KB' overflow)
@@ -780,6 +811,35 @@ class DedupTextSpec extends AnyFunSuite {
       bucketCols = Seq("b"))
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(prefB === fullB)
+  }
+
+  test("prefix-join id-uniqueness contract: duplicate ids fail loudly under the guard") {
+    // TestSpark sets spark.graft.dedupIdGuard=true: an id repeated across
+    // bucket rows (the case the r11 window widening half-guarded) must be
+    // an assertion error, not silently-dropped pairs / fanned-out verify
+    // rows.
+    val dup = Seq(
+      (1L, "alpha beta gamma delta", "en"),
+      (1L, "alpha beta gamma epsilon", "de"), // same id, different bucket
+      (2L, "alpha beta gamma delta", "en")
+    ).toDF("doc_id", "text", "lang")
+    val eJ = intercept[IllegalArgumentException] {
+      Dedup.tokenJaccardPairs(dup, "doc_id", "text", 0.5,
+        bucketCols = Seq("lang")).collect()
+    }
+    assert(eJ.getMessage.contains("must be unique"))
+    val eC = intercept[IllegalArgumentException] {
+      Dedup.tokenContainmentPairs(dup, "doc_id", "text", 0.5,
+        bucketCols = Seq("lang")).collect()
+    }
+    assert(eC.getMessage.contains("must be unique"))
+    // unique ids (with buckets) pass the guard and still produce output
+    val ok = Seq(
+      (1L, "alpha beta gamma delta", "en"),
+      (2L, "alpha beta gamma delta", "en")
+    ).toDF("doc_id", "text", "lang")
+    assert(Dedup.tokenJaccardPairs(ok, "doc_id", "text", 0.5,
+      bucketCols = Seq("lang")).count() === 1L)
   }
 
   test("prefix-filtered containment equals the full posting join (asymmetric prefix)") {

@@ -15,6 +15,10 @@ object TestSpark {
       // Pay globalRowNumber's runtime invariant check (max(rn)==count) in
       // every test — turns exchange-reuse regressions into hard failures.
       .config("spark.graft.rankGuard", "true")
+      // Enforce the prefix-join family's id-uniqueness contract in every
+      // test (Dedup.uniqueIdGuard) — duplicate ids fail loudly, not
+      // silently drop pairs.
+      .config("spark.graft.dedupIdGuard", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

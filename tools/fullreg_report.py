@@ -23,15 +23,18 @@ ISOLATE_THRESHOLD = 10.0
 
 def isolated_time(sfdir, query):
     """Time one query in a fresh JVM (single run, matching the sweep's
-    estimator). Returns seconds or None on failure."""
+    estimator). Returns seconds or None on failure. Reads the full-precision
+    target/bench_full.json the run writes, NOT the compact stdout line whose
+    values are rounded to 0.01s (sub-10ms queries would round to 0.00 and
+    be dropped by truthiness checks downstream)."""
     env = dict(os.environ, SPARK_GRAFT_BENCH_RUNS="1")
     try:
-        out = subprocess.run(
+        subprocess.run(
             ["tools/runjava.sh", "graft.Bench", sfdir, query],
             capture_output=True, text=True, env=env, cwd="/root/repo",
             timeout=7200)
-        last = out.stdout.strip().splitlines()[-1]
-        return json.loads(last)["queries"].get(query)
+        full = json.load(open("/root/repo/target/bench_full.json"))
+        return full["queries"].get(query)
     except Exception as e:  # dev tool: report, don't abort the sweep report
         print(f"  [isolate] {query} @ {sfdir} failed: {e}", file=sys.stderr)
         return None
@@ -76,14 +79,21 @@ def main():
         for n, _, _, _ in flagged:
             t1 = isolated_time(sf1_dir, n)
             t10 = isolated_time(sf10_dir, n)
-            if t1 and t10 and t1 > 0:
+            # `is not None`, not truthiness: a legitimate 0.0s isolated
+            # measurement must not silently vanish from the iso columns
+            if t1 is not None and t10 is not None and t1 > 0:
                 iso[n] = (t1, t10, t10 / t1)
+            elif t1 is not None and t10 is not None:
+                iso[n] = (t1, t10, float("inf"))
 
     hdr = f"{'query':34s} {'sf1':>8s} {'sf10':>9s} {'ratio':>7s}"
     if isolate:
         hdr += f" {'iso_sf1':>8s} {'iso_sf10':>9s} {'iso_ratio':>9s}"
     print(hdr)
-    for n, t1, t10, r in rows[:30]:
+    # print the top 30 by ratio, plus EVERY row with an isolated re-measure
+    # (computing an isolated number and then not displaying it wastes a JVM)
+    shown = rows[:30] + [r for r in rows[30:] if r[0] in iso]
+    for n, t1, t10, r in shown:
         line = f"{n:34s} {t1:8.2f} {t10:9.2f} {r:6.1f}x"
         if n in iso:
             i1, i10, ir = iso[n]
