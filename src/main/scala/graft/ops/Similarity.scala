@@ -23,9 +23,18 @@ import graft.functions.Vectors._
 object Similarity {
 
   /** Last cosine-floor warning emitted by [[lshTopK]] (None when the most
-    * recent call had no floor). Test hook: lets a spec assert the warning
-    * FIRES without scraping logs; also a debugging breadcrumb. */
+    * recent call had no floor). TEST hook — lets a spec assert the warning
+    * FIRES without scraping logs; also a debugging breadcrumb. Shared
+    * process state: meaningful only for sequential callers (the suites
+    * run sequentially in one JVM); concurrent production callers should
+    * treat it as advisory, the stderr line is the durable signal. */
   @volatile private[graft] var lastLshFloorWarning: Option[String] = None
+
+  /** maxDistance values whose floor warning already went to stderr — the
+    * warning prints once per distinct config per JVM, not once per call
+    * (repeat calls with an already-validated config shouldn't spam). */
+  private val printedFloorConfigs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Double]()
 
   /** R3: exact top-k neighbors for every query vector.
     * `queries`/`items`: (idCol, vecCol) frames. Output:
@@ -120,16 +129,25 @@ object Similarity {
     * row id, not the row's columns — hashing/shipping an 8-byte key per
     * scored pair instead of the full embedding array (~8x fewer key bytes
     * for 128-dim vectors). The id never escapes this function and the
-    * result doesn't depend on its values. */
+    * result doesn't depend on its values.
+    *
+    * `probe` > 1 (multi-probe) keeps the `probe` NEAREST centroids — one
+    * output row per (input row, probed centroid), with `centroid_rank`
+    * (1 = nearest) added so callers can recover the single-assignment
+    * view (`centroid_rank === 1`). probe = 1 keeps the original
+    * input-plus-`centroid_id` schema exactly. */
   def assignClusters(df: DataFrame, vecCol: String,
-                     centroids: DataFrame): DataFrame = {
+                     centroids: DataFrame, probe: Int = 1): DataFrame = {
+    require(probe >= 1, s"assignClusters: probe=$probe")
     val withId = df.withColumn("__row", monotonically_increasing_id())
     val scored = withId.crossJoin(broadcast(centroids))
       .withColumn("__d", l2Distance(col(vecCol), col("centroid_vec")))
     val w = Window.partitionBy(col("__row"))
       .orderBy(col("__d"), col("centroid_id"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    val ranked = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= probe)
+    (if (probe == 1) ranked
+     else ranked.withColumn("centroid_rank", col("__rn")))
       .drop("__rn", "__d", "centroid_vec", "__row")
   }
 
@@ -144,11 +162,16 @@ object Similarity {
     * the saved work for assignments closer to flat's (a row whose true
     * fine centroid hides in the SECOND-nearest coarse cell is the one
     * divergence mode vs [[assignClusters]]). Same output contract as
-    * [[assignClusters]]: input plus `centroid_id`. */
+    * [[assignClusters]]: input plus `centroid_id`; `fineProbe` > 1 keeps
+    * the `fineProbe` nearest fine centroids within the probed coarse
+    * cells and adds `centroid_rank` (the [[assignClusters]] multi-probe
+    * contract). */
   def assignClustersTwoLevel(df: DataFrame, vecCol: String,
                              centroids: DataFrame, nlist: Int,
                              coarseProbe: Int = 2,
-                             seed: Long = 42): DataFrame = {
+                             seed: Long = 42,
+                             fineProbe: Int = 1): DataFrame = {
+    require(fineProbe >= 1, s"assignClustersTwoLevel: fineProbe=$fineProbe")
     val nCoarse = math.max(1, math.round(math.sqrt(nlist.toDouble)).toInt)
     val coarse = pickCentroids(centroids, "centroid_id", "centroid_vec",
         nCoarse, seed)
@@ -184,9 +207,14 @@ object Similarity {
       .withColumn("__d", l2Distance(col(vecCol), col("__fine_vec")))
     val w = Window.partitionBy(col("__row"))
       .orderBy(col("__d"), col("__fine_id"))
-    scoredFine.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // no (row, fine-centroid) duplicates possible: fineByCell maps each
+    // fine centroid to exactly ONE coarse cell, so the rank is global
+    // over the row's reachable fine candidates
+    val ranked = scoredFine.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= fineProbe)
       .withColumn("centroid_id", col("__fine_id"))
+    (if (fineProbe == 1) ranked
+     else ranked.withColumn("centroid_rank", col("__rn")))
       .drop("__rn", "__d", "__fine_id", "__fine_vec", "__coarse_id", "__row")
   }
 
@@ -298,7 +326,8 @@ object Similarity {
         "sample) before trusting this config on a new corpus; " +
         "maxDistance=2.0 disables the floor."
       lastLshFloorWarning = Some(msg)
-      System.err.println(s"[graft][warn] $msg")
+      if (printedFloorConfigs.add(maxDistance))
+        System.err.println(s"[graft][warn] $msg")
     } else lastLshFloorWarning = None
     def prep(df: DataFrame, idC: String, outId: String) =
       normalized(df.select(col(idC).as(outId), col(vecCol).as("__v")),
@@ -393,27 +422,64 @@ object Similarity {
     * lossless — hash-seeded clustering can split an ε-close pair when
     * both members are picked as centroids or their cluster gets no
     * centroid — which is why this is the scale path while the
-    * SimHash/MinHash families remain the exactness references. */
+    * SimHash/MinHash families remain the exactness references.
+    *
+    * `multiProbe` > 1 is the recall knob for exactly those split modes:
+    * each row ALSO probes its 2nd..p-th nearest clusters, and a pair is
+    * a candidate when either member's probe set contains the other's
+    * ASSIGNED cluster (probe ⋈ assign — candidate volume grows ~p×, not
+    * p²). A boundary-split ε-pair's second-nearest centroid is almost
+    * always its partner's nearest, so p = 2 recovers most splits
+    * (measured on the planted geometric corpus — d_semantic_recall_geo).
+    * The p = 1 pair set is a subset of every p > 1 set by construction. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, nlist: Int = 64,
                         seed: Long = 42,
-                        twoLevelNlistAbove: Int = 1000): DataFrame = {
+                        twoLevelNlistAbove: Int = 1000,
+                        multiProbe: Int = 1): DataFrame = {
+    require(multiProbe >= 1, s"embeddingNearDups: multiProbe=$multiProbe")
     val centroids = pickCentroids(df, idCol, vecCol, nlist, seed)
     val ided = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val flat =
       if (nlist > twoLevelNlistAbove)
-        assignClustersTwoLevel(ided, "__v", centroids, nlist, seed = seed)
-      else assignClusters(ided, "__v", centroids)
-    val assigned = normalized(flat, "__v", "__nv").drop("__v")
-    val a = assigned.select(col("__id").as("id1"), col("__nv").as("v1"),
-      col("centroid_id"))
-    val b = assigned.select(col("__id").as("id2"), col("__nv").as("v2"),
-      col("centroid_id"))
-    a.join(b, Seq("centroid_id"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("cosine", vecDotNative(col("v1"), col("v2")))
-      .filter(col("cosine") >= threshold)
-      .select("id1", "id2", "cosine")
+        assignClustersTwoLevel(ided, "__v", centroids, nlist, seed = seed,
+          fineProbe = multiProbe)
+      else assignClusters(ided, "__v", centroids, probe = multiProbe)
+    if (multiProbe == 1) {
+      val assigned = normalized(flat, "__v", "__nv").drop("__v")
+      val a = assigned.select(col("__id").as("id1"), col("__nv").as("v1"),
+        col("centroid_id"))
+      val b = assigned.select(col("__id").as("id2"), col("__nv").as("v2"),
+        col("centroid_id"))
+      a.join(b, Seq("centroid_id"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("cosine", vecDotNative(col("v1"), col("v2")))
+        .filter(col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    } else {
+      // probe ⋈ assign: one assignment pass produced both views (rank 1 =
+      // the assignment). Candidates are id pairs; vectors re-joined after
+      // the distinct so the p-way fanout never carries arrays.
+      val probed = flat.select(col("__id"), col("centroid_id"),
+        col("centroid_rank"))
+      val assignedIds = probed.filter(col("centroid_rank") === 1)
+        .select(col("__id").as("__ida"), col("centroid_id"))
+      val cand = probed.select(col("__id").as("__idp"), col("centroid_id"))
+        .join(assignedIds, Seq("centroid_id"))
+        .filter(col("__idp") =!= col("__ida"))
+        .select(least(col("__idp"), col("__ida")).as("id1"),
+          greatest(col("__idp"), col("__ida")).as("id2"))
+        .distinct()
+      val vecs = normalized(ided, "__v", "__nv").drop("__v")
+      cand
+        .join(vecs.select(col("__id").as("id1"), col("__nv").as("v1")),
+          Seq("id1"))
+        .join(vecs.select(col("__id").as("id2"), col("__nv").as("v2")),
+          Seq("id2"))
+        .withColumn("cosine", vecDotNative(col("v1"), col("v2")))
+        .filter(col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    }
   }
 
   /** Semantic dedup, resolved — the SemDeDup recipe (Abbas et al. 2023):
@@ -431,7 +497,25 @@ object Similarity {
     * cross-cluster recall loss, bounded the same way embeddingNearDups'
     * is). Cosines are rounded to 6 decimals BEFORE thresholding so the
     * keep/drop boundary is reproducible across engines and reassociation
-    * orders. */
+    * orders.
+    *
+    * DECISION RULE for the blocking key at scale:
+    *  1. A trusted semantic partition column exists (language, source,
+    *     shard with no cross-shard dups) → use it directly.
+    *  2. Otherwise block on kmeans clusters ([[assignClusters]] /
+    *     [[assignClustersTwoLevel]]), nlist ∝ n (n/1000) so bucket size
+    *     stays constant. Cluster blocking is only sound when near-dups
+    *     are GEOMETRICALLY tight (cosine ≫ the background spectrum):
+    *     on the planted geometric corpus it measures ≥0.9 pair recall
+    *     (`d_semantic_recall_geo`), while against a NON-geometric
+    *     labeling it measures ~0.35 (`d_semantic_recall` on the driver
+    *     testdata, whose labels don't correlate with geometry) — the
+    *     two numbers bracket what the approximation does and doesn't
+    *     promise.
+    *  3. Validate on YOUR corpus with [[semanticBlockingRecall]] on a
+    *     sample before trusting a config; if recall falls short of
+    *     target, raise `multiProbe` to 2 (recovers boundary/centroid
+    *     splits at ~2x candidate volume) before raising nlist density. */
   def semanticDedupResolve(df: DataFrame, idCol: String, vecCol: String,
                            bucketCol: String,
                            threshold: Double): DataFrame = {
@@ -452,6 +536,39 @@ object Similarity {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Deterministic planted GEOMETRIC near-dup corpus — the evidence
+    * fixture for the cluster-blocking scale path: every input vector
+    * spawns `copies` variants (copy 0 = the original; copies 1.. get
+    * per-lane jitter `eps`·u, u ∈ [−1, 1) hash-derived from
+    * (group, copy, lane) — no RNG, same rows every run). Each group is
+    * an ε-ball: for unit-norm d-dim inputs, within-group cosine ≈
+    * 1 − d·eps²/3, far above the random-pair background (σ ≈ 1/√d), so
+    * `geo_group` is a GEOMETRIC ground-truth blocking — what
+    * [[semanticBlockingRecall]]'s refBucketCol needs to measure cluster
+    * blocking on the regime SemDeDup actually targets (near-dups that
+    * are tight in embedding space). Requires a numeric id; output ids
+    * are `id·copies + copy` (disjoint across groups). Returns
+    * (vec_id, geo_group, vec). */
+  def plantedGeometricCorpus(df: DataFrame, idCol: String, vecCol: String,
+                             copies: Int = 3,
+                             eps: Double = 0.02): DataFrame = {
+    require(copies >= 2 && eps > 0,
+      s"plantedGeometricCorpus: copies=$copies eps=$eps")
+    df.select(col(idCol).cast("long").as("geo_group"),
+        col(vecCol).as("__base"))
+      .select(col("geo_group"), col("__base"),
+        explode(sequence(lit(0), lit(copies - 1))).as("__c"))
+      .select(
+        (col("geo_group") * copies + col("__c")).as("vec_id"),
+        col("geo_group"),
+        when(col("__c") === 0, col("__base"))
+          .otherwise(transform(col("__base"), (x, i) =>
+            (x + lit(eps) *
+              (pmod(xxhash64(col("geo_group"), col("__c"), i),
+                lit(2000000L)).cast("double") / 1000000.0 - 1.0))
+              .cast("float"))).as("vec"))
+  }
+
   /** Measures the SemDeDup blocking approximation: pair recall of the
     * kmeans-cluster-blocked semantic pair set against the
     * `refBucketCol`-blocked reference pair set at the same cosine
@@ -465,7 +582,8 @@ object Similarity {
     * structural anchor. */
   def semanticBlockingRecall(df: DataFrame, idCol: String, vecCol: String,
                              refBucketCol: String, threshold: Double,
-                             nlist: Int, seed: Long = 42): DataFrame = {
+                             nlist: Int, seed: Long = 42,
+                             multiProbe: Int = 1): DataFrame = {
     val e = normalized(
       df.select(col(idCol), col(refBucketCol), col(vecCol)), vecCol, "__nv")
     val a = e.select(col(refBucketCol), col(idCol).as("id1"),
@@ -483,7 +601,7 @@ object Similarity {
     // whose unrounded cosine sits a hair under t while round(·,6) >= t).
     val clus = embeddingNearDups(df.select(col(idCol), col(vecCol)),
       idCol, vecCol, threshold = threshold - 1e-6, nlist = nlist,
-      seed = seed)
+      seed = seed, multiProbe = multiProbe)
       .filter(round(col("cosine"), 6) >= lit(threshold))
       .select(col("id1"), col("id2"))
     val found = ref.join(clus, Seq("id1", "id2"), "left_semi")

@@ -287,4 +287,63 @@ class VectorSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].head()
     assert(r0._1 === 0L && r0._4 === 1.0)
   }
+
+  test("geometric corpus: cluster blocking recall >= 0.9 with multiProbe=2 (SemDeDup scale evidence)") {
+    // The evidence the ~0.35 d_semantic_recall number is NOT a defect:
+    // on ε-tight geometric near-dup groups — the regime SemDeDup
+    // actually targets — kmeans-cluster blocking recovers the pairs.
+    val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val nGroups = e.count()
+    val geo = Similarity.plantedGeometricCorpus(e, "vec_id", "embedding",
+      copies = 3, eps = 0.02)
+    assert(geo.count() === nGroups * 3)
+    // fixture geometry sanity: EVERY within-group pair clears the 0.98
+    // threshold (unit-norm 64-d inputs + eps=0.02 ⇒ cosine ≈ 0.991), so
+    // n_ref_pairs is exactly 3 per group
+    val nlist = math.max(8L, nGroups * 3 / 100L).toInt
+    def recallAt(p: Int): (Long, Long, Long, Double) =
+      Similarity.semanticBlockingRecall(geo, "vec_id", "vec", "geo_group",
+        threshold = 0.98, nlist = nlist, multiProbe = p)
+        .as[(Long, Long, Long, Double)].head()
+    val (nRef, _, _, rec2) = recallAt(2)
+    assert(nRef === nGroups * 3,
+      s"fixture broke: want ${nGroups * 3} within-group pairs, got $nRef")
+    assert(rec2 >= 0.9, s"geometric-corpus recall $rec2 < 0.9 at multiProbe=2")
+    // multi-probe can only add candidates: recall(p=2) >= recall(p=1)
+    val (_, _, _, rec1) = recallAt(1)
+    assert(rec2 >= rec1, s"multiProbe=2 recall $rec2 < multiProbe=1 $rec1")
+  }
+
+  test("embeddingNearDups multiProbe=1 pair set is a subset of multiProbe=2") {
+    val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    def pairs(p: Int) = Similarity.embeddingNearDups(e, "vec_id",
+        "embedding", threshold = 0.2, nlist = 8, multiProbe = p)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val p1 = pairs(1)
+    val p2 = pairs(2)
+    assert(p1.nonEmpty, "fixture: no pairs at threshold 0.2")
+    assert(p1.subsetOf(p2),
+      s"single-probe pairs missing from multi-probe: ${p1 -- p2}")
+  }
+
+  test("assignClusters probe contract: probe=1 schema unchanged; probe=p ranks p nearest") {
+    val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val centroids = Similarity.pickCentroids(e, "vec_id", "embedding", 8, 42)
+    val one = Similarity.assignClusters(e, "embedding", centroids)
+    assert(one.columns.toSeq === Seq("vec_id", "embedding", "centroid_id"))
+    val two = Similarity.assignClusters(e, "embedding", centroids, probe = 2)
+    assert(two.columns.contains("centroid_rank"))
+    val n = e.count()
+    assert(two.count() === n * 2)
+    // rank-1 rows ARE the single assignment
+    val a1 = one.select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Long)].collect().toSet
+    val a2 = two.filter(col("centroid_rank") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(a1 === a2)
+  }
 }
