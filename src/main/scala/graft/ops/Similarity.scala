@@ -3,7 +3,9 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
 import graft.functions.Vectors._
+import graft.functions.expr.NearestKernel
 
 /** Similarity search over embedding columns (SURVEY §2.9 R2–R4, R9;
   * builder-brief ANN component).
@@ -124,12 +126,58 @@ object Similarity {
     c
   }
 
-  /** Assign each row to its nearest centroid (broadcast cross-score +
-    * argmin). Adds `centroid_id`. The argmin window keys on a synthetic
-    * row id, not the row's columns — hashing/shipping an 8-byte key per
-    * scored pair instead of the full embedding array (~8x fewer key bytes
-    * for 128-dim vectors). The id never escapes this function and the
-    * result doesn't depend on its values.
+  /** Driver-collect a centroid table for the native assignment kernels.
+    * BOUNDED collect: the frame is nlist rows (config-sized — the same
+    * argument that justified `broadcast(centroids)` in the old join form,
+    * and the same contract as the numBuckets-bounded store-pruning
+    * collects). Sorted by id so the reference arrays are deterministic
+    * regardless of collect order. */
+  private def collectCentroids(
+      centroids: DataFrame): (Array[Long], Array[Array[Double]]) = {
+    val rows = centroids
+      .select(col("centroid_id").cast("long"), col("centroid_vec"))
+      .collect().sortBy(_.getLong(0))
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Any](1).map {
+      case f: java.lang.Float => f.toDouble
+      case n: Number => n.doubleValue()
+    }.toArray)
+    (ids, vecs)
+  }
+
+  private def idTypeOf(centroids: DataFrame) =
+    centroids.schema("centroid_id").dataType
+
+  /** Shared projection tail for the native assignment forms: probe = 1
+    * appends `centroid_id` (the [[assignClusters]] contract); probe > 1
+    * posexplodes into one row per probed centroid with `centroid_rank`
+    * (1 = nearest). */
+  private def probeTail(df: DataFrame, nearest: Column,
+                        idType: org.apache.spark.sql.types.DataType,
+                        probe: Int): DataFrame =
+    if (probe == 1)
+      df.withColumn("centroid_id", element_at(nearest, 1).cast(idType))
+    else
+      df.select(col("*"), posexplode(nearest).as(Seq("__p", "__cid")))
+        .withColumn("centroid_id", col("__cid").cast(idType))
+        .withColumn("centroid_rank", (col("__p") + 1).cast("int"))
+        .drop("__p", "__cid")
+
+  /** Assign each row to its nearest centroid. Adds `centroid_id`.
+    *
+    * Implementation (r12): a native codegen'd expression
+    * ([[graft.functions.expr.NearestCentroids]]) over the
+    * driver-collected centroid table — assignment is a pure PROJECTION:
+    * no join, no shuffle, no n·nlist intermediate rows. The previous
+    * `crossJoin(broadcast(centroids))` + window-argmin form materialized
+    * and sorted n·nlist array-bearing rows map-side, which at a
+    * 1 M-item × nlist=1000 catalog is ~10⁹ rows — the measured wall in
+    * `c5_serving_ivf`'s first build. Ordering contract is unchanged
+    * (distance = the `l2Distance` double fold incl. the sqrt, ties by
+    * centroid id, NaN last — differentially pinned against the window
+    * form in VectorSpec). Divergence: rows with a NULL vector (or null
+    * lane) now get a null `centroid_id` instead of an arbitrary
+    * deterministic one; no graft call site feeds nulls.
     *
     * `probe` > 1 (multi-probe) keeps the `probe` NEAREST centroids — one
     * output row per (input row, probed centroid), with `centroid_rank`
@@ -139,16 +187,11 @@ object Similarity {
   def assignClusters(df: DataFrame, vecCol: String,
                      centroids: DataFrame, probe: Int = 1): DataFrame = {
     require(probe >= 1, s"assignClusters: probe=$probe")
-    val withId = df.withColumn("__row", monotonically_increasing_id())
-    val scored = withId.crossJoin(broadcast(centroids))
-      .withColumn("__d", l2Distance(col(vecCol), col("centroid_vec")))
-    val w = Window.partitionBy(col("__row"))
-      .orderBy(col("__d"), col("centroid_id"))
-    val ranked = scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= probe)
-    (if (probe == 1) ranked
-     else ranked.withColumn("centroid_rank", col("__rn")))
-      .drop("__rn", "__d", "centroid_vec", "__row")
+    val (ids, vecs) = collectCentroids(centroids)
+    val nearest = ColumnBridge.column(
+      graft.functions.expr.NearestCentroids(
+        ColumnBridge.expression(col(vecCol)), ids, vecs, probe))
+    probeTail(df, nearest, idTypeOf(centroids), probe)
   }
 
   /** Two-level (coarse → fine) centroid assignment — the IVF escalation
@@ -174,65 +217,59 @@ object Similarity {
     require(fineProbe >= 1, s"assignClustersTwoLevel: fineProbe=$fineProbe")
     val nCoarse = math.max(1, math.round(math.sqrt(nlist.toDouble)).toInt)
     val coarse = pickCentroids(centroids, "centroid_id", "centroid_vec",
-        nCoarse, seed)
-      .select(col("centroid_id").as("__coarse_id"),
-        col("centroid_vec").as("__coarse_vec"))
-    // fine → coarse cell map (centroids-sized: nlist·√nlist scores)
-    val fineByCell = {
-      val scored = centroids
-        .select(col("centroid_id").as("__fine_id"),
-          col("centroid_vec").as("__fine_vec"))
-        .crossJoin(broadcast(coarse))
-        .withColumn("__d", l2Distance(col("__fine_vec"), col("__coarse_vec")))
-      val w = Window.partitionBy(col("__fine_id"))
-        .orderBy(col("__d"), col("__coarse_id"))
-      scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("__coarse_id"), col("__fine_id"), col("__fine_vec"))
-    }
-    // rows → coarseProbe nearest coarse cells (Θ(n·√nlist))
-    val withId = df.withColumn("__row", monotonically_increasing_id())
-    val rowCells = {
-      val scored = withId.crossJoin(broadcast(coarse))
-        .withColumn("__d", l2Distance(col(vecCol), col("__coarse_vec")))
-      val w = Window.partitionBy(col("__row"))
-        .orderBy(col("__d"), col("__coarse_id"))
-      scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= coarseProbe)
-        .drop("__rn", "__d", "__coarse_vec")
-    }
-    // rows → nearest fine centroid within the probed cells (Θ(n·p·√nlist))
-    val scoredFine = rowCells
-      .join(broadcast(fineByCell), Seq("__coarse_id"))
-      .withColumn("__d", l2Distance(col(vecCol), col("__fine_vec")))
-    val w = Window.partitionBy(col("__row"))
-      .orderBy(col("__d"), col("__fine_id"))
-    // no (row, fine-centroid) duplicates possible: fineByCell maps each
-    // fine centroid to exactly ONE coarse cell, so the rank is global
-    // over the row's reachable fine candidates
-    val ranked = scoredFine.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= fineProbe)
-      .withColumn("centroid_id", col("__fine_id"))
-    (if (fineProbe == 1) ranked
-     else ranked.withColumn("centroid_rank", col("__rn")))
-      .drop("__rn", "__d", "__fine_id", "__fine_vec", "__coarse_id", "__row")
+      nCoarse, seed)
+    // Native two-stage projection (r12 — same rewrite as assignClusters):
+    // the fine→coarse cell map is built ON THE DRIVER over the two
+    // collected (config-bounded) centroid tables — nlist·√nlist·d flops,
+    // trivially driver-sized — with the same (sqrt-dist, id) ordering
+    // kernel the expressions use. Each row then evaluates two chained
+    // native expressions: coarse cells (√nlist scored) → top-fineProbe
+    // fine within those cells (~coarseProbe·√nlist scored). No joins, no
+    // windows, no materialized candidate rows.
+    val (cIds, cVecs) = collectCentroids(coarse)
+    val (fIds, fVecs) = collectCentroids(centroids)
+    val byCell = fIds.indices.groupBy(i =>
+      NearestKernel.nearestId(fVecs(i), cIds, cVecs))
+    val cellKeys = byCell.keys.toArray.sorted
+    val gIds = cellKeys.map(k => byCell(k).map(fIds).toArray)
+    val gVecs = cellKeys.map(k => byCell(k).map(fVecs).toArray)
+    val cellsExpr = graft.functions.expr.NearestCentroids(
+      ColumnBridge.expression(col(vecCol)), cIds, cVecs, coarseProbe)
+    val nearest = ColumnBridge.column(
+      graft.functions.expr.NearestCentroidsInCells(
+        ColumnBridge.expression(col(vecCol)), cellsExpr,
+        cellKeys, gIds, gVecs, fineProbe))
+    probeTail(df, nearest, idTypeOf(centroids), fineProbe)
   }
 
   /** R4: IVF-style approximate top-k — probe only the query's `nprobe`
     * nearest clusters. Recall < 1 by construction; invariants (vs exact)
-    * are asserted in tests rather than a SQL oracle. */
+    * are asserted in tests rather than a SQL oracle.
+    *
+    * Large catalogs: once `nlist` crosses `twoLevelNlistAbove` (the
+    * n/1000 sizing rule puts a 1 M-item catalog at nlist=1000+), item
+    * assignment escalates to [[assignClustersTwoLevel]] — flat
+    * assignment's Θ(n·nlist) scoring term is the wall at that size. The
+    * QUERY side stays flat (Θ(q·nlist), q = request batch, always
+    * small). The serving flagship `c5_serving_ivf` gates this path with
+    * an in-query recall-vs-exact measurement on a ≥1 M-item catalog. */
   def clusterPrunedTopK(queries: DataFrame, items: DataFrame, queryId: String,
                         itemId: String, vecCol: String, k: Int,
                         nlist: Int = 64, nprobe: Int = 8,
                         seed: Long = 42, refineIters: Int = 0,
-                        excludeSelf: Boolean = false): DataFrame = {
+                        excludeSelf: Boolean = false,
+                        twoLevelNlistAbove: Int = 1000): DataFrame = {
     val seeds = pickCentroids(items, itemId, vecCol, nlist, seed)
     val centroids =
       if (refineIters > 0) refineCentroids(items, vecCol, seeds, refineIters)
       else seeds
-    val itemsC = assignClusters(
-      items.select(col(itemId).as("item_id"), col(vecCol).as("__iv")),
-      "__iv", centroids)
+    val itemsIded =
+      items.select(col(itemId).as("item_id"), col(vecCol).as("__iv"))
+    val itemsC =
+      if (nlist > twoLevelNlistAbove)
+        assignClustersTwoLevel(itemsIded, "__iv", centroids, nlist,
+          seed = seed)
+      else assignClusters(itemsIded, "__iv", centroids)
     // each query probes its nprobe nearest centroids
     val qProbe = {
       val scored = queries

@@ -328,6 +328,36 @@ class VectorSpec extends AnyFunSuite {
       s"single-probe pairs missing from multi-probe: ${p1 -- p2}")
   }
 
+  test("native nearest-centroid assignment equals the window-argmin reference") {
+    // Differential pin for the r12 native-kernel rewrite: the
+    // NearestCentroids expression must reproduce the old
+    // crossJoin(broadcast) + row_number-over-(l2dist, id) assignment
+    // exactly — same distance fold (incl. sqrt), same tie-break — at
+    // every probe depth.
+    import org.apache.spark.sql.expressions.Window
+    val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val centroids = Similarity.pickCentroids(e, "vec_id", "embedding", 8, 42)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__d"), col("centroid_id"))
+    val scored = e.crossJoin(broadcast(centroids))
+      .withColumn("__d", V.l2Distance(col("embedding"), col("centroid_vec")))
+      .withColumn("__rn", row_number().over(w))
+    for (p <- Seq(1, 3)) {
+      val ref = scored.filter(col("__rn") <= p)
+        .select(col("vec_id"), col("centroid_id").cast("long"),
+          col("__rn")).as[(Long, Long, Int)].collect().toSet
+      val native =
+        (if (p == 1)
+           Similarity.assignClusters(e, "embedding", centroids)
+             .withColumn("centroid_rank", lit(1))
+         else Similarity.assignClusters(e, "embedding", centroids, probe = p))
+          .select(col("vec_id"), col("centroid_id").cast("long"),
+            col("centroid_rank")).as[(Long, Long, Int)].collect().toSet
+      assert(native === ref, s"probe=$p: native != window reference")
+    }
+  }
+
   test("assignClusters probe contract: probe=1 schema unchanged; probe=p ranks p nearest") {
     val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), col("embedding"))
