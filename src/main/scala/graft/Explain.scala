@@ -23,7 +23,9 @@ object Explain {
     "r13_int8_recall" ->
       "same bruteForceTopK small-catalog contract (int8 recall self-check needs the exact baseline)",
     "c_recommend_request" ->
-      "same bruteForceTopK small-catalog contract (serving template; swap in clusterPrunedTopK at large catalogs)",
+      "same bruteForceTopK small-catalog contract (serving template; c5_serving_ivf IS that swap, measured at a 1M-item catalog)",
+    "c5_serving_ivf" ->
+      "exact-recall baseline streams the catalog once against the BROADCAST request batch (vec_id<32 — request-sized by construction); retrieval itself is the centroid_id equi-join, plan-REQUIREd in-query",
     "ann_cluster_recall" ->
       "centroid frame is nlist(=64)-bounded by construction; localCheckpoint in refineCentroids truncates the provable lineage",
     "ann_mllib_lsh_recall" ->

@@ -240,7 +240,17 @@ object StreamingJobs {
   private def stageAndSwapBuckets(spark: SparkSession, merged: DataFrame,
                                   storePath: String): Unit = {
     val stage = storePath + ".stage"
-    merged.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
+    // repartition by __bucket so each touched bucket is written as ONE
+    // file: without it, every writer task holding rows of a bucket opens
+    // its own file, and since the merge shuffle's AQE-coalesced task
+    // count grows with store size, file count crept toward
+    // numBuckets x tasks (IncDedupLongRun measured 64 buckets -> 462
+    // files and 13-row parquet files inflating the store ~2x at
+    // numBuckets=1024). One extra exchange of the touched data — the
+    // same magnitude the merge shuffle already paid — buys a store whose
+    // file count is ≤ numBuckets FOREVER, with bucket-sized row groups.
+    merged.repartition(col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(stage)
     // Failure-injection point for the exactly-once proof (StreamingSpec):
     // "once" aborts the micro-batch AFTER the staging write but BEFORE the
     // store swap — the worst crash window (work done, store untouched,

@@ -714,6 +714,40 @@ class StreamingSpec extends AnyFunSuite {
       === Array("doc_id", "text"))
   }
 
+  test("incremental dedup long-run: store file count is bounded (swap replaces, never accumulates)") {
+    // The long-run contract the IncDedupLongRun harness measures at 100
+    // batches, pinned structurally at 12: the dynamic-partition swap
+    // REPLACES each touched bucket directory, so files-per-bucket never
+    // grows with batch count — the store needs no compaction pass. (The
+    // knob that governs REWRITE cost is numBuckets ∝ corpus; see the
+    // harness scaladoc.)
+    val base = Files.createTempDirectory("graft-incdedup-lr").toString
+    val store = base + "/store"
+    def parquetFiles(): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(new java.io.File(store))
+    }
+    def ingest(b: Long): Unit = graft.streaming.StreamingJobs
+      .incrementalDedupBatch(
+        (0 until 40).map(i => (b * 1000 + i, s"doc $i of batch $b"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", store, batchId = b, numBuckets = 4)
+    (0L until 4L).foreach(ingest)
+    val filesAt4 = parquetFiles()
+    (4L until 12L).foreach(ingest)
+    val filesAt12 = parquetFiles()
+    assert(filesAt4 > 0)
+    // every batch touches all 4 buckets (40 uniform keys), so if files
+    // accumulated the count would triple; bounded means it stays flat
+    assert(filesAt12 <= filesAt4,
+      s"store files grew across batches: $filesAt4 -> $filesAt12")
+    // and the store still holds every distinct doc
+    assert(graft.streaming.StreamingJobs.dedupedCorpus(spark, store)
+      .count() === 12L * 40L)
+  }
+
   test("incremental dedup: post-stage crash recovers exactly-once from checkpoint") {
     val base = Files.createTempDirectory("graft-incdedup-crash").toString
     val src = base + "/src"
