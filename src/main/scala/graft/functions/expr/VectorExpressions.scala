@@ -442,8 +442,13 @@ case class NearestCentroidsInCells(vec: Expression, cells: Expression,
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
+    // RAW HashMap, not HashMap<Long, Integer>: janino has no generics,
+    // so a parameterized local would make get() return Object and fail
+    // "assignment conversion not possible" — caught by the VectorSpec
+    // codegen.fallback=false pin (the default config was silently
+    // dropping this expression to interpreted eval).
     val idxRef = ctx.addReferenceObj("nicIdx", cellIndex,
-      "java.util.HashMap<java.lang.Long, Integer>")
+      "java.util.HashMap")
     val gIdsRef = ctx.addReferenceObj("nicIds", groupIds, "long[][]")
     val gVecsRef = ctx.addReferenceObj("nicVecs", groupVecs, "double[][][]")
     val get = elemType match {
@@ -472,7 +477,7 @@ case class NearestCentroidsInCells(vec: Expression, cells: Expression,
       val vecsL = ctx.freshName("vecsL")
       val anyNull = ctx.freshName("anyNull")
       s"""
-         |java.util.HashMap<java.lang.Long, Integer> $gi = $idxRef;
+         |java.util.HashMap $gi = $idxRef;
          |long[][] $gIds = $gIdsRef;
          |double[][][] $gVecs = $gVecsRef;
          |int $n = $arr.numElements();
@@ -488,7 +493,8 @@ case class NearestCentroidsInCells(vec: Expression, cells: Expression,
          |  int $kept = 0;
          |  for (int $ci = 0; $ci < $cellsArr.numElements(); $ci++) {
          |    if ($cellsArr.isNullAt($ci)) continue;
-         |    Integer $c = $gi.get($cellsArr.getLong($ci));
+         |    Integer $c =
+         |      (Integer) $gi.get(java.lang.Long.valueOf($cellsArr.getLong($ci)));
          |    if ($c == null) continue;
          |    long[] $idsL = $gIds[$c.intValue()];
          |    double[][] $vecsL = $gVecs[$c.intValue()];

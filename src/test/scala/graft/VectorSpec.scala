@@ -358,6 +358,46 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("two-level assignment with full coarse probe equals flat assignment exactly") {
+    // Exactness anchor for NearestCentroidsInCells: when coarseProbe
+    // covers EVERY coarse cell, the fine stage sees the full centroid
+    // table, so two-level must reproduce flat assignment bit-for-bit
+    // (same distances, same tie-breaks) at every fineProbe depth.
+    val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val nlist = 9 // nCoarse = 3
+    val centroids = Similarity.pickCentroids(e, "vec_id", "embedding",
+      nlist, 42)
+    for (p <- Seq(1, 2)) {
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+        (if (p == 1) df.withColumn("centroid_rank", lit(1)) else df)
+          .select(col("vec_id"), col("centroid_id").cast("long"),
+            col("centroid_rank")).as[(Long, Long, Int)].collect().toSet
+      val flat = rows(Similarity.assignClusters(e, "embedding", centroids,
+        probe = p))
+      val two = rows(Similarity.assignClustersTwoLevel(e, "embedding",
+        centroids, nlist, coarseProbe = 3, fineProbe = p))
+      assert(two === flat, s"fineProbe=$p: two-level(full probe) != flat")
+    }
+  }
+
+  test("nearest-centroid kernels compile under whole-stage codegen (no fallback)") {
+    // The SimHashBands-style compile pin: with codegen.fallback=false a
+    // janino failure ABORTS instead of silently dropping the assignment
+    // kernels to interpreted eval.
+    val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val centroids = Similarity.pickCentroids(e, "vec_id", "embedding", 8, 42)
+    val prior = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      assert(Similarity.assignClusters(e, "embedding", centroids,
+        probe = 2).count() > 0)
+      assert(Similarity.assignClustersTwoLevel(e, "embedding", centroids,
+        nlist = 8, fineProbe = 2).count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prior)
+  }
+
   test("assignClusters probe contract: probe=1 schema unchanged; probe=p ranks p nearest") {
     val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), col("embedding"))
