@@ -282,7 +282,14 @@ object Similarity {
         .filter(col("__rn") <= nprobe)
         .select(col("query_id"), col("__qv"), col("centroid_id"))
     }
-    val pairs = normalized(qProbe, "__qv", "__qn").drop("__qv")
+    // The probe side is EXPLICITLY the broadcast build: the catalog's
+    // static size estimate is explode-derived and survives the caller's
+    // checkpoint, so at a 1M+-item catalog the planner otherwise picks
+    // the ITEM side to broadcast — measured: a silent ~500 MB broadcast
+    // at 1M items and a maxResultSize abort at 10M. The probe frame is
+    // requests x nprobe rows (request-batch-sized by construction), the
+    // right build side at ANY catalog scale.
+    val pairs = broadcast(normalized(qProbe, "__qv", "__qn").drop("__qv"))
       .join(normalized(itemsC, "__iv", "__in").drop("__iv"),
         Seq("centroid_id"))
     val scored0 = pairs.withColumn("score", vecDotNative(col("__qn"), col("__in")))
