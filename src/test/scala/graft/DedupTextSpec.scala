@@ -813,6 +813,30 @@ class DedupTextSpec extends AnyFunSuite {
     assert(prefB === fullB)
   }
 
+  test("prefixJoinStats: counts are consistent with the join it observes") {
+    val df = Seq(
+      (1L, "hot alpha beta gamma delta epsilon"),
+      (2L, "hot alpha beta gamma delta zeta"),
+      (3L, "hot mu nu xi omicron pi rho"),
+      (4L, "hot mu nu xi omicron pi rho"),
+      (5L, "hot unrelated words entirely here now")
+    ).toDF("doc_id", "text")
+    val r = Dedup.prefixJoinStats(df, "doc_id", "text", 0.7).head()
+    val nDocs = r.getLong(0)
+    val prefixRows = r.getLong(1)
+    val candidates = r.getLong(2)
+    val outputs = r.getLong(3)
+    assert(nDocs === 5L)
+    // prefix postings are a strict subset of total postings (6 tokens/doc)
+    assert(prefixRows > 0 && prefixRows < 30L)
+    // lossless filter: candidates are a superset of the true pair set
+    val truePairs = Dedup.tokenJaccardPairs(df, "doc_id", "text", 0.7).count()
+    assert(outputs === truePairs)
+    assert(candidates >= outputs)
+    assert(r.getDouble(4) === (candidates.toDouble / math.max(outputs, 1L)
+      * 100).round / 100.0)
+  }
+
   test("prefix-join id-uniqueness contract: duplicate ids fail loudly under the guard") {
     // TestSpark sets spark.graft.dedupIdGuard=true: an id repeated across
     // bucket rows (the case the r11 window widening half-guarded) must be
