@@ -1012,6 +1012,32 @@ object QueriesLlm {
     //     tokens (8-token overlap), one row per (doc, chunk) with the
     //     md5 the embedding/indexing stage would key on. Pure per-row
     //     explode — no shuffle. ---
+    // --- Repeated-passage REMOVAL (C4's repeated-line drop / Lee et al.
+    //     2022 at passage granularity) — the rewrite stage d_span_dups is
+    //     the observability for: non-overlapping 16-token passages,
+    //     first-occurrence-wins election on the passage content, documents
+    //     reassembled from their surviving passages in order. The oracle
+    //     reproduces the election as a row_number window over the same
+    //     (doc_id, passage_idx) order; clean_text string equality is the
+    //     strongest check the gate offers (byte-for-byte reassembly). ---
+    ("d_passage_dedup", (s, d) =>
+      TextAnalysis.dedupPassages(SparkEntry.T(s, d, "documents"),
+        "doc_id", "text", size = 16)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckTokens AS ts FROM documents),
+              |seg AS (SELECT doc_id, unnest(list_transform(
+              |  range(0, greatest(CAST(ceil((len(ts)-16)/16.0) AS BIGINT),0)+1),
+              |  i -> struct_pack(idx := i,
+              |    p := array_to_string(ts[i*16+1 : i*16+16], ' ')))) AS s FROM t),
+              |k AS (SELECT doc_id, s.idx AS passage_idx, s.p AS passage,
+              |  row_number() OVER (PARTITION BY s.p
+              |    ORDER BY doc_id, s.idx) = 1 AS keep FROM seg)
+              |SELECT doc_id, count(*) AS n_passages,
+              |count(*) FILTER (WHERE keep) AS n_kept,
+              |coalesce(string_agg(passage, ' ' ORDER BY passage_idx)
+              |  FILTER (WHERE keep), '') AS clean_text
+              |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     ("t_chunk_docs", (s, d) =>
       TextAnalysis.chunkDocs(SparkEntry.T(s, d, "documents"),
         "doc_id", "text", size = 32, stride = 24)

@@ -423,16 +423,54 @@ object TextAnalysis {
     * re-tokenizing both splits here. */
   def decontaminationReportFromTokens(test: DataFrame, train: DataFrame,
                                       idCol: String, tokensCol: String,
-                                      n: Int = 5): DataFrame = {
+                                      n: Int = 5): DataFrame =
+    decontaminationReportFromTokens(test, train, idCol, tokensCol, n,
+      broadcastBytesCap = 1L << 28)
+
+  /** [[decontaminationReportFromTokens]] with the broadcast-prefilter gate
+    * exposed. `broadcastBytesCap` bounds Catalyst's size estimate of the
+    * TEST token frame under which the zero-train-shuffle plan engages;
+    * `0` forces the shuffled-join form (the differential spec's handle —
+    * both paths must produce identical rows). */
+  private[graft] def decontaminationReportFromTokens(
+      test: DataFrame, train: DataFrame, idCol: String, tokensCol: String,
+      n: Int, broadcastBytesCap: Long): DataFrame = {
     def grams(df: DataFrame): DataFrame =
       df.select(col(idCol),
         explode(Dedup.wordShinglesFromTokens(col(tokensCol), n)).as("gram"))
     // Distinct gram set of the training corpus (dedup before the join:
     // the contaminated-count is per distinct test gram, and the train
     // side only needs membership).
-    val trainGrams = grams(train).select(col("gram")).distinct()
     val testGrams = grams(test).distinct()
-    val hits = testGrams.join(trainGrams, Seq("gram"), "left_semi")
+    // SCALE PLAN — the train side is the CORPUS: at 100 TB its gram set
+    // must never shuffle, and a plain semi-join here shuffles it in full
+    // (LeftSemi can only build on the right/train side, which is far too
+    // big to broadcast — so both sides exchange). The benchmark/test side
+    // is small by definition (GPT-3 appendix C: eval suites vs the whole
+    // training corpus), so membership resolves with the corpus side
+    // touched exactly once, map-side:
+    //   (1) train grams semi-joined against the BROADCAST distinct
+    //       xxhash64 set of test grams — 8 bytes per key, no train-side
+    //       exchange; a hash false positive only ADDS a survivor row;
+    //   (2) the distinct survivor STRINGS — at most |test grams| plus
+    //       those rare false positives — broadcast back and semi-joined
+    //       on the exact gram text, which removes any hash collision.
+    // Output is bit-identical to the shuffled form (the x12/c2 oracle
+    // hashes pin it); the gate below falls back to the shuffled join when
+    // the test side's own size estimate says it is NOT the small side.
+    val trainGrams = grams(train).select(col("gram"))
+    val hitGrams =
+      if (test.queryExecution.optimizedPlan.stats.sizeInBytes
+            <= broadcastBytesCap) {
+        val testKeys = testGrams
+          .select(xxhash64(col("gram")).as("__k")).distinct()
+        val survivors = trainGrams
+          .join(broadcast(testKeys),
+            xxhash64(col("gram")) === col("__k"), "left_semi")
+          .distinct()
+        testGrams.join(broadcast(survivors), Seq("gram"), "left_semi")
+      } else testGrams.join(trainGrams.distinct(), Seq("gram"), "left_semi")
+    val hits = hitGrams
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
     testGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
       .join(hits, Seq(idCol), "left")
@@ -477,6 +515,59 @@ object TextAnalysis {
       .select(col(idCol), col("n_spans"), col("n_dup_spans"),
         round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
           .as("dup_ratio"))
+  }
+
+  /** Repeated-passage REMOVAL — the rewrite stage [[spanDupStats]] is the
+    * observability for (C4's repeated-line drop / Lee et al. 2022
+    * substring dedup, at passage granularity): documents are segmented
+    * into non-overlapping `size`-token passages, every passage whose
+    * exact content already occurred EARLIER in the corpus — at a
+    * lexicographically smaller (id, passage_idx) — is dropped, and each
+    * document is reassembled from its surviving passages in order.
+    * Within-doc repeats collapse to their first occurrence too (the same
+    * rule, no special case). Emits (id, n_passages, n_kept, clean_text);
+    * a fully-duplicated document survives as an empty clean_text row so
+    * the caller decides the drop, exactly like the quality filter.
+    *
+    * Scale shape: one explode (linear in corpus tokens) → first-occurrence
+    * election as ONE map-combined min-struct aggregation keyed on the
+    * passage's md5 (16 bytes on the shuffle, never the text — the
+    * [[spanDupStats]] argument) → hash-join the election back → one
+    * per-document reassembly aggregation. No windows, no self-join, no
+    * quadratic term; the only corpus-sized shuffles are the two
+    * aggregations. First-occurrence-wins (not arbitrary-winner) makes the
+    * output deterministic and growth-stable: appending new documents can
+    * never change which EXISTING passage is the keeper. */
+  def dedupPassages(df: DataFrame, idCol: String, textCol: String,
+                    size: Int = 16): DataFrame = {
+    require(size > 0, s"dedupPassages: size must be positive, got $size")
+    val segmented = df
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("__t"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0L), greatest(
+            ceil((org.apache.spark.sql.functions.size(col("__t")) - size)
+              .cast("double") / size).cast("long"), lit(0L))),
+          i => slice(col("__t"), (i * size + 1).cast("int"), lit(size)))))
+      .select(col(idCol), col("pos").cast("long").as("passage_idx"),
+        concat_ws(" ", col("col")).as("__passage"))
+      .withColumn("__h", md5(col("__passage")))
+    // First occurrence per passage content: min (id, passage_idx) struct —
+    // map-combined, so the hot all-corpus-duplicate passage reduces
+    // per-partition before the exchange (no single-reducer key).
+    val firstSeen = segmented.groupBy(col("__h"))
+      .agg(min(struct(col(idCol).as("__fid"),
+        col("passage_idx").as("__fidx"))).as("__first"))
+    segmented.join(firstSeen, Seq("__h"))
+      .withColumn("__keep", col("__first.__fid") === col(idCol) &&
+        col("__first.__fidx") === col("passage_idx"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("__keep"), struct(col("passage_idx"), col("__passage")))
+            .otherwise(lit(null)))),
+          p => p("__passage")), " ").as("clean_text"))
   }
 
   /** Overlapping token-window chunking — the RAG/embedding-prep splitter:

@@ -930,4 +930,90 @@ class DedupTextSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(kept === Set(1L, 4L, 5L))
   }
+
+  test("decontamination: broadcast-prefilter plan equals the shuffled join " +
+    "and never exchanges the train gram set") {
+    // A corpus big enough that gram sets are non-trivial, with planted
+    // overlap: even train docs share their text with test docs (id+1000).
+    val train = (1L to 400L).map(i =>
+      (i, s"token${i % 37} token${i % 11} token${i % 7} token${i % 5} " +
+        s"token${i % 3} filler$i end${i % 13}")).toDF("doc_id", "text")
+    val test_ = (1001L to 1100L).map { i =>
+      val t = if (i <= 1050L) // overlapping half: shares train trigrams
+        s"token${(i - 1000) % 37} token${(i - 1000) % 11} " +
+          s"token${(i - 1000) % 7} token${(i - 1000) % 5} " +
+          s"token${(i - 1000) % 3} probe$i tail${i % 13}"
+      else // clean half: vocabulary disjoint from the train corpus
+        s"clean$i only$i words$i nothing$i shared$i"
+      (i, t)
+    }.toDF("doc_id", "text")
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), Dedup.tokens(col("text")).as("__toks"))
+    val bcast = TextAnalysis.decontaminationReportFromTokens(
+      toks(test_), toks(train), "doc_id", "__toks", n = 3,
+      broadcastBytesCap = 1L << 28)
+    val shuffled = TextAnalysis.decontaminationReportFromTokens(
+      toks(test_), toks(train), "doc_id", "__toks", n = 3,
+      broadcastBytesCap = 0L)
+    val a = bcast.orderBy("doc_id").collect().toSeq
+    val b = shuffled.orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    assert(a.exists(_.getBoolean(3)) && a.exists(!_.getBoolean(3)),
+      "fixture must exercise both contaminated and clean docs")
+    // The scale claim, asserted on the plan: in the broadcast form every
+    // join is a broadcast join — the corpus-sized train gram set reaches
+    // no shuffle exchange. (The only hash aggregations allowed to
+    // exchange are the test-side ones; asserting zero SortMergeJoin /
+    // ShuffledHashJoin pins the join layer.)
+    val phys = bcast.queryExecution.sparkPlan
+    val shuffledJoins = phys.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    // The final report join (test grams x hits, both test-sized) may
+    // shuffle; the GRAM-keyed joins must not. Filter to string-typed keys:
+    // gram joins key on StringType/LongType xxhash64, report join keys on
+    // doc_id — assert no shuffled join carries the gram column.
+    assert(!shuffledJoins.exists(_.output.exists(_.name == "gram")),
+      s"train gram set reached a shuffled join:\n${phys.treeString}")
+  }
+
+  test("dedupPassages: cross-doc repeat dropped, first occurrence kept, " +
+    "reassembly ordered, fully-duplicated doc emptied") {
+    // 16-token passages. Doc 1: passages A B. Doc 2: passages B C (B is a
+    // cross-doc repeat — dropped from doc 2). Doc 3: exactly doc 1's text
+    // (both passages dropped -> empty clean_text). Doc 4: short unique doc.
+    val A = (1 to 16).map(i => s"a$i").mkString(" ")
+    val B = (1 to 16).map(i => s"b$i").mkString(" ")
+    val C = (1 to 16).map(i => s"c$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$A $B"), (2L, s"$B $C"), (3L, s"$A $B"), (4L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dedupPassages(df, "doc_id", "text", size = 16)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 2L, 2L, s"$A $B"))) // first occurrence keeps all
+    assert(got(2L) === ((2L, 2L, 1L, C)))        // B dropped, C kept, order held
+    assert(got(3L) === ((3L, 2L, 0L, "")))       // fully duplicated -> empty
+    assert(got(4L) === ((4L, 1L, 1L, "tiny doc")))
+  }
+
+  test("dedupPassages: within-doc repeat collapses to its first occurrence") {
+    val P = (1 to 16).map(i => s"p$i").mkString(" ")
+    val Q = (1 to 16).map(i => s"q$i").mkString(" ")
+    val df = Seq((7L, s"$P $Q $P")).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupPassages(df, "doc_id", "text", size = 16)
+      .as[(Long, Long, Long, String)].head()
+    assert(got === ((7L, 3L, 2L, s"$P $Q")))
+  }
+
+  test("dedupPassages: ragged tail passage is its own unit; unique corpus " +
+    "is a byte-identical no-op") {
+    // 20 tokens -> one 16-token passage + one 4-token tail.
+    val txt = (1 to 20).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, txt), (2L, "x1 x2 x3")).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupPassages(df, "doc_id", "text", size = 16)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 2L, 2L, txt)))
+    assert(got(2L) === ((2L, 1L, 1L, "x1 x2 x3")))
+  }
 }
