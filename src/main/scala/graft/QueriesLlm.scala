@@ -840,6 +840,36 @@ object QueriesLlm {
               |n_contaminated > 0 AS contaminated
               |FROM counts ORDER BY doc_id""".stripMargin)),
 
+    // --- SEMANTIC decontamination (the embedding-level sibling of x12 —
+    //     leakage the n-gram match misses: paraphrases, translations,
+    //     format shifts): every train embedding scored against the whole
+    //     broadcast test batch in ONE projection (HOF fold + native dot,
+    //     zero train-side shuffles), max per-pair cosine rounded to 6
+    //     BEFORE the max/threshold so keep/drop is engine-identical.
+    //     nlist=0 here (exact — the affordable form at benchmark-sized
+    //     test sets); the cluster-blocked escalation is spec-pinned
+    //     blocked ⊆ exact and exact-on-geometric. ---
+    ("x12b_semantic_decontaminate", (s, d) => {
+      val emb = SparkEntry.T(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") >= 50), emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", threshold = 0.35)
+        .orderBy(col("vec_id"))
+    },
+      Some("""WITH ea AS (SELECT vec_id, unnest(range(len(embedding))) AS pos,
+             |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+             |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ea GROUP BY vec_id),
+             |dt AS (SELECT a.vec_id AS tid, b.vec_id AS qid, sum(a.v * b.v) AS dot
+             |       FROM ea a JOIN ea b ON a.pos = b.pos
+             |       AND a.vec_id >= 50 AND b.vec_id < 50 GROUP BY 1, 2),
+             |cs AS (SELECT tid, round(dot / (n1.nrm * n2.nrm), 6) AS c
+             |       FROM dt JOIN nrm n1 ON n1.vec_id = tid
+             |       JOIN nrm n2 ON n2.vec_id = qid)
+             |SELECT tid AS vec_id, max(c) AS max_sim,
+             |max(c) >= 0.35 AS contaminated
+             |FROM cs GROUP BY tid ORDER BY tid""".stripMargin)),
+
     // --- End-to-end near-dup RESOLUTION: pairs → connected components →
     //     keep the min-id doc per dup group → corpus with non-keeper
     //     members dropped. The step dedup pipelines actually ship (the

@@ -1736,6 +1736,38 @@ object SparkEntry {
              |    4294967295.0) AS BIGINT))
              |ORDER BY doc_id""".stripMargin)),
 
+    // --- X14c: epochs-per-source UPsampling — the other half of mix
+    //     weighting (x14/x14b only thin): uniform-target weights left
+    //     UNCAPPED, so underrepresented languages repeat (floor(w) full
+    //     copies + an md5-coin extra for frac(w)), each copy tagged with
+    //     its epoch. Deterministic — no RNG — so the oracle reproduces
+    //     the exact multiset, epoch numbers included. ---
+    ("x14c_upsample_mix", (s, d) => {
+      val docs = T(s, d, "documents")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("ns"))
+      val tot = counts.agg(sum(col("ns")).as("n"), count(lit(1)).as("s"))
+      val weights = counts.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          (col("n").cast("double") / col("s") / col("ns")).as("w"))
+      Relational.upsampleMix(
+          docs.join(broadcast(weights), Seq("lang")),
+          col("doc_id"), col("w"))
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+      Some("""WITH c AS (SELECT lang, count(*) AS ns FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(sum(ns) AS BIGINT) AS n, count(*) AS s FROM c),
+             |r AS (SELECT lang, CAST(n AS DOUBLE) / s / ns AS w FROM c CROSS JOIN t),
+             |b AS (SELECT d.doc_id, d.lang,
+             |  CAST(floor(w) AS BIGINT) + CASE WHEN
+             |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+             |    printf('%08x', CAST(least(floor((w - floor(w)) * 4294967296.0),
+             |      4294967295.0) AS BIGINT)) THEN 1 ELSE 0 END AS copies
+             |  FROM documents d JOIN r USING (lang))
+             |SELECT * FROM (SELECT doc_id, lang,
+             |  unnest(range(1, copies + 1)) AS epoch FROM b WHERE copies > 0)
+             |ORDER BY doc_id, epoch""".stripMargin)),
+
     // --- X15: partitioned-sketch reuse — per-day HLL sketches merged into
     //     one distinct-user estimate (hll_union_agg), vs the exact count.
     //     THE 100 TB counting pattern: daily partitions keep fixed-size

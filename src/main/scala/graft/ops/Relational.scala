@@ -552,6 +552,35 @@ object Relational {
         format_string("%08x", thLong))
   }
 
+  /** Deterministic UPsampling by a per-row repeat weight `w >= 0` — the
+    * epochs-per-source mixing primitive (Pile/LLaMA-style mixes run
+    * high-quality sources for MORE than one epoch; [[weightedSample]]
+    * only thins). Each row yields `floor(w)` full copies plus one more
+    * where the md5 coin of its key lands under `frac(w)`: a source
+    * weighted 2.3 contributes every document twice and a content-pure,
+    * reproducible ~30% subset a third time — in expectation exactly
+    * `Σ wᵢ` output rows. Adds `epoch` (1..copies) so downstream
+    * splits/packing can tell copies apart; `w <= 1` reduces exactly to
+    * [[weightedSample]] with epoch = 1, and the kept multiset is
+    * MONOTONE in the weight (raising a source's w never un-keeps an
+    * existing copy — mix retuning stays incremental). Same determinism
+    * contract as every sampler here: no RNG, rerun-stable,
+    * partition-independent, engine-reproducible from md5/printf. Scale:
+    * `explode(sequence)` is per-row — no shuffle; copies land in the
+    * producing task (consumers needing spread repartition afterwards). */
+  def upsampleMix(df: DataFrame, key: Column, weight: Column): DataFrame = {
+    val w = greatest(weight, lit(0.0))
+    val thLong = least(floor((w - floor(w)) * 4294967296.0),
+      lit(4294967295.0)).cast("long")
+    val extra = when(
+      substring(md5(key.cast("string")), 1, 8) <
+        format_string("%08x", thLong), 1L).otherwise(0L)
+    df.withColumn("__copies", floor(w).cast("long") + extra)
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
+  }
+
   /** Hashing-trick feature vectorizer (Weinberger et al. 2009): token →
     * dimension `pmod(murmur3(token), dim)` with a ±1 sign from a second
     * hash, summed per (row, slot). The dictionary-FREE encode: P11's

@@ -658,4 +658,62 @@ object Similarity {
           .otherwise(col("n_found").cast("double") / col("n_ref_pairs")), 4)
           .as("recall"))
   }
+
+  /** SEMANTIC decontamination — the embedding-level sibling of the n-gram
+    * report ([[TextAnalysis.decontaminationReport]]): flag every training
+    * document whose embedding sits within cosine `threshold` of ANY
+    * benchmark/test embedding (the leakage n-gram matching misses —
+    * paraphrases, translations, format-shifted copies). Output: one row
+    * per train row — (idCol, max_sim, contaminated), `max_sim` the
+    * maximum per-pair cosine (rounded to 6 BEFORE the max/threshold so
+    * keep/drop is engine-reproducible, the d_semantic_resolve rule).
+    *
+    * Scale shape, `nlist = 0` (exact): the test side is small by
+    * definition — its normalized vectors are collected into ONE
+    * broadcast array row and every train vector folds over it in a
+    * single projection (HOF transform + native dot + array_max). The
+    * corpus is scanned once; zero shuffles, zero joins on the train
+    * side; work is Θ(|train|·|test|·d), which at a 10⁴-vector benchmark
+    * suite is ~10⁶ flops per train row — fine for a one-off prep pass,
+    * but the term grows with |test|.
+    *
+    * `nlist > 0` (cluster-blocked): the IVF escalation when
+    * |train|·|test| stops being affordable — train rows score only
+    * against test vectors probing their cluster (centroids picked from
+    * the train corpus; test probes its `multiProbe` nearest, the
+    * [[semanticBlockingRecall]] recall knob). A train row in no probed
+    * cluster scores against nothing (null max_sim, clean) — recall < 1
+    * by construction; the spec pins blocked ⊆ exact and equality on the
+    * geometric regime. Per-cluster test vectors are pre-grouped into one
+    * array row per cluster, so the block join is 1:≤1 broadcast — still
+    * no train-side shuffle. */
+  def semanticDecontaminate(train: DataFrame, test: DataFrame, idCol: String,
+                            vecCol: String, threshold: Double,
+                            nlist: Int = 0, multiProbe: Int = 2,
+                            seed: Long = 42): DataFrame = {
+    require(nlist >= 0 && multiProbe >= 1,
+      s"semanticDecontaminate: nlist=$nlist multiProbe=$multiProbe")
+    val trn = normalized(
+      train.select(col(idCol), col(vecCol).as("__v")), "__v", "__v")
+    val tn = normalized(
+      test.select(col(vecCol).as("__tv")), "__tv", "__tv")
+    val scored =
+      if (nlist == 0) {
+        val testArr = tn.agg(collect_list(col("__tv")).as("__tvs"))
+        trn.crossJoin(broadcast(testArr))
+      } else {
+        val cents = pickCentroids(trn, idCol, "__v", nlist, seed)
+        val perCluster = assignClusters(tn, "__tv", cents, probe = multiProbe)
+          .groupBy(col("centroid_id"))
+          .agg(collect_list(col("__tv")).as("__tvs"))
+        assignClusters(trn, "__v", cents)
+          .join(broadcast(perCluster), Seq("centroid_id"), "left")
+      }
+    scored
+      .select(col(idCol),
+        array_max(transform(col("__tvs"), tv =>
+          round(vecDotNative(col("__v"), tv), 6))).as("max_sim"))
+      .withColumn("contaminated",
+        coalesce(col("max_sim") >= threshold, lit(false)))
+  }
 }

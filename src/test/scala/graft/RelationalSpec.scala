@@ -428,4 +428,43 @@ class RelationalSpec extends AnyFunSuite {
       Map(0 -> "zero", 1 -> "one"), "unknown").as("v")).as[String].collect().toSeq
     assert(got === Seq("zero", "one", "unknown"))
   }
+
+  test("upsampleMix: integer weights copy exactly, fractional weights " +
+    "tracked in expectation, epochs numbered 1..copies") {
+    val df = (1L to 2000L).map(i => (i, 2.3)).toDF("id", "w")
+    val got = Relational.upsampleMix(df, col("id"), col("w"))
+    val n = got.count()
+    // E[n] = 2000 * 2.3 = 4600; md5 coin at p=0.3 over 2000 keys
+    assert(n > 4400 && n < 4800, s"expected ~4600 rows, got $n")
+    val perId = got.groupBy("id").count().select("count")
+      .as[Long].collect().toSet
+    assert(perId.subsetOf(Set(2L, 3L))) // floor(2.3)=2, +1 for the coin
+    val epochs = got.filter(col("id") === 1L)
+      .select("epoch").as[Long].collect().sorted.toSeq
+    assert(epochs === (1L to epochs.length).toSeq)
+    // integer weight: exact multiset, no coin
+    val exact2 = Relational.upsampleMix(
+      (1L to 100L).toDF("id"), col("id"), lit(2.0))
+    assert(exact2.count() === 200L)
+    assert(exact2.groupBy("id").count().filter(col("count") =!= 2)
+      .count() === 0L)
+  }
+
+  test("upsampleMix: w <= 1 reduces to weightedSample; kept set monotone " +
+    "in the weight; w = 0 empties") {
+    val df = (1L to 1000L).toDF("id")
+    val up = Relational.upsampleMix(df, col("id"), lit(0.4))
+      .select("id").as[Long].collect().toSet
+    val ws = Relational.weightedSample(df, col("id"), lit(0.4))
+      .select("id").as[Long].collect().toSet
+    assert(up === ws)
+    val more = Relational.upsampleMix(df, col("id"), lit(1.4))
+    // monotone: every (id, epoch=1) copy survives the raise; the raise
+    // only adds epoch-2 copies for the SAME md5-kept subset
+    val moreIds2 = more.filter(col("epoch") === 2)
+      .select("id").as[Long].collect().toSet
+    assert(more.filter(col("epoch") === 1).count() === 1000L)
+    assert(moreIds2 === ws)
+    assert(Relational.upsampleMix(df, col("id"), lit(0.0)).count() === 0L)
+  }
 }

@@ -416,4 +416,62 @@ class VectorSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(a1 === a2)
   }
+
+  test("semanticDecontaminate exact form: golden flags, max over the " +
+    "whole test batch, plan stays join-free on the train side") {
+    val v = (x: Double, y: Double) => Array(x.toFloat, y.toFloat)
+    val test_ = Seq((100L, v(1.0, 0.0)), (101L, v(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, v(0.999, 0.045)), // ~cos 0.999 vs test 100 -> contaminated
+      (2L, v(0.7, 0.7)),     // cos ~0.707 vs both -> below 0.9
+      (3L, v(-1.0, 0.0)))    // negative vs 100, 0 vs 101 -> clean
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(train, test_, "vec_id",
+      "embedding", threshold = 0.9)
+      .as[(Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._3 === true && got(1L)._2.get > 0.99)
+    assert(got(2L)._3 === false && math.abs(got(2L)._2.get - 0.707107) < 1e-6)
+    assert(got(3L)._3 === false && math.abs(got(3L)._2.get - 0.0) < 1e-9)
+    // scale shape: the exact form is one projection over train — no join
+    // touches the train scan (the only join is the broadcast of the
+    // single collected test-array row)
+    val plan = Similarity.semanticDecontaminate(train, test_, "vec_id",
+      "embedding", 0.9).queryExecution.sparkPlan
+    val shuffledJoins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffledJoins.isEmpty, plan.treeString)
+  }
+
+  test("semanticDecontaminate blocked form: flagged set is a subset of " +
+    "exact; equal on the geometric regime it targets") {
+    val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // test batch = jittered copies of 20 base vectors (guaranteed
+    // geometric near-dups IN the train corpus); train = the corpus itself
+    val geo = Similarity.plantedGeometricCorpus(
+      e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      copies = 2, eps = 0.02)
+    val test_ = geo.filter(col("vec_id") % 2 === 1) // the jittered copy
+      .select(col("vec_id"), col("vec").as("embedding"))
+    val exact = Similarity.semanticDecontaminate(e, test_, "vec_id",
+      "embedding", threshold = 0.98)
+    val nlist = math.max(8L, e.count() / 100L).toInt
+    val blocked = Similarity.semanticDecontaminate(e, test_, "vec_id",
+      "embedding", threshold = 0.98, nlist = nlist, multiProbe = 2)
+    val exSet = exact.filter(col("contaminated"))
+      .select("vec_id").as[Long].collect().toSet
+    val blSet = blocked.filter(col("contaminated"))
+      .select("vec_id").as[Long].collect().toSet
+    assert(exSet === (0L until 20L).toSet,
+      s"fixture broke: every planted base doc must flag, got $exSet")
+    assert(blSet.subsetOf(exSet), "blocked form flagged a non-contaminated doc")
+    assert(blSet === exSet,
+      s"geometric-regime blocking missed ${exSet -- blSet}")
+    // every train row appears exactly once in both outputs
+    assert(blocked.count() === e.count() && exact.count() === e.count())
+  }
 }
