@@ -350,6 +350,118 @@ case class NearestCentroids(child: Expression, ids: Array[Long],
       newChild: Expression): NearestCentroids = copy(child = newChild)
 }
 
+/** Maximum dot product of a vector against a driver-collected vector set,
+  * as ONE native expression — the hot kernel of the exact semantic-
+  * decontamination pass ([[graft.ops.Similarity.semanticDecontaminate]]),
+  * where every corpus row scores against the whole (benchmark-sized,
+  * broadcast-justified by the [[NearestCentroids]] argument) test set.
+  * The HOF form (`array_max(transform(tvs, tv -> dot))`) interprets a
+  * lambda per test vector and falls out of whole-stage codegen — measured
+  * 11.5 s for 200 K × 50 at sf10 vs a native fused loop; this is the same
+  * rewrite [[NearestCentroids]] applied to assignment.
+  *
+  * Contract: per-pair dot accumulates Double left-to-right (bit-equal to
+  * [[VectorDot]], hence to the HOF form); the max is NaN-greatest (Spark
+  * `array_max` ordering) so swapping implementations cannot change a
+  * result even on degenerate inputs; `round` being monotone, callers may
+  * round after the max and get exactly `array_max` of rounded per-pair
+  * values. Null vector — or any null lane element — yields null, the
+  * [[NearestCentroids]] rule. */
+case class MaxVectorDot(child: Expression, vecs: Array[Array[Double]])
+    extends UnaryExpression {
+
+  require(vecs.nonEmpty, "max_vector_dot: empty vector set")
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"max_vector_dot needs array<float|double>, got ${dt.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) { if (arr.isNullAt(j)) return null; j += 1 }
+    val x = new Array[Double](n)
+    elemType match {
+      case FloatType =>
+        var i = 0; while (i < n) { x(i) = arr.getFloat(i).toDouble; i += 1 }
+      case _ =>
+        var i = 0; while (i < n) { x(i) = arr.getDouble(i); i += 1 }
+    }
+    var best = Double.NegativeInfinity
+    var c = 0
+    while (c < vecs.length) {
+      val tv = vecs(c)
+      val m = math.min(n, tv.length)
+      var s = 0.0
+      var i = 0
+      while (i < m) { s += x(i) * tv(i); i += 1 }
+      if (java.lang.Double.isNaN(s) || s > best) best = s
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val vecsRef = ctx.addReferenceObj("mvdVecs", vecs, "double[][]")
+    val get = elemType match {
+      case FloatType => (arr: String, i: String) => s"(double) $arr.getFloat($i)"
+      case _ => (arr: String, i: String) => s"$arr.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val tv = ctx.freshName("tv")
+      val best = ctx.freshName("best")
+      val vecsL = ctx.freshName("vecsL")
+      val anyNull = ctx.freshName("anyNull")
+      s"""
+         |double[][] $vecsL = $vecsRef;
+         |int $n = $arr.numElements();
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($arr.isNullAt($i)) { $anyNull = true; break; }
+         |}
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < $vecsL.length; $c++) {
+         |    double[] $tv = $vecsL[$c];
+         |    int $m = java.lang.Math.min($n, $tv.length);
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $m; $i++) {
+         |      $s += ${get(arr, i)} * $tv[$i];
+         |    }
+         |    if (java.lang.Double.isNaN($s) || $s > $best) $best = $s;
+         |  }
+         |  ${ev.value} = $best;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MaxVectorDot = copy(child = newChild)
+}
+
 /** Two-level fine stage as a native expression: `cells` (the coarse-probe
   * output of [[NearestCentroids]]) selects centroid GROUPS from a
   * driver-built cell→fine map, and the top-`probe` selection runs over

@@ -665,13 +665,16 @@ object Similarity {
     * benchmark/test embedding (the leakage n-gram matching misses —
     * paraphrases, translations, format-shifted copies). Output: one row
     * per train row — (idCol, max_sim, contaminated), `max_sim` the
-    * maximum per-pair cosine (rounded to 6 BEFORE the max/threshold so
-    * keep/drop is engine-reproducible, the d_semantic_resolve rule).
+    * maximum per-pair cosine rounded to 6 before the threshold so
+    * keep/drop is engine-reproducible (the d_semantic_resolve rule;
+    * round is monotone, so round-after-max equals max-of-rounded to the
+    * bit — the oracle computes the latter).
     *
     * Scale shape, `nlist = 0` (exact): the test side is small by
-    * definition — its normalized vectors are collected into ONE
-    * broadcast array row and every train vector folds over it in a
-    * single projection (HOF transform + native dot + array_max). The
+    * definition — its normalized vectors are driver-collected (the
+    * centroid-table bound) and every train vector folds over the whole
+    * set inside ONE whole-stage-codegen'd kernel
+    * ([[graft.functions.expr.MaxVectorDot]]) — a pure projection. The
     * corpus is scanned once; zero shuffles, zero joins on the train
     * side; work is Θ(|train|·|test|·d), which at a 10⁴-vector benchmark
     * suite is ~10⁶ flops per train row — fine for a one-off prep pass,
@@ -699,8 +702,28 @@ object Similarity {
       test.select(col(vecCol).as("__tv")), "__tv", "__tv")
     val scored =
       if (nlist == 0) {
-        val testArr = tn.agg(collect_list(col("__tv")).as("__tvs"))
-        trn.crossJoin(broadcast(testArr))
+        // Exact form: the test set is driver-collected (benchmark-sized —
+        // the same bound that justifies broadcasting a centroid table)
+        // and every train row folds over it inside ONE whole-stage-
+        // codegen'd kernel ([[graft.functions.expr.MaxVectorDot]]). The
+        // per-pair dot and the NaN-greatest max are bit-equal to the HOF
+        // `array_max(transform(...))` form (spec-pinned), which this
+        // replaces: the interpreted per-element lambda measured 11.5 s
+        // for 200 K × 50 at sf10 — the kernel is the same data in a
+        // fused primitive loop. round() is monotone, so rounding AFTER
+        // the max equals the old max-of-rounded to the bit.
+        val testVecs = tn.collect().map(_.getSeq[Any](0).map {
+          case f: java.lang.Float => f.toDouble
+          case n: Number => n.doubleValue()
+        }.toArray)
+        if (testVecs.isEmpty)
+          trn.select(col(idCol),
+            lit(null).cast("double").as("__rawmax"))
+        else
+          trn.select(col(idCol), ColumnBridge.column(
+            graft.functions.expr.MaxVectorDot(
+              ColumnBridge.expression(col("__v")), testVecs))
+            .as("__rawmax"))
       } else {
         val cents = pickCentroids(trn, idCol, "__v", nlist, seed)
         val perCluster = assignClusters(tn, "__tv", cents, probe = multiProbe)
@@ -708,11 +731,12 @@ object Similarity {
           .agg(collect_list(col("__tv")).as("__tvs"))
         assignClusters(trn, "__v", cents)
           .join(broadcast(perCluster), Seq("centroid_id"), "left")
+          .select(col(idCol),
+            array_max(transform(col("__tvs"), tv =>
+              vecDotNative(col("__v"), tv))).as("__rawmax"))
       }
     scored
-      .select(col(idCol),
-        array_max(transform(col("__tvs"), tv =>
-          round(vecDotNative(col("__v"), tv), 6))).as("max_sim"))
+      .select(col(idCol), round(col("__rawmax"), 6).as("max_sim"))
       .withColumn("contaminated",
         coalesce(col("max_sim") >= threshold, lit(false)))
   }

@@ -423,18 +423,30 @@ object TextAnalysis {
     * re-tokenizing both splits here. */
   def decontaminationReportFromTokens(test: DataFrame, train: DataFrame,
                                       idCol: String, tokensCol: String,
-                                      n: Int = 5): DataFrame =
+                                      n: Int = 5): DataFrame = {
+    // Plan choice is by SHAPE, not just absolute size: the broadcast
+    // prefilter wins exactly when the test side is benchmark-shaped —
+    // tiny against the corpus — because its survivor gram set (≤ |test
+    // grams|) must itself broadcast back. On a corpus-shaped test side
+    // the survivors ARE a corpus-scale string set and the plan
+    // degenerates: the full-registry sf10 sweep measured the broadcast
+    // form at 54.5 s vs 4.8 s shuffled on x12's 80/20 split (survivors ≈
+    // half the corpus gram instances). Both conditions, both from
+    // Catalyst's own estimates: test under the absolute broadcast cap
+    // AND at least 16× smaller than train.
+    val ts = test.queryExecution.optimizedPlan.stats.sizeInBytes
+    val trs = train.queryExecution.optimizedPlan.stats.sizeInBytes
     decontaminationReportFromTokens(test, train, idCol, tokensCol, n,
-      broadcastBytesCap = 1L << 28)
+      useBroadcast = ts <= (1L << 28) && ts * 16 <= trs)
+  }
 
-  /** [[decontaminationReportFromTokens]] with the broadcast-prefilter gate
-    * exposed. `broadcastBytesCap` bounds Catalyst's size estimate of the
-    * TEST token frame under which the zero-train-shuffle plan engages;
-    * `0` forces the shuffled-join form (the differential spec's handle —
-    * both paths must produce identical rows). */
+  /** [[decontaminationReportFromTokens]] with the plan choice pinned —
+    * the differential spec's handle (both paths must produce identical
+    * rows) and the escape hatch for a caller who knows the shape better
+    * than the size estimates do. */
   private[graft] def decontaminationReportFromTokens(
       test: DataFrame, train: DataFrame, idCol: String, tokensCol: String,
-      n: Int, broadcastBytesCap: Long): DataFrame = {
+      n: Int, useBroadcast: Boolean): DataFrame = {
     def grams(df: DataFrame): DataFrame =
       df.select(col(idCol),
         explode(Dedup.wordShinglesFromTokens(col(tokensCol), n)).as("gram"))
@@ -456,12 +468,11 @@ object TextAnalysis {
     //       those rare false positives — broadcast back and semi-joined
     //       on the exact gram text, which removes any hash collision.
     // Output is bit-identical to the shuffled form (the x12/c2 oracle
-    // hashes pin it); the gate below falls back to the shuffled join when
-    // the test side's own size estimate says it is NOT the small side.
+    // hashes pin it); the public overload falls back to the shuffled join
+    // when the test side is not benchmark-shaped (see its gate).
     val trainGrams = grams(train).select(col("gram"))
     val hitGrams =
-      if (test.queryExecution.optimizedPlan.stats.sizeInBytes
-            <= broadcastBytesCap) {
+      if (useBroadcast) {
         val testKeys = testGrams
           .select(xxhash64(col("gram")).as("__k")).distinct()
         val survivors = trainGrams

@@ -951,10 +951,10 @@ class DedupTextSpec extends AnyFunSuite {
       df.select(col("doc_id"), Dedup.tokens(col("text")).as("__toks"))
     val bcast = TextAnalysis.decontaminationReportFromTokens(
       toks(test_), toks(train), "doc_id", "__toks", n = 3,
-      broadcastBytesCap = 1L << 28)
+      useBroadcast = true)
     val shuffled = TextAnalysis.decontaminationReportFromTokens(
       toks(test_), toks(train), "doc_id", "__toks", n = 3,
-      broadcastBytesCap = 0L)
+      useBroadcast = false)
     val a = bcast.orderBy("doc_id").collect().toSeq
     val b = shuffled.orderBy("doc_id").collect().toSeq
     assert(a === b)

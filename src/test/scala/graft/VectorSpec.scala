@@ -395,7 +395,42 @@ class VectorSpec extends AnyFunSuite {
         probe = 2).count() > 0)
       assert(Similarity.assignClustersTwoLevel(e, "embedding", centroids,
         nlist = 8, fineProbe = 2).count() > 0)
+      // exact semanticDecontaminate rides the MaxVectorDot kernel
+      assert(Similarity.semanticDecontaminate(e,
+        e.limit(5), "vec_id", "embedding", 0.9).count() > 0)
     } finally spark.conf.set("spark.sql.codegen.fallback", prior)
+  }
+
+  test("MaxVectorDot kernel equals the HOF array_max(transform(dot)) form, " +
+    "including NaN-greatest and null-lane rules") {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val testVecs: Array[Array[Double]] = Array(
+      Array(1.0, 0.0, 0.0), Array(0.5, 0.5, 0.0), Array(-1.0, 2.0, 0.25))
+    val rows = Seq(
+      (1L, Seq(0.3f, -0.7f, 1.1f)),
+      (2L, Seq(1.0f, 1.0f, 1.0f)),
+      (3L, Seq(-2.0f, 0.0f, 4.0f)),
+      (4L, Seq(Float.NaN, 1.0f, 0.0f))) // NaN lane -> NaN dot, NaN-greatest
+      .toDF("id", "v")
+    val tvsCol = array(testVecs.map(tv =>
+      array(tv.map(x => lit(x)): _*)): _*)
+    val hof = rows.select(col("id"),
+      array_max(transform(tvsCol, tv =>
+        V.vecDotNative(col("v"), tv))).as("m"))
+      .as[(Long, Double)].collect().toMap
+    val native = rows.select(col("id"), ColumnBridge.column(
+        graft.functions.expr.MaxVectorDot(
+          ColumnBridge.expression(col("v")), testVecs)).as("m"))
+      .as[(Long, Double)].collect().toMap
+    (1L to 3L).foreach(i => assert(native(i) === hof(i),
+      s"id $i: native ${native(i)} vs hof ${hof(i)}"))
+    assert(native(4L).isNaN && hof(4L).isNaN)
+    // null ELEMENT in the probe vector -> null result (NearestCentroids rule)
+    val nullLane = Seq(Tuple1(Seq[java.lang.Float](1.0f, null, 2.0f)))
+      .toDF("v")
+      .select(ColumnBridge.column(graft.functions.expr.MaxVectorDot(
+        ColumnBridge.expression(col("v")), testVecs)).as("m"))
+    assert(nullLane.head().isNullAt(0))
   }
 
   test("assignClusters probe contract: probe=1 schema unchanged; probe=p ranks p nearest") {
