@@ -307,6 +307,43 @@ object QueriesLlm {
               |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
               |ORDER BY d.doc_id""".stripMargin)),
 
+    // --- BPE merge learning (tokenizer training's core loop, word-
+    //     granularity): 3 unrolled rounds of count-pairs → argmax →
+    //     corpus-wide greedy merge, the g1_pagerank fixed-iteration
+    //     pattern. Both engines run the IDENTICAL byte-level merge (plain
+    //     replace on the double-spaced padded form — closed under the
+    //     merge, no regex), so the learned table is exactly comparable. ---
+    ("t_bpe_merges", (s, d) =>
+      TextAnalysis.bpeMerges(SparkEntry.T(s, d, "documents"), "text",
+        iterations = 3),
+      Some(s"""WITH d0 AS (SELECT ' ' || replace(trim(regexp_replace(lower(text),
+              |    '\\s+', ' ', 'g')), ' ', '  ') || ' ' AS st FROM documents),
+              |t1 AS (SELECT regexp_split_to_array(trim(st), ' +') AS ts FROM d0),
+              |p1 AS (SELECT u.s.l AS l, u.s.r AS r FROM t1, unnest(
+              |  CASE WHEN len(ts) < 2 THEN [] ELSE list_transform(range(1, len(ts)),
+              |    i -> struct_pack(l := ts[i], r := ts[i+1])) END) AS u(s)),
+              |b1 AS (SELECT l, r, count(*) AS cnt FROM p1 GROUP BY 1,2
+              |  ORDER BY cnt DESC, l, r LIMIT 1),
+              |d1 AS (SELECT replace(st, ' ' || b1.l || '  ' || b1.r || ' ',
+              |  ' ' || b1.l || '_' || b1.r || ' ') AS st FROM d0 CROSS JOIN b1),
+              |t2 AS (SELECT regexp_split_to_array(trim(st), ' +') AS ts FROM d1),
+              |p2 AS (SELECT u.s.l AS l, u.s.r AS r FROM t2, unnest(
+              |  CASE WHEN len(ts) < 2 THEN [] ELSE list_transform(range(1, len(ts)),
+              |    i -> struct_pack(l := ts[i], r := ts[i+1])) END) AS u(s)),
+              |b2 AS (SELECT l, r, count(*) AS cnt FROM p2 GROUP BY 1,2
+              |  ORDER BY cnt DESC, l, r LIMIT 1),
+              |d2 AS (SELECT replace(st, ' ' || b2.l || '  ' || b2.r || ' ',
+              |  ' ' || b2.l || '_' || b2.r || ' ') AS st FROM d1 CROSS JOIN b2),
+              |t3 AS (SELECT regexp_split_to_array(trim(st), ' +') AS ts FROM d2),
+              |p3 AS (SELECT u.s.l AS l, u.s.r AS r FROM t3, unnest(
+              |  CASE WHEN len(ts) < 2 THEN [] ELSE list_transform(range(1, len(ts)),
+              |    i -> struct_pack(l := ts[i], r := ts[i+1])) END) AS u(s)),
+              |b3 AS (SELECT l, r, count(*) AS cnt FROM p3 GROUP BY 1,2
+              |  ORDER BY cnt DESC, l, r LIMIT 1)
+              |SELECT CAST(1 AS BIGINT) AS step, * FROM b1
+              |UNION ALL SELECT 2, * FROM b2
+              |UNION ALL SELECT 3, * FROM b3 ORDER BY step""".stripMargin)),
+
     // --- BM25 corpus scoring against a fixed query (Okapi, Lucene idf):
     //     the classic retrieval scorer over the documents table; one
     //     exploded pass pre-filtered to the query terms, df via window

@@ -274,6 +274,62 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
   }
 
+  /** BPE merge learning — the tokenizer-training core loop (Sennrich et
+    * al. 2016), at word granularity over the corpus: `iterations` rounds
+    * of (count all adjacent token pairs → pick the most frequent, ties
+    * by (left, right) ascending → merge every left-to-right
+    * non-overlapping occurrence corpus-wide into one token). Returns the
+    * learned merge table (step, l, r, cnt) — the merges.txt a BPE
+    * trainer ships; a later step CAN merge a token produced by an
+    * earlier one (the composition that makes BPE BPE — spec-pinned).
+    *
+    * The merge substrate is the double-spaced padded string form
+    * (sentinel space + every separator doubled): one plain `replace` of
+    * `" l  r "` with `" l_r "` consumes one space from each side's pair
+    * and restores it, so the padded form is CLOSED under the merge —
+    * matches at adjacent positions can't shadow each other, greedy
+    * left-to-right exactly like a BPE trainer, and the identical
+    * `replace` call exists in any engine (no regex, no lookaround — the
+    * oracle runs the same byte-level operation). Tokens must not contain
+    * `' '` (guaranteed by tokenization) — `'_'` in a token would only
+    * make a merged token's NAME ambiguous, never the merge itself.
+    *
+    * Scale shape per iteration: one corpus scan → pair count (map-
+    * combined agg on (l, r)) → a one-row sort-limit → the merge as a
+    * broadcast of that one row into a per-row projection. No joins
+    * between corpus-sized sides, no windows. The k-step composition
+    * recomputes the state chain per step (fine at the fixed small k a
+    * query uses; a real 30 K-merge trainer checkpoints state per
+    * iteration — same plan, materialized). Documents with fewer than 2
+    * tokens contribute no pairs; if the corpus runs out of pairs the
+    * table just ends early. */
+  def bpeMerges(df: DataFrame, textCol: String,
+                iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"bpeMerges: iterations=$iterations")
+    val padded = df.select(concat(lit(" "),
+      regexp_replace(Dedup.normalizeText(col(textCol)), " ", "  "),
+      lit(" ")).as("__st"))
+    def best(state: DataFrame): DataFrame =
+      state.select(split(trim(col("__st")), " +").as("__ts"))
+        .filter(size(col("__ts")) >= 2)
+        .select(explode(Dedup.wordShinglesFromTokens(col("__ts"), 2)).as("g"))
+        .select(element_at(split(col("g"), " "), 1).as("l"),
+          element_at(split(col("g"), " "), 2).as("r"))
+        .groupBy(col("l"), col("r")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+    var state = padded
+    val steps = (1 to iterations).map { step =>
+      val b = best(state)
+      state = state.crossJoin(broadcast(b))
+        .select(org.apache.spark.sql.functions.replace(col("__st"),
+          concat(lit(" "), col("l"), lit("  "), col("r"), lit(" ")),
+          concat(lit(" "), col("l"), lit("_"), col("r"), lit(" ")))
+          .as("__st"))
+      b.select(lit(step.toLong).as("step"), col("l"), col("r"), col("cnt"))
+    }
+    steps.reduce(_.union(_)).orderBy(col("step"))
+  }
+
   /** Per-document stats frame: id, token/char counts, ratios, quality.
     *
     * Tokenizes ONCE into a projected array column and derives every

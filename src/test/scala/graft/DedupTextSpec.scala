@@ -1006,6 +1006,29 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got === ((7L, 3L, 2L, s"$P $Q")))
   }
 
+  test("bpeMerges: greedy left-to-right, overlap not double-merged, " +
+    "later steps compose on earlier merged tokens") {
+    // "a b" is the most frequent pair (4 plus one overlap-shadowed);
+    // after merging it, "a_b c" becomes the most frequent pair — the
+    // second step MUST see the first step's merged token. "a a a"
+    // exercises greedy non-overlap (one merge, not two).
+    val df = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "a b c a b"),
+      (3L, "x a a a y")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(df, "text", iterations = 2)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "a", "b", 5L), (2L, "a_b", "c", 4L)))
+    // greedy overlap: [a,a,a] has TWO (a,a) positions but only one
+    // non-overlapping merge site; counting sees both, merging takes one
+    val aaa = Seq((1L, "a a a a a")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(aaa, "text", iterations = 2)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // 5 a's: count 4 adjacent pairs; merge -> [a_a, a_a, a]; step 2 sees
+    // (a_a, a_a) x1 and (a_a, a) x1 -> tie on cnt, (a_a, a) wins lex
+    assert(m === Seq((1L, "a", "a", 4L), (2L, "a_a", "a", 1L)))
+  }
+
   test("dedupPassages: ragged tail passage is its own unit; unique corpus " +
     "is a byte-identical no-op") {
     // 20 tokens -> one 16-token passage + one 4-token tail.
