@@ -119,4 +119,66 @@ class ParallelRankPropertySpec extends AnyFunSuite {
       assert(got === want, s"batch $batch")
     }
   }
+
+  test("dedupPassages = plain-Scala first-occurrence reference on random corpora") {
+    // Small token domain + short passages force cross-doc AND within-doc
+    // passage collisions; size=3 keeps ragged tails frequent.
+    val corpusGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(1, 60)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 14)
+        toks <- Gen.listOfN(len, Gen.oneOf("t0", "t1", "t2", "t3"))
+      } yield toks.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    (1 to 4).foreach { batch =>
+      val rows = corpusGen.pureApply(Gen.Parameters.default, Seed(500L + batch))
+      val got = graft.ops.TextAnalysis.dedupPassages(
+          rows.toDF("doc_id", "text"), "doc_id", "text", size = 3)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> r).toMap
+      // reference: segment every doc into 3-token passages, elect the
+      // lexicographically-first (doc_id, idx) per content, reassemble
+      val segs = rows.flatMap { case (id, t) =>
+        t.split(" ").grouped(3).zipWithIndex
+          .map { case (p, i) => (id, i.toLong, p.mkString(" ")) }
+      }
+      val keeper = segs.groupBy(_._3).map { case (p, occ) =>
+        p -> occ.map(x => (x._1, x._2)).min
+      }
+      rows.foreach { case (id, _) =>
+        val mine = segs.filter(_._1 == id)
+        val kept = mine.filter(s => keeper(s._3) == ((s._1, s._2)))
+        val want = (id, mine.size.toLong, kept.size.toLong,
+          kept.sortBy(_._2).map(_._3).mkString(" "))
+        assert(got(id) === want, s"batch $batch doc $id")
+      }
+    }
+  }
+
+  test("upsampleMix = per-row closed form on random weights") {
+    val wGen: Gen[List[Double]] = for {
+      n <- Gen.choose(1, 300)
+      ws <- Gen.listOfN(n, Gen.oneOf(Gen.choose(0.0, 3.5),
+        Gen.oneOf(0.0, 1.0, 2.0))) // mix continuous and exact-integer
+    } yield ws
+    def md5hex(k: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    (1 to 3).foreach { batch =>
+      val ws = wGen.pureApply(Gen.Parameters.default, Seed(900L + batch))
+        .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      val got = graft.ops.Relational.upsampleMix(
+          ws.toDF("id", "w"), col("id"), col("w"))
+        .groupBy("id").count().as[(Long, Long)].collect().toMap
+      ws.foreach { case (id, w) =>
+        val frac = w - math.floor(w)
+        val th = math.min(math.floor(frac * 4294967296.0), 4294967295.0).toLong
+        val extra = if (md5hex(id) < f"$th%08x") 1L else 0L
+        val want = math.floor(w).toLong + extra
+        assert(got.getOrElse(id, 0L) === want, s"batch $batch id $id w $w")
+      }
+    }
+  }
 }
