@@ -771,6 +771,43 @@ object QueriesLlm {
              |CAST(octet_length(CAST(text AS BLOB)) % 480 + 1 AS INTEGER) AS height
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // --- Multimodal frame-sampling manifest + resize plan (the two
+    //     brief-named media stages chunkMedia/attachFakeMedia feed): every
+    //     4th fixed-size chunk of the opaque payload becomes a frame row
+    //     (idx, byte offset, size, content md5 — what a batched decoder
+    //     consumes), carrying the doc's fit-within-224x224 resize dims
+    //     from the metadata struct. Pure per-row expressions — the only
+    //     shuffle is the ORDER BY; the codec itself stays the stubbed
+    //     mapPartitions slot. ---
+    ("m_frame_manifest", (s, d) => {
+      val m = Multimodal.attachFakeMedia(SparkEntry.T(s, d, "documents"), "text")
+      m.select(col("doc_id"),
+          Multimodal.resizeDims(col("media_meta"), 224, 224).as("__rd"),
+          posexplode(Multimodal.chunkMedia(col("media"), 64)))
+        .filter(pmod(col("pos"), lit(4)) === 0)
+        .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+          (col("pos") * 64L).as("byte_offset"),
+          length(col("col")).cast("long").as("n_bytes"),
+          md5(col("col")).as("frame_md5"),
+          col("__rd.width").as("out_w"), col("__rd.height").as("out_h"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+      Some("""WITH f AS (SELECT doc_id, i AS frame_idx,
+             |  substring(text, CAST(i * 64 + 1 AS INT), 64) AS fr,
+             |  octet_length(CAST(text AS BLOB)) AS nb FROM documents,
+             |  unnest(range(0, CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0)
+             |    AS BIGINT))) AS u(i)
+             |  WHERE i % 4 = 0),
+             |r AS (SELECT doc_id, frame_idx, fr,
+             |  least(least(224.0 / (nb % 640 + 1), 224.0 / (nb % 480 + 1)), 1.0)
+             |    AS sc, nb FROM f)
+             |SELECT doc_id, frame_idx, frame_idx * 64 AS byte_offset,
+             |CAST(octet_length(CAST(fr AS BLOB)) AS BIGINT) AS n_bytes,
+             |md5(fr) AS frame_md5,
+             |CAST(floor((nb % 640 + 1) * sc) AS INTEGER) AS out_w,
+             |CAST(floor((nb % 480 + 1) * sc) AS INTEGER) AS out_h
+             |FROM r ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // --- Multimodal decode stub: deterministic pseudo-features (U5 shape) ---
     ("m_decode_stub", (s, d) => {
       val m = Multimodal.attachFakeMedia(SparkEntry.T(s, d, "documents"), "text")

@@ -41,6 +41,23 @@ object Multimodal {
         i => mediaCol.substr(i * chunkBytes + 1, lit(chunkBytes))))
   }
 
+  /** STUB resize plan: the target dimensions of a fit-within-box resize
+    * (never upscales) from the metadata struct — the arithmetic half of a
+    * resize stage, separated from the (environment-stubbed) pixel work so
+    * it is exactly checkable: scale = min(maxW/w, maxH/h, 1), floor the
+    * scaled dims. Pure double arithmetic in one expression order, so any
+    * engine reproduces it bit-for-bit. A real implementation feeds these
+    * dims to the codec in the same batched `mapPartitions` slot as
+    * [[decodeFeaturesStub]]. */
+  def resizeDims(metaCol: Column, maxW: Int, maxH: Int): Column = {
+    val w = metaCol.getField("width").cast("double")
+    val h = metaCol.getField("height").cast("double")
+    val scale = least(least(lit(maxW.toDouble) / w, lit(maxH.toDouble) / h),
+      lit(1.0))
+    struct(floor(w * scale).cast("int").as("width"),
+      floor(h * scale).cast("int").as("height"))
+  }
+
   /** STUB decode: deterministic pseudo-features from the payload bytes —
     * dim hash-derived doubles in [0,1). A real implementation would decode
     * pixels/samples here (batched `mapPartitions` with a native codec); the
