@@ -978,6 +978,74 @@ object QueriesLlm {
               |WHERE doc_id NOT IN (SELECT n FROM comp WHERE component <> n)
               |ORDER BY doc_id""".stripMargin)),
 
+    // --- Flagship composition #3 (r12): the TRAINING-MIX pipeline in ONE
+    //     Catalyst plan — passage-level dedup (rewritten clean_text) →
+    //     drop fully-duplicated docs → per-lang uncapped uniform-target
+    //     weights measured on the DEDUPED corpus → deterministic
+    //     upsampling (epochs tagged) → greedy sequence packing of the
+    //     mixed stream into 64-token bins per lang. Every stage is
+    //     oracle-proven standalone (d_passage_dedup, x14c, x9); this pins
+    //     their COMPOSITION, token counts flowing from the REWRITTEN
+    //     text. pack_id = doc_id·100 + epoch keeps copies distinct and
+    //     ordered (epoch ≤ 99 by the weight bound N/S ≤ 100·n_s). ---
+    ("c6_training_mix", (s, d) => {
+      val docs = SparkEntry.T(s, d, "documents")
+      val cleaned = TextAnalysis.dedupPassages(docs, "doc_id", "text",
+          size = 16)
+        .filter(col("n_kept") > 0)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val counts = cleaned.groupBy(col("lang")).agg(count(lit(1)).as("ns"))
+      val tot = counts.agg(sum(col("ns")).as("n"), count(lit(1)).as("s"))
+      val weights = counts.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          (col("n").cast("double") / col("s") / col("ns")).as("w"))
+      val mixed = Relational.upsampleMix(
+          cleaned.join(broadcast(weights), Seq("lang")),
+          col("doc_id"), col("w"))
+        .select(col("lang"),
+          (col("doc_id") * 100 + col("epoch")).as("pack_id"),
+          col("clean_text"))
+      TextAnalysis.packSequences(mixed, "pack_id", "clean_text", 64,
+          groupCols = Seq("lang"))
+        .orderBy(col("lang"), col("bin"))
+    },
+      Some(s"""WITH t AS (SELECT doc_id, $DuckTokens AS ts FROM documents),
+              |seg AS (SELECT doc_id, unnest(list_transform(
+              |  range(0, greatest(CAST(ceil((len(ts)-16)/16.0) AS BIGINT),0)+1),
+              |  i -> struct_pack(idx := i,
+              |    p := array_to_string(ts[i*16+1 : i*16+16], ' ')))) AS s FROM t),
+              |k AS (SELECT doc_id, s.idx AS passage_idx, s.p AS passage,
+              |  row_number() OVER (PARTITION BY s.p
+              |    ORDER BY doc_id, s.idx) = 1 AS keep FROM seg),
+              |cl AS (SELECT k.doc_id, d.lang,
+              |  string_agg(passage, ' ' ORDER BY passage_idx)
+              |    FILTER (WHERE keep) AS clean_text
+              |  FROM k JOIN documents d ON d.doc_id = k.doc_id
+              |  GROUP BY k.doc_id, d.lang
+              |  HAVING count(*) FILTER (WHERE keep) > 0),
+              |c AS (SELECT lang, count(*) AS ns FROM cl GROUP BY 1),
+              |tt AS (SELECT CAST(sum(ns) AS BIGINT) AS n, count(*) AS s FROM c),
+              |r AS (SELECT lang, CAST(n AS DOUBLE) / s / ns AS w
+              |  FROM c CROSS JOIN tt),
+              |b AS (SELECT cl.doc_id, cl.lang, cl.clean_text,
+              |  CAST(floor(w) AS BIGINT) + CASE WHEN
+              |    substring(md5(CAST(cl.doc_id AS VARCHAR)), 1, 8) <
+              |    printf('%08x', CAST(least(floor((w - floor(w)) * 4294967296.0),
+              |      4294967295.0) AS BIGINT)) THEN 1 ELSE 0 END AS copies
+              |  FROM cl JOIN r USING (lang)),
+              |m AS (SELECT lang,
+              |  doc_id * 100 + unnest(range(1, copies + 1)) AS pack_id,
+              |  CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS nt
+              |  FROM b WHERE copies > 0),
+              |o AS (SELECT lang, pack_id, nt,
+              |  CAST(coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY pack_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |    AS BIGINT) AS st FROM m)
+              |SELECT lang, st // 64 AS bin, count(*) AS n_docs,
+              |CAST(sum(nt) AS BIGINT) AS total_tokens,
+              |min(pack_id) AS first_doc, max(pack_id) AS last_doc
+              |FROM o GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin)),
+
     // --- Flagship composition #2: the LLM corpus-prep pipeline end-to-end
     //     in ONE Catalyst plan — quality gate → exact dedup → near-dup
     //     resolution (CC keeper) → train/test split → train-side 5-gram
