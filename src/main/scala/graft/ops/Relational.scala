@@ -568,7 +568,8 @@ object Relational {
     * partition-independent, engine-reproducible from md5/printf. Scale:
     * `explode(sequence)` is per-row — no shuffle; copies land in the
     * producing task (consumers needing spread repartition afterwards). */
-  def upsampleMix(df: DataFrame, key: Column, weight: Column): DataFrame = {
+  def upsampleMix(df: DataFrame, key: Column, weight: Column,
+                  maxCopies: Int = 1000): DataFrame = {
     val w = greatest(weight, lit(0.0))
     val thLong = least(floor((w - floor(w)) * 4294967296.0),
       lit(4294967295.0)).cast("long")
@@ -577,6 +578,17 @@ object Relational {
         format_string("%08x", thLong), 1L).otherwise(0L)
     df.withColumn("__copies", floor(w).cast("long") + extra)
       .filter(col("__copies") > 0)
+      // Loud bound, not a silent cap: a runaway weight (a upstream rate
+      // where a count belonged) would materialize a `sequence` of w
+      // elements IN ONE ROW — fail with the offending value instead of
+      // OOMing an executor. Real mixes run single-digit epochs.
+      .withColumn("__copies",
+        when(col("__copies") > maxCopies, raise_error(concat(
+          lit(s"upsampleMix: copies > maxCopies=$maxCopies for key "),
+          key.cast("string"),
+          lit(" (weight "), weight.cast("string"),
+          lit(") — wrong weight column, or raise maxCopies"))).cast("long"))
+          .otherwise(col("__copies")))
       .withColumn("epoch", explode(sequence(lit(1L), col("__copies"))))
       .drop("__copies")
   }

@@ -716,6 +716,11 @@ object Similarity {
           case f: java.lang.Float => f.toDouble
           case n: Number => n.doubleValue()
         }.toArray)
+        require(testVecs.length <= 200000,
+          s"semanticDecontaminate: exact form collected ${testVecs.length} " +
+            "test vectors — beyond the benchmark-sized bound the driver " +
+            "collection and per-row scoring assume. Use nlist > 0 (cluster " +
+            "blocking) for a corpus-sized test side.")
         if (testVecs.isEmpty)
           trn.select(col(idCol),
             lit(null).cast("double").as("__rawmax"))

@@ -467,4 +467,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(moreIds2 === ws)
     assert(Relational.upsampleMix(df, col("id"), lit(0.0)).count() === 0L)
   }
+
+  test("upsampleMix: a runaway weight fails loudly instead of exploding a row") {
+    val df = Seq((1L, 2.0), (2L, 5e6)).toDF("id", "w")
+    val ex = intercept[Exception] {
+      Relational.upsampleMix(df, col("id"), col("w"), maxCopies = 100)
+        .count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("upsampleMix: copies > maxCopies")),
+      ex.toString)
+    // under the bound: unchanged behavior
+    assert(Relational.upsampleMix(Seq((1L, 2.0)).toDF("id", "w"),
+      col("id"), col("w"), maxCopies = 100).count() === 2L)
+  }
 }
