@@ -1353,6 +1353,54 @@ object QueriesLlm {
              |SELECT doc_id, lang FROM k WHERE rn = 1
              |ORDER BY doc_id""".stripMargin)),
 
+    // --- The PASSAGE-granularity sibling of x25: the same two-wave ingest
+    //     (even doc_ids, then odd) through the REAL bucketed first-writer-
+    //     wins store merge, but keyed on 16-token passage content — the
+    //     incremental form of d_passage_dedup. A passage loses to any
+    //     content-equal passage first observed at a smaller
+    //     (wave, doc_id, passage_idx); the store holds exactly the winning
+    //     passages, read back as the rewritten corpus. The oracle replays
+    //     the election with wave = doc_id % 2 first in the order. Docs
+    //     whose every passage lost have no output row (caller's call). ---
+    ("x25b_incremental_passage_dedup", (s, d) => {
+      val docs = SparkEntry.T(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_incpass_${Integer.toHexString(d.hashCode)}_" +
+          s.sparkContext.applicationId).getAbsolutePath
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.streaming.StreamingJobs.incrementalPassageDedupBatch(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        store, batchId = 0L, numBuckets = 8)
+      graft.streaming.StreamingJobs.incrementalPassageDedupBatch(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        store, batchId = 1L, numBuckets = 8)
+      try {
+        graft.streaming.StreamingJobs.passageCleanCorpus(s, store, "doc_id")
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      } finally {
+        fs.delete(p, true)
+        fs.delete(new org.apache.hadoop.fs.Path(store + ".stage"), true)
+      }
+    },
+      Some(s"""WITH t AS (SELECT doc_id, $DuckTokens AS ts FROM documents),
+              |seg AS (SELECT doc_id, unnest(list_transform(
+              |  range(0, greatest(CAST(ceil((len(ts)-16)/16.0) AS BIGINT),0)+1),
+              |  i -> struct_pack(idx := i,
+              |    p := array_to_string(ts[i*16+1 : i*16+16], ' ')))) AS s FROM t),
+              |k AS (SELECT doc_id, s.idx AS passage_idx, s.p AS passage,
+              |  row_number() OVER (PARTITION BY s.p
+              |    ORDER BY doc_id % 2, doc_id, s.idx) = 1 AS keep FROM seg)
+              |SELECT doc_id, count(*) FILTER (WHERE keep) AS n_kept,
+              |string_agg(passage, ' ' ORDER BY passage_idx)
+              |  FILTER (WHERE keep) AS clean_text
+              |FROM k GROUP BY doc_id
+              |HAVING count(*) FILTER (WHERE keep) > 0
+              |ORDER BY doc_id""".stripMargin)),
+
     // --- Flagship composition #4: the per-document text-feature MATRIX —
     //     every per-row text signal (counts, ratios, entropy, quality,
     //     language, fingerprint, pattern counts) in ONE pass with ONE

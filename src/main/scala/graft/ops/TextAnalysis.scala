@@ -605,11 +605,13 @@ object TextAnalysis {
     * aggregations. First-occurrence-wins (not arbitrary-winner) makes the
     * output deterministic and growth-stable: appending new documents can
     * never change which EXISTING passage is the keeper. */
-  def dedupPassages(df: DataFrame, idCol: String, textCol: String,
-                    size: Int = 16): DataFrame = {
-    require(size > 0, s"dedupPassages: size must be positive, got $size")
-    val segmented = df
-      .select(col(idCol), Dedup.tokens(col(textCol)).as("__t"))
+  /** The d_passage_dedup segmenter, shared with the incremental store
+    * form: non-overlapping `size`-token passages as one row each —
+    * (idCol, passage_idx, __passage). Pure per-row explode. */
+  def segmentPassages(df: DataFrame, idCol: String, textCol: String,
+                      size: Int): DataFrame = {
+    require(size > 0, s"segmentPassages: size must be positive, got $size")
+    df.select(col(idCol), Dedup.tokens(col(textCol)).as("__t"))
       .select(col(idCol),
         posexplode(transform(
           sequence(lit(0L), greatest(
@@ -618,6 +620,11 @@ object TextAnalysis {
           i => slice(col("__t"), (i * size + 1).cast("int"), lit(size)))))
       .select(col(idCol), col("pos").cast("long").as("passage_idx"),
         concat_ws(" ", col("col")).as("__passage"))
+  }
+
+  def dedupPassages(df: DataFrame, idCol: String, textCol: String,
+                    size: Int = 16): DataFrame = {
+    val segmented = segmentPassages(df, idCol, textCol, size)
       .withColumn("__h", md5(col("__passage")))
     // First occurrence per passage content: min (id, passage_idx) struct —
     // map-combined, so the hot all-corpus-duplicate passage reduces

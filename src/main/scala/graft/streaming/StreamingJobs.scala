@@ -340,6 +340,64 @@ object StreamingJobs {
     spark.read.parquet(storePath)
       .drop("__key", "__seen_batch", "__bucket")
 
+  /** Passage-granularity incremental dedup — [[incrementalDedupBatch]]'s
+    * first-writer-wins merge keyed on PASSAGE content (the Lee-et-al
+    * substring signal the doc-level store can't see): each micro-batch's
+    * documents are segmented into non-overlapping `size`-token passages
+    * ([[graft.ops.TextAnalysis.segmentPassages]] — the d_passage_dedup
+    * segmenter) and a passage loses to any content-equal passage first
+    * observed at a smaller (batch, id, passage_idx). The store
+    * accumulates exactly the WINNING passages, which IS the rewritten
+    * corpus: a document's clean text is its winning passages in order
+    * ([[passageCleanCorpus]]). Same bucketed store, same staged-swap
+    * crash machinery, same O(batch + touched buckets) per-batch cost and
+    * replay idempotence (a replayed batch re-offers rows with its
+    * original batchId, so every min is unchanged). */
+  def incrementalPassageDedupBatch(batch: DataFrame, idCol: String,
+                                   textCol: String, storePath: String,
+                                   batchId: Long, numBuckets: Int,
+                                   size: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val incoming = graft.ops.TextAnalysis
+      .segmentPassages(batch, idCol, textCol, size)
+      .withColumn("__key", md5(col("__passage")))
+      .withColumn("__seen_batch", lit(batchId))
+      .withColumn("__bucket",
+        pmod(xxhash64(col("__key")), lit(numBuckets)).cast("int"))
+    val touched = incoming.select(col("__bucket")).distinct()
+      .collect().map(_.getInt(0))
+    val existing =
+      if (pathExists(spark, storePath))
+        spark.read.parquet(storePath)
+          .filter(col("__bucket").isin(touched.map(Integer.valueOf): _*))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        incoming.schema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__key"))
+      .orderBy(col("__seen_batch").asc, col(idCol).asc,
+        col("passage_idx").asc)
+    val merged = existing.unionByName(incoming, allowMissingColumns = true)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    stageAndSwapBuckets(spark, merged, storePath)
+  }
+
+  /** The rewritten corpus a [[incrementalPassageDedupBatch]] store holds:
+    * per document with at least one winning passage — (idCol, n_kept,
+    * clean_text), passages reassembled in passage order. Documents whose
+    * every passage lost (fully-duplicated content) have no store rows
+    * and so no output row — the caller decides their fate, as in
+    * [[graft.ops.TextAnalysis.dedupPassages]]. */
+  def passageCleanCorpus(spark: SparkSession, storePath: String,
+                         idCol: String): DataFrame =
+    spark.read.parquet(storePath)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("passage_idx"), col("__passage")))),
+          p => p("__passage")), " ").as("clean_text"))
+
   /** Does `path` exist on its filesystem? (Hadoop FS — works for any
     * scheme the session is configured for, not just local files.) */
   private def pathExists(spark: SparkSession, path: String): Boolean = {

@@ -748,6 +748,34 @@ class StreamingSpec extends AnyFunSuite {
       .count() === 12L * 40L)
   }
 
+  test("incremental PASSAGE dedup: cross-batch winner, within-batch order, " +
+    "replay no-op, store reassembles the rewritten corpus") {
+    val store = Files.createTempDirectory("graft-incpass").toString + "/store"
+    val A = (1 to 16).map(i => s"a$i").mkString(" ")
+    val B = (1 to 16).map(i => s"b$i").mkString(" ")
+    val C = (1 to 16).map(i => s"c$i").mkString(" ")
+    def clean() = StreamingJobs.passageCleanCorpus(spark, store, "doc_id")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // batch 0: doc 10 = [A, B]; doc 11 = [B, C] -> within-batch, B's first
+    // occurrence is (10, idx 1), so doc 11 keeps only C
+    StreamingJobs.incrementalPassageDedupBatch(
+      Seq((10L, s"$A $B"), (11L, s"$B $C")).toDF("doc_id", "text"),
+      "doc_id", "text", store, batchId = 0L, numBuckets = 4)
+    assert(clean() === Map(10L -> ((2L, s"$A $B")), 11L -> ((1L, C))))
+    // batch 1: doc 5 (SMALLER id, later batch) offers [A] — the store's
+    // batch-0 winner must hold: first-WRITER wins, not min-id
+    StreamingJobs.incrementalPassageDedupBatch(
+      Seq((5L, A)).toDF("doc_id", "text"),
+      "doc_id", "text", store, batchId = 1L, numBuckets = 4)
+    assert(clean() === Map(10L -> ((2L, s"$A $B")), 11L -> ((1L, C))),
+      "a later batch stole an existing passage winner")
+    // replaying batch 0 with its original batchId is a no-op
+    StreamingJobs.incrementalPassageDedupBatch(
+      Seq((10L, s"$A $B")).toDF("doc_id", "text"),
+      "doc_id", "text", store, batchId = 0L, numBuckets = 4)
+    assert(clean() === Map(10L -> ((2L, s"$A $B")), 11L -> ((1L, C))))
+  }
+
   test("incremental dedup: post-stage crash recovers exactly-once from checkpoint") {
     val base = Files.createTempDirectory("graft-incdedup-crash").toString
     val src = base + "/src"
