@@ -155,6 +155,56 @@ class ParallelRankPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bpeMerges = list-based greedy BPE reference on random corpora") {
+    // The engine's merge device is a padded-STRING replace; the reference
+    // here is a direct token-LIST walk — two genuinely different
+    // implementations of "merge every non-overlapping (l,r) left to
+    // right". Small vocab forces dense pair collisions and repeated
+    // tokens (the overlap cases).
+    val corpusGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(1, 40)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 12)
+        toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+      } yield toks.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def referenceBpe(docs0: List[List[String]],
+                     k: Int): List[(String, String, Long)] = {
+      var docs = docs0
+      val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+      var step = 0
+      while (step < k) {
+        val counts = docs.flatMap(d =>
+          d.iterator.sliding(2).withPartial(false).map(p => (p(0), p(1))))
+          .groupBy(identity).map { case (p, o) => (p, o.size.toLong) }
+        if (counts.isEmpty) return out.toList
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        docs = docs.map { d =>
+          val buf = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < d.length) {
+            if (i + 1 < d.length && d(i) == l && d(i + 1) == r) {
+              buf += s"${l}_$r"; i += 2
+            } else { buf += d(i); i += 1 }
+          }
+          buf.toList
+        }
+        out += ((l, r, c))
+        step += 1
+      }
+      out.toList
+    }
+    (1 to 4).foreach { batch =>
+      val rows = corpusGen.pureApply(Gen.Parameters.default, Seed(1300L + batch))
+      val got = graft.ops.TextAnalysis.bpeMerges(
+          rows.toDF("doc_id", "text"), "text", iterations = 3)
+        .as[(Long, String, String, Long)].collect().toSeq
+        .map(r => (r._2, r._3, r._4))
+      val want = referenceBpe(rows.map(_._2.split(" ").toList), 3)
+      assert(got === want, s"batch $batch")
+    }
+  }
+
   test("upsampleMix = per-row closed form on random weights") {
     val wGen: Gen[List[Double]] = for {
       n <- Gen.choose(1, 300)
