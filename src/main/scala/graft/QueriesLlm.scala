@@ -470,6 +470,31 @@ object QueriesLlm {
               |row_number() OVER (ORDER BY cnt DESC, term) AS trank
               |FROM c ORDER BY trank LIMIT 50""".stripMargin)),
 
+    // --- Vocabulary truncation / UNK rewrite — the step between vocab
+    //     selection (t_vocab_topk / the MG heavy hitters at open-vocab
+    //     scale) and training: tokens outside the top-20 corpus vocab
+    //     become <unk>, documents re-emitted positionally intact. The
+    //     oracle replays the same (count desc, term asc) vocab cut and
+    //     compares the rewritten text byte-for-byte. ---
+    ("t_unk_rewrite", (s, d) =>
+      TextAnalysis.unkRewrite(SparkEntry.T(s, d, "documents"),
+        "doc_id", "text", vocabSize = 20)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckTokens AS ts FROM documents),
+              |toks AS (SELECT doc_id, u.x.p AS pos, u.x.tok AS tok FROM t,
+              |  unnest(list_transform(range(1, len(ts) + 1),
+              |    i -> struct_pack(p := i - 1, tok := ts[i]))) AS u(x)),
+              |v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM toks
+              |  GROUP BY 1 ORDER BY c DESC, tok LIMIT 20)),
+              |m AS (SELECT doc_id, pos,
+              |  CASE WHEN tok IN (SELECT tok FROM v) THEN tok
+              |       ELSE '<unk>' END AS outtok,
+              |  tok IN (SELECT tok FROM v) AS inv FROM toks)
+              |SELECT doc_id, count(*) AS n_tokens,
+              |count(*) FILTER (WHERE NOT inv) AS n_unk,
+              |string_agg(outtok, ' ' ORDER BY pos) AS unk_text
+              |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // --- Vocab heavy hitters through the MG sketch — the 100 TB path for
     //     t_vocab_topk: ONE pass, O(k) state, no term-count shuffle at
     //     all; recall vs the exact top-50 and the worst count

@@ -330,6 +330,43 @@ object TextAnalysis {
     steps.reduce(_.union(_)).orderBy(col("step"))
   }
 
+  /** Vocabulary truncation — the rewrite between vocab selection and
+    * training: every token outside the top-`vocabSize` corpus vocabulary
+    * (by count, ties broken by term ascending — the heavy-hitters
+    * tiebreak) becomes `unkToken`, and each document is re-emitted with
+    * its rewritten text and OOV count. Output: (id, n_tokens, n_unk,
+    * unk_text).
+    *
+    * Scale shape: one tokenize+explode (linear in corpus tokens), the
+    * vocab as a count agg + top-V sort-limit (V rows — broadcast-sized by
+    * construction), membership as a broadcast left join, reassembly as
+    * one per-document aggregation ordered by token position. No
+    * corpus-sized join sides, no windows. At open-vocab scale the exact
+    * top-V count feeding this swaps for the Misra-Gries heavy hitters
+    * ([[graft.functions.expr.HeavyHittersAgg]]) — same contract, O(V)
+    * state. */
+  def unkRewrite(df: DataFrame, idCol: String, textCol: String,
+                 vocabSize: Int, unkToken: String = "<unk>"): DataFrame = {
+    require(vocabSize > 0, s"unkRewrite: vocabSize=$vocabSize")
+    val toks = df
+      .select(col(idCol), posexplode(tokens(col(textCol)))
+        .as(Seq("__pos", "__tok")))
+    val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__tok")).limit(vocabSize)
+      .select(col("__tok"), lit(true).as("__in"))
+    toks.join(broadcast(vocab), Seq("__tok"), "left")
+      .select(col(idCol), col("__pos"),
+        when(col("__in").isNotNull, col("__tok")).otherwise(lit(unkToken))
+          .as("__out"),
+        col("__in"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_unk"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("__pos"), col("__out")))),
+          p => p("__out")), " ").as("unk_text"))
+  }
+
   /** Per-document stats frame: id, token/char counts, ratios, quality.
     *
     * Tokenizes ONCE into a projected array column and derives every

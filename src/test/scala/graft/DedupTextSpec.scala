@@ -1029,6 +1029,21 @@ class DedupTextSpec extends AnyFunSuite {
     assert(m === Seq((1L, "a", "a", 4L), (2L, "a_a", "a", 1L)))
   }
 
+  test("unkRewrite: top-V cut with the (count desc, term asc) tiebreak, " +
+    "positions intact, OOV counted") {
+    // counts: a=3, b=2, c=2, d=1. vocabSize=2 -> boundary tie between b
+    // and c at count 2; term asc keeps b, so c and d rewrite to <unk>.
+    val df = Seq((1L, "a b c a"), (2L, "c b d a")).toDF("doc_id", "text")
+    val got = TextAnalysis.unkRewrite(df, "doc_id", "text", vocabSize = 2)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 4L, 1L, "a b <unk> a")))
+    assert(got(2L) === ((2L, 4L, 2L, "<unk> b <unk> a")))
+    // vocabSize >= |vocab|: byte-identical no-op, zero unks
+    val all = TextAnalysis.unkRewrite(df, "doc_id", "text", vocabSize = 10)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(all(1L) === ((1L, 4L, 0L, "a b c a")))
+  }
+
   test("dedupPassages: ragged tail passage is its own unit; unique corpus " +
     "is a byte-identical no-op") {
     // 20 tokens -> one 16-token passage + one 4-token tail.
