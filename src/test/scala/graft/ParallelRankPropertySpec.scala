@@ -205,6 +205,35 @@ class ParallelRankPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MaxVectorDot = HOF array_max(transform(dot)) on random vector sets") {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val setGen: Gen[(Array[Array[Double]], List[List[Float]])] = for {
+      dim <- Gen.choose(1, 9)
+      nSet <- Gen.choose(1, 12)
+      set <- Gen.listOfN(nSet, Gen.listOfN(dim,
+        Gen.choose(-4.0, 4.0)))
+      nRows <- Gen.choose(1, 120)
+      rows <- Gen.listOfN(nRows, Gen.listOfN(dim,
+        Gen.choose(-4.0f, 4.0f)))
+    } yield (set.map(_.toArray).toArray, rows)
+    (1 to 4).foreach { batch =>
+      val (set, rows) = setGen
+        .pureApply(Gen.Parameters.default, Seed(1700L + batch))
+      val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val tvsCol = array(set.map(tv => array(tv.map(lit): _*)): _*)
+      val hof = df.select(col("id"), array_max(transform(tvsCol,
+          tv => graft.functions.Vectors.vecDotNative(col("v"), tv))).as("m"))
+        .as[(Long, Double)].collect().toMap
+      val native = df.select(col("id"), ColumnBridge.column(
+          graft.functions.expr.MaxVectorDot(
+            ColumnBridge.expression(col("v")), set)).as("m"))
+        .as[(Long, Double)].collect().toMap
+      hof.keys.foreach(i => assert(native(i) === hof(i),
+        s"batch $batch row $i: native ${native(i)} vs hof ${hof(i)}"))
+    }
+  }
+
   test("upsampleMix = per-row closed form on random weights") {
     val wGen: Gen[List[Double]] = for {
       n <- Gen.choose(1, 300)
