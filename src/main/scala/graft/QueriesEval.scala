@@ -793,11 +793,31 @@ object QueriesEval {
       // explode for the same reason as before: the base table is one
       // small parquet split, and 500× explode inherits its partitioning
       // (measured 115 s single-threaded without it).
-      val catDir = new java.io.File(
-        java.lang.System.getProperty("java.io.tmpdir"),
-        s"graft_c5cat_${Integer.toHexString(d.hashCode)}_" +
-          s.sparkContext.applicationId)
-      if (!catDir.exists()) {
+      val tmpRoot = new java.io.File(
+        java.lang.System.getProperty("java.io.tmpdir"))
+      val appId = s.sparkContext.applicationId
+      val catDir = new java.io.File(tmpRoot,
+        s"graft_c5cat_${Integer.toHexString(d.hashCode)}_" + appId)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      // Startup sweep: the exit-time cleanup below is a JVM shutdown
+      // hook, which never runs on SIGKILL — a killed harness strands the
+      // appId-keyed dir forever (no later run shares the appId, so no
+      // later run reclaims it). Sweeping every graft_c5cat_* dir NOT
+      // owned by this application on entry makes the leak self-healing:
+      // at most one generation of stale catalogs ever exists.
+      Option(tmpRoot.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.startsWith("graft_c5cat_") &&
+          !f.getName.endsWith("_" + appId)) rm(f)
+      })
+      // Rebuild gate is the _SUCCESS marker, not dir existence: a build
+      // that crashed mid-parquet-write in THIS JVM leaves a half-written
+      // dir that a bare exists() check would happily serve as a
+      // truncated catalog. Spark's committer writes _SUCCESS only after
+      // every task's output is committed.
+      if (!new java.io.File(catDir, "_SUCCESS").exists()) {
+        if (catDir.exists()) rm(catDir)
         Similarity.plantedGeometricCorpus(
             base.repartition(s.sparkContext.defaultParallelism), "vec_id",
             "embedding", copies = 500, eps = 0.15)
@@ -805,12 +825,7 @@ object QueriesEval {
           .write.mode("overwrite").parquet(catDir.getAbsolutePath)
         // the dir is per-application (no cross-run reuse to go stale) and
         // removed on JVM exit, the x25 store-leak rule
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(catDir)
-        }
+        sys.addShutdownHook { rm(catDir) }
       }
       val catalog = s.read.parquet(catDir.getAbsolutePath)
       val nCat = SparkEntry.rowCount(s, d, "embeddings") * 500L

@@ -312,7 +312,9 @@ object QueriesLlm {
     //     corpus-wide greedy merge, the g1_pagerank fixed-iteration
     //     pattern. Both engines run the IDENTICAL byte-level merge (plain
     //     replace on the double-spaced padded form — closed under the
-    //     merge, no regex), so the learned table is exactly comparable. ---
+    //     merge, no regex; merged names joined by chr(1), a char no
+    //     corpus token contains), so the learned table is exactly
+    //     comparable. ---
     ("t_bpe_merges", (s, d) =>
       TextAnalysis.bpeMerges(SparkEntry.T(s, d, "documents"), "text",
         iterations = 3),
@@ -325,7 +327,7 @@ object QueriesLlm {
               |b1 AS (SELECT l, r, count(*) AS cnt FROM p1 GROUP BY 1,2
               |  ORDER BY cnt DESC, l, r LIMIT 1),
               |d1 AS (SELECT replace(st, ' ' || b1.l || '  ' || b1.r || ' ',
-              |  ' ' || b1.l || '_' || b1.r || ' ') AS st FROM d0 CROSS JOIN b1),
+              |  ' ' || b1.l || chr(1) || b1.r || ' ') AS st FROM d0 CROSS JOIN b1),
               |t2 AS (SELECT regexp_split_to_array(trim(st), ' +') AS ts FROM d1),
               |p2 AS (SELECT u.s.l AS l, u.s.r AS r FROM t2, unnest(
               |  CASE WHEN len(ts) < 2 THEN [] ELSE list_transform(range(1, len(ts)),
@@ -333,7 +335,7 @@ object QueriesLlm {
               |b2 AS (SELECT l, r, count(*) AS cnt FROM p2 GROUP BY 1,2
               |  ORDER BY cnt DESC, l, r LIMIT 1),
               |d2 AS (SELECT replace(st, ' ' || b2.l || '  ' || b2.r || ' ',
-              |  ' ' || b2.l || '_' || b2.r || ' ') AS st FROM d1 CROSS JOIN b2),
+              |  ' ' || b2.l || chr(1) || b2.r || ' ') AS st FROM d1 CROSS JOIN b2),
               |t3 AS (SELECT regexp_split_to_array(trim(st), ' +') AS ts FROM d2),
               |p3 AS (SELECT u.s.l AS l, u.s.r AS r FROM t3, unnest(
               |  CASE WHEN len(ts) < 2 THEN [] ELSE list_transform(range(1, len(ts)),
@@ -1012,7 +1014,10 @@ object QueriesLlm {
     //     oracle-proven standalone (d_passage_dedup, x14c, x9); this pins
     //     their COMPOSITION, token counts flowing from the REWRITTEN
     //     text. pack_id = doc_id·100 + epoch keeps copies distinct and
-    //     ordered (epoch ≤ 99 by the weight bound N/S ≤ 100·n_s). ---
+    //     ordered; maxCopies=99 makes upsampleMix's loud bound coincide
+    //     with the ·100 encoding, so a skewed lang distribution fails
+    //     with raise_error BEFORE any pack_id collision (epoch ≤ 99 is
+    //     otherwise only a dataset property: N/S ≤ 100·n_s). ---
     ("c6_training_mix", (s, d) => {
       val docs = SparkEntry.T(s, d, "documents")
       val cleaned = TextAnalysis.dedupPassages(docs, "doc_id", "text",
@@ -1026,7 +1031,7 @@ object QueriesLlm {
           (col("n").cast("double") / col("s") / col("ns")).as("w"))
       val mixed = Relational.upsampleMix(
           cleaned.join(broadcast(weights), Seq("lang")),
-          col("doc_id"), col("w"))
+          col("doc_id"), col("w"), maxCopies = 99)
         .select(col("lang"),
           (col("doc_id") * 100 + col("epoch")).as("pack_id"),
           col("clean_text"))

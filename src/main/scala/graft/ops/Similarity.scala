@@ -670,17 +670,37 @@ object Similarity {
     * round is monotone, so round-after-max equals max-of-rounded to the
     * bit — the oracle computes the latter).
     *
-    * Scale shape, `nlist = 0` (exact): the test side is small by
-    * definition — its normalized vectors are driver-collected (the
-    * centroid-table bound) and every train vector folds over the whole
-    * set inside ONE whole-stage-codegen'd kernel
+    * Scale shape, exact path: the test side is small by definition — its
+    * normalized vectors are driver-collected (the centroid-table bound)
+    * and every train vector folds over the whole set inside ONE
+    * whole-stage-codegen'd kernel
     * ([[graft.functions.expr.MaxVectorDot]]) — a pure projection. The
     * corpus is scanned once; zero shuffles, zero joins on the train
-    * side; work is Θ(|train|·|test|·d), which at a 10⁴-vector benchmark
-    * suite is ~10⁶ flops per train row — fine for a one-off prep pass,
-    * but the term grows with |test|.
+    * side; work is Θ(|train|·|test|·d). That term is only cheap while
+    * the test side stays benchmark-shaped: at the old 200 K-vector cap
+    * with d = 50 the collected literal is an ~80 MB task-closure object
+    * and the per-train-row cost is 2·10⁷ flops — 10× a 10⁴-vector
+    * suite — which is why `nlist = 0` now means "choose for me", not
+    * "always exact":
     *
-    * `nlist > 0` (cluster-blocked): the IVF escalation when
+    * `nlist = 0` (auto): the exact path is taken only when the REAL
+    * collected size passes a shape gate (the
+    * [[TextAnalysis.decontaminationReportFromTokens]] lesson, adapted):
+    * collected bytes ≤ 16 MB, and — once past 1 MB, where the per-row
+    * flop term starts to matter — collected·16 ≤ train's Catalyst size
+    * estimate (`optimizedPlan.stats`). The absolute arm deliberately
+    * does NOT use the test side's plan stats: size-only estimation
+    * propagates a Filter unchanged, so a `vec_id < 50` benchmark slice
+    * of a corpus-sized table is "estimated" at full-table size — the
+    * gate instead probes one row for the dimension, derives a row cap
+    * from the 16 MB budget, and collects at most cap+1 rows (bounded
+    * driver memory even when the test side IS the corpus). A test side
+    * failing either arm auto-escalates to the cluster-blocked path with
+    * `nlist = clamp(trainBytes / 64 KB, 64, 4096)` (≈ a few hundred
+    * rows per cluster at typical dims) — note the escalated result is
+    * the blocked path's, i.e. recall < 1 by construction.
+    *
+    * `nlist > 0` (cluster-blocked, pinned): the IVF escalation when
     * |train|·|test| stops being affordable — train rows score only
     * against test vectors probing their cluster (centroids picked from
     * the train corpus; test probes its `multiProbe` nearest, the
@@ -689,60 +709,141 @@ object Similarity {
     * by construction; the spec pins blocked ⊆ exact and equality on the
     * geometric regime. Per-cluster test vectors are pre-grouped into one
     * array row per cluster, so the block join is 1:≤1 broadcast — still
-    * no train-side shuffle. */
+    * no train-side shuffle.
+    *
+    * Null rule: test vectors that are null or contain a null lane are
+    * DROPPED before scoring (they carry no similarity evidence); train
+    * rows keep the kernel's null-propagation — null/null-lane train
+    * vector → null max_sim → `contaminated = false`.
+    *
+    * Engine-reproducibility note: cosines are computed as
+    * dot(a/|a|, b/|b|) with per-element normalization; an oracle
+    * computing dot(a,b)/(|a|·|b|) agrees to within float ulps, so a true
+    * cosine landing within ~1e-15 of a round-6 boundary can in principle
+    * flip `max_sim`/`contaminated` across engines, and a zero-norm
+    * vector yields 0.0 here vs NaN under the divide-by-norm form. */
   def semanticDecontaminate(train: DataFrame, test: DataFrame, idCol: String,
                             vecCol: String, threshold: Double,
                             nlist: Int = 0, multiProbe: Int = 2,
                             seed: Long = 42): DataFrame = {
     require(nlist >= 0 && multiProbe >= 1,
       s"semanticDecontaminate: nlist=$nlist multiProbe=$multiProbe")
-    val trn = normalized(
-      train.select(col(idCol), col(vecCol).as("__v")), "__v", "__v")
-    val tn = normalized(
-      test.select(col(vecCol).as("__tv")), "__tv", "__tv")
+    val trn = deconTrain(train, idCol, vecCol)
+    val tn = deconTest(test, vecCol)
     val scored =
-      if (nlist == 0) {
-        // Exact form: the test set is driver-collected (benchmark-sized —
-        // the same bound that justifies broadcasting a centroid table)
-        // and every train row folds over it inside ONE whole-stage-
-        // codegen'd kernel ([[graft.functions.expr.MaxVectorDot]]). The
-        // per-pair dot and the NaN-greatest max are bit-equal to the HOF
-        // `array_max(transform(...))` form (spec-pinned), which this
-        // replaces: the interpreted per-element lambda measured 11.5 s
-        // for 200 K × 50 at sf10 — the kernel is the same data in a
-        // fused primitive loop. round() is monotone, so rounding AFTER
-        // the max equals the old max-of-rounded to the bit.
-        val testVecs = tn.collect().map(_.getSeq[Any](0).map {
-          case f: java.lang.Float => f.toDouble
-          case n: Number => n.doubleValue()
-        }.toArray)
-        require(testVecs.length <= 200000,
-          s"semanticDecontaminate: exact form collected ${testVecs.length} " +
-            "test vectors — beyond the benchmark-sized bound the driver " +
-            "collection and per-row scoring assume. Use nlist > 0 (cluster " +
-            "blocking) for a corpus-sized test side.")
-        if (testVecs.isEmpty)
-          trn.select(col(idCol),
-            lit(null).cast("double").as("__rawmax"))
+      if (nlist > 0) blockedScore(trn, tn, idCol, nlist, multiProbe, seed)
+      else {
+        val dim = tn.limit(1).collect().headOption
+          .map(_.getSeq[Any](0).length).getOrElse(1)
+        val rowCap = math.max(1, (ExactDeconByteCap / (dim.toLong * 8L)).toInt)
+        val got = tn.limit(rowCap + 1).collect()
+        val bytes = math.min(got.length, rowCap).toLong * dim * 8L
+        val trainBytes = trn.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (got.length <= rowCap &&
+          exactDeconAffordable(bytes, trainBytes))
+          exactScoreFromRows(trn, got, idCol)
         else
-          trn.select(col(idCol), ColumnBridge.column(
-            graft.functions.expr.MaxVectorDot(
-              ColumnBridge.expression(col("__v")), testVecs))
-            .as("__rawmax"))
-      } else {
-        val cents = pickCentroids(trn, idCol, "__v", nlist, seed)
-        val perCluster = assignClusters(tn, "__tv", cents, probe = multiProbe)
-          .groupBy(col("centroid_id"))
-          .agg(collect_list(col("__tv")).as("__tvs"))
-        assignClusters(trn, "__v", cents)
-          .join(broadcast(perCluster), Seq("centroid_id"), "left")
-          .select(col(idCol),
-            array_max(transform(col("__tvs"), tv =>
-              vecDotNative(col("__v"), tv))).as("__rawmax"))
+          blockedScore(trn, tn, idCol, autoDeconNlist(trainBytes),
+            multiProbe, seed)
       }
     scored
       .select(col(idCol), round(col("__rawmax"), 6).as("max_sim"))
       .withColumn("contaminated",
         coalesce(col("max_sim") >= threshold, lit(false)))
+  }
+
+  /** Exact-path byte budget for the collected test-vector literal: 16 MB
+    * keeps the task-closure object and the per-train-row flop term both
+    * an order of magnitude under the measured degeneration point (80 MB /
+    * 2·10⁷ flops at the old 200 K-row cap, d = 50). */
+  private[graft] val ExactDeconByteCap: Long = 1L << 24
+
+  /** The exact-vs-blocked shape gate, pure so the spec can pin it:
+    * affordable = under the absolute byte cap AND (still small in
+    * absolute terms, OR ≤ 1/16 of the train size estimate — the same
+    * ratio the n-gram twin derives from Catalyst stats). The 1 MB floor
+    * keeps tiny fixtures (where test ≈ train ≈ kilobytes) on the exact
+    * path: the ratio arm models the |train|·|test| flop blow-up, which
+    * needs an absolutely-large test side to exist at all. */
+  private[graft] def exactDeconAffordable(testBytes: BigInt,
+                                          trainBytes: BigInt): Boolean =
+    testBytes <= ExactDeconByteCap &&
+      (testBytes <= (1L << 20) || testBytes * 16 <= trainBytes)
+
+  /** Auto-escalation nlist: one centroid per 64 KB of estimated train
+    * bytes, clamped to [64, 4096] — a few hundred rows per cluster at
+    * typical dims, the regime [[semanticBlockingRecall]] measured. */
+  private[graft] def autoDeconNlist(trainBytes: BigInt): Int = {
+    val raw = trainBytes / (1L << 16)
+    math.max(64, math.min(4096, raw.min(BigInt(4096)).toInt))
+  }
+
+  /** Exact path, pinned (no shape gate) — the differential spec's handle
+    * and the escape hatch for a caller who knows the test side is
+    * benchmark-shaped regardless of what a bounded probe would decide. */
+  private[graft] def semanticDecontaminateExact(
+      train: DataFrame, test: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val trn = deconTrain(train, idCol, vecCol)
+    exactScoreFromRows(trn, deconTest(test, vecCol).collect(), idCol)
+      .select(col(idCol), round(col("__rawmax"), 6).as("max_sim"))
+      .withColumn("contaminated",
+        coalesce(col("max_sim") >= threshold, lit(false)))
+  }
+
+  private def deconTrain(train: DataFrame, idCol: String,
+                         vecCol: String): DataFrame =
+    normalized(train.select(col(idCol), col(vecCol).as("__v")), "__v", "__v")
+
+  /** Normalized test side with degenerate rows dropped: a null vector or
+    * a null lane would NPE / MatchError the driver-side collect while
+    * the train side handles both via the kernel's null rule — dropping
+    * them makes the two sides' null semantics symmetric (a vector with
+    * no value carries no similarity evidence). */
+  private def deconTest(test: DataFrame, vecCol: String): DataFrame =
+    normalized(
+      test.select(col(vecCol).as("__tv"))
+        .filter(col("__tv").isNotNull &&
+          !exists(col("__tv"), x => x.isNull)),
+      "__tv", "__tv")
+
+  /** Exact scoring from already-collected normalized test rows: every
+    * train row folds over the whole set inside ONE whole-stage-codegen'd
+    * kernel ([[graft.functions.expr.MaxVectorDot]]). The per-pair dot
+    * and the NaN-greatest max are bit-equal to the HOF
+    * `array_max(transform(...))` form (spec-pinned), which this
+    * replaces: the interpreted per-element lambda measured 11.5 s for
+    * 200 K × 50 at sf10 — the kernel is the same data in a fused
+    * primitive loop. round() is monotone, so rounding AFTER the max
+    * equals the old max-of-rounded to the bit. */
+  private def exactScoreFromRows(trn: DataFrame,
+                                 rows: Array[org.apache.spark.sql.Row],
+                                 idCol: String): DataFrame = {
+    val testVecs = rows.map(_.getSeq[Any](0).map {
+      case f: java.lang.Float => f.toDouble
+      case n: Number => n.doubleValue()
+    }.toArray)
+    if (testVecs.isEmpty)
+      trn.select(col(idCol),
+        lit(null).cast("double").as("__rawmax"))
+    else
+      trn.select(col(idCol), ColumnBridge.column(
+        graft.functions.expr.MaxVectorDot(
+          ColumnBridge.expression(col("__v")), testVecs))
+        .as("__rawmax"))
+  }
+
+  private def blockedScore(trn: DataFrame, tn: DataFrame, idCol: String,
+                           nlist: Int, multiProbe: Int,
+                           seed: Long): DataFrame = {
+    val cents = pickCentroids(trn, idCol, "__v", nlist, seed)
+    val perCluster = assignClusters(tn, "__tv", cents, probe = multiProbe)
+      .groupBy(col("centroid_id"))
+      .agg(collect_list(col("__tv")).as("__tvs"))
+    assignClusters(trn, "__v", cents)
+      .join(broadcast(perCluster), Seq("centroid_id"), "left")
+      .select(col(idCol),
+        array_max(transform(col("__tvs"), tv =>
+          vecDotNative(col("__v"), tv))).as("__rawmax"))
   }
 }

@@ -285,14 +285,18 @@ object TextAnalysis {
     *
     * The merge substrate is the double-spaced padded string form
     * (sentinel space + every separator doubled): one plain `replace` of
-    * `" l  r "` with `" l_r "` consumes one space from each side's pair
-    * and restores it, so the padded form is CLOSED under the merge —
-    * matches at adjacent positions can't shadow each other, greedy
-    * left-to-right exactly like a BPE trainer, and the identical
+    * `" l  r "` with `" l<U+0001>r "` consumes one space from each
+    * side's pair and restores it, so the padded form is CLOSED under the
+    * merge — matches at adjacent positions can't shadow each other,
+    * greedy left-to-right exactly like a BPE trainer, and the identical
     * `replace` call exists in any engine (no regex, no lookaround — the
-    * oracle runs the same byte-level operation). Tokens must not contain
-    * `' '` (guaranteed by tokenization) — `'_'` in a token would only
-    * make a merged token's NAME ambiguous, never the merge itself.
+    * oracle runs the same byte-level operation via `chr(1)`). Merged
+    * token names are joined with U+0001, a control char no text corpus
+    * token contains — a joiner the corpus CAN contain (r12 used `'_'`)
+    * would let a pre-existing token collide with a merged token's name
+    * and silently change later rounds' pair statistics. Tokens must not
+    * contain `' '` (guaranteed by tokenization) or U+0001 (never
+    * produced by text).
     *
     * Scale shape per iteration: one corpus scan → pair count (map-
     * combined agg on (l, r)) → a one-row sort-limit → the merge as a
@@ -323,7 +327,7 @@ object TextAnalysis {
       state = state.crossJoin(broadcast(b))
         .select(org.apache.spark.sql.functions.replace(col("__st"),
           concat(lit(" "), col("l"), lit("  "), col("r"), lit(" ")),
-          concat(lit(" "), col("l"), lit("_"), col("r"), lit(" ")))
+          concat(lit(" "), col("l"), lit("\u0001"), col("r"), lit(" ")))
           .as("__st"))
       b.select(lit(step.toLong).as("step"), col("l"), col("r"), col("cnt"))
     }

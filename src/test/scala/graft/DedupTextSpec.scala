@@ -1018,15 +1018,16 @@ class DedupTextSpec extends AnyFunSuite {
       (3L, "x a a a y")).toDF("doc_id", "text")
     val got = TextAnalysis.bpeMerges(df, "text", iterations = 2)
       .as[(Long, String, String, Long)].collect().toSeq
-    assert(got === Seq((1L, "a", "b", 5L), (2L, "a_b", "c", 4L)))
+    assert(got === Seq((1L, "a", "b", 5L), (2L, "a\u0001b", "c", 4L)))
     // greedy overlap: [a,a,a] has TWO (a,a) positions but only one
     // non-overlapping merge site; counting sees both, merging takes one
     val aaa = Seq((1L, "a a a a a")).toDF("doc_id", "text")
     val m = TextAnalysis.bpeMerges(aaa, "text", iterations = 2)
       .as[(Long, String, String, Long)].collect().toSeq
-    // 5 a's: count 4 adjacent pairs; merge -> [a_a, a_a, a]; step 2 sees
-    // (a_a, a_a) x1 and (a_a, a) x1 -> tie on cnt, (a_a, a) wins lex
-    assert(m === Seq((1L, "a", "a", 4L), (2L, "a_a", "a", 1L)))
+    // 5 a's: count 4 adjacent pairs; merge -> [a⊕a, a⊕a, a] (⊕ = the
+    // U+0001 joiner); step 2 sees (a⊕a, a⊕a) x1 and (a⊕a, a) x1 -> tie
+    // on cnt, (a⊕a, a) wins lex (U+0001 sorts below every letter)
+    assert(m === Seq((1L, "a", "a", 4L), (2L, "a\u0001a", "a", 1L)))
   }
 
   test("unkRewrite: top-V cut with the (count desc, term asc) tiebreak, " +

@@ -184,7 +184,7 @@ class ParallelRankPropertySpec extends AnyFunSuite {
           var i = 0
           while (i < d.length) {
             if (i + 1 < d.length && d(i) == l && d(i + 1) == r) {
-              buf += s"${l}_$r"; i += 2
+              buf += (l + "\u0001" + r); i += 2
             } else { buf += d(i); i += 1 }
           }
           buf.toList

@@ -509,4 +509,75 @@ class VectorSpec extends AnyFunSuite {
     // every train row appears exactly once in both outputs
     assert(blocked.count() === e.count() && exact.count() === e.count())
   }
+
+  test("semanticDecontaminate shape gate: pure decision table") {
+    val MB = BigInt(1L << 20)
+    // benchmark-shaped: tiny test, any train -> exact
+    assert(Similarity.exactDeconAffordable(MB / 2, MB / 4))
+    assert(Similarity.exactDeconAffordable(BigInt(48), BigInt(300)))
+    // past the 1 MB floor the ratio arm applies: 16x headroom needed
+    assert(Similarity.exactDeconAffordable(2 * MB, 32 * MB))
+    assert(!Similarity.exactDeconAffordable(2 * MB, 31 * MB))
+    // absolute cap always wins, however large the train side claims to be
+    assert(!Similarity.exactDeconAffordable(17 * MB, MB * 1000000))
+    // auto nlist: clamped both ways, linear in between
+    assert(Similarity.autoDeconNlist(BigInt(1000)) === 64)
+    assert(Similarity.autoDeconNlist(BigInt(1L << 30)) === 4096)
+    assert(Similarity.autoDeconNlist(BigInt(100L << 16)) === 100)
+  }
+
+  test("semanticDecontaminate auto-gate: corpus-shaped test side escalates " +
+    "to cluster blocking; benchmark-shaped side is bit-equal to pinned exact") {
+    def vecs(n: Int, seed: Int) = (0 until n).map(i =>
+      (i.toLong + seed * 100000L,
+        Array.tabulate(50)(j => (((i * 31 + j * 7 + seed) % 97) / 97.0f))))
+    // test 3000 x 50-dim = 1.2 MB collected (> the 1 MB ratio floor),
+    // train 100 rows -> test*16 >> train: the ratio arm must escalate
+    val bigTest = vecs(3000, 1).toDF("vec_id", "embedding")
+    val smallTrain = vecs(100, 2).toDF("vec_id", "embedding")
+    val escalated = Similarity.semanticDecontaminate(
+      smallTrain, bigTest, "vec_id", "embedding", threshold = 0.9)
+    val joins = escalated.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.exists(
+            _.references.exists(_.name == "centroid_id")) => j
+    }
+    assert(joins.nonEmpty,
+      "corpus-shaped test side must take the cluster-blocked path:\n" +
+        escalated.queryExecution.sparkPlan.treeString)
+    assert(escalated.count() === 100L)
+    // benchmark-shaped (x12b's shape): gated result == pinned exact, row
+    // for row — the gate must not change what the oracle hashes
+    val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Option[Double], Boolean)].collect().sortBy(_._1).toSeq
+    val gated = rows(Similarity.semanticDecontaminate(
+      e.filter(col("vec_id") >= 50), e.filter(col("vec_id") < 50),
+      "vec_id", "embedding", threshold = 0.35))
+    val pinned = rows(Similarity.semanticDecontaminateExact(
+      e.filter(col("vec_id") >= 50), e.filter(col("vec_id") < 50),
+      "vec_id", "embedding", threshold = 0.35))
+    assert(gated === pinned)
+  }
+
+  test("semanticDecontaminate: null / null-lane test vectors are dropped, " +
+    "not crashed on (train-side symmetry)") {
+    val v = (x: Double, y: Double) => Array(x.toFloat, y.toFloat)
+    val clean = Seq((100L, v(1.0, 0.0))).toDF("vec_id", "embedding")
+    val dirty = Seq(
+      (100L, Some(Seq[java.lang.Float](1.0f, 0.0f))),
+      (101L, None),                                  // null vector
+      (102L, Some(Seq[java.lang.Float](0.5f, null)))) // null lane
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"))
+    val train = Seq((1L, v(0.999, 0.045)), (2L, v(-1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    def got(t: org.apache.spark.sql.DataFrame) =
+      Similarity.semanticDecontaminate(train, t, "vec_id", "embedding", 0.9)
+        .as[(Long, Option[Double], Boolean)].collect().sortBy(_._1).toSeq
+    assert(got(dirty.select(col("vec_id"),
+      col("embedding").cast("array<float>").as("embedding"))) ===
+      got(clean))
+  }
 }
