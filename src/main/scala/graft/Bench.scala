@@ -105,6 +105,77 @@ object Bench {
       }
       (name, best, succeeded)
     }
+    // --- Isolated re-measure of cross-round movers (VERDICT r12 "Next
+    // round" #1): the full-leg per-query numbers have now produced four
+    // phantom regressions across two rounds (g1_pagerank 8.24 leg vs 5.80
+    // isolated, r9b 6.51/3.70, r11b 5.32/2.62, c5 26.53/14.02) — leg
+    // context (JVM aging, neighbor spill, box contention) inflates
+    // individual rows by up to ~2x on untouched code. Every query whose
+    // leg time moved >30% vs the PRIOR ROUND's bench JSON is re-measured
+    // here after the leg, min-of-3 warm with the same clearCache+GC
+    // hygiene, and both numbers ship in the round artifact — a future
+    // cross-round diff reads `iso` and needs no manual A/B. Sub-second
+    // rows are exempt (all box noise at that magnitude). ---
+    val isoThreshold = sys.env.getOrElse(
+      "SPARK_GRAFT_ISO_THRESHOLD", "0.30").toDouble
+    val isoRuns = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_ISO_RUNS", "3").toInt)
+    val priorQueries: Map[String, Double] =
+      sys.env.get("SPARK_GRAFT_PRIOR_BENCH")
+        .map(p => new java.io.File(p))
+        .orElse {
+          val rx = "BENCH_r(\\d+)\\.json".r
+          Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+            .flatMap(f => f.getName match {
+              case rx(n) => Some((n.toInt, f)); case _ => None
+            }).sortBy(-_._1).headOption.map(_._2)
+        }
+        .flatMap { f =>
+          try {
+            val root = new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(f)
+            // driver files nest the parsed line under "parsed"; accept a
+            // bare bench line (e.g. target/bench_full.json) too
+            val q = Seq(Option(root.get("parsed"))
+                .map(_.get("queries")).orNull, root.get("queries"))
+              .find(n => n != null && !n.isNull)
+            q.map { node =>
+              val it = node.properties().iterator()
+              val b = Map.newBuilder[String, Double]
+              while (it.hasNext) {
+                val e = it.next(); b += (e.getKey -> e.getValue.asDouble())
+              }
+              b.result()
+            }
+          } catch { case _: Throwable => None }
+        }
+        .getOrElse(Map.empty)
+    val flagged = results.collect {
+      case (name, t, true) if priorQueries.get(name).exists { p =>
+        math.max(t, p) >= 0.5 && p > 0 &&
+          math.abs(t / p - 1.0) > isoThreshold
+      } => name
+    }
+    val iso: Seq[(String, Double)] = flagged.map { name =>
+      spark.catalog.clearCache()
+      System.gc()
+      var best = Double.MaxValue
+      var i = 0
+      while (i < isoRuns) {
+        val t0 = System.nanoTime()
+        try {
+          selected(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => () }
+        i += 1
+      }
+      System.err.println(f"[bench] iso $name: leg " +
+        f"${results.find(_._1 == name).map(_._2).getOrElse(-1.0)}%.2f " +
+        f"prior ${priorQueries(name)}%.2f iso $best%.2f")
+      (name, best)
+    }.filter(_._2 < Double.MaxValue)
+
     // System load alongside the timings so a grader can normalize a
     // contended run (1-min load average / available processors).
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -129,6 +200,12 @@ object Bench {
     // comma-decimal locale would render invalid JSON for the driver.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // Iso map always ships in full (it exists precisely so the round
+    // artifact is self-sufficient); the budget trims `queries` instead.
+    val isoJson =
+      if (iso.isEmpty) ""
+      else iso.sortBy(_._1).map { case (k, v) => s""""$k":${fmt(v)}""" }
+        .mkString(""","iso":{""", ",", "}")
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => s""""$k":${fmt(v)}""" }
         .mkString("{", ",", "}")
@@ -137,7 +214,7 @@ object Bench {
         if (nFailed > 0) s""","failed_queries":[${failedNames.mkString(",")}]"""
         else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs""" +
-        s""","n_queries":${results.size},"failed":$nFailed$fails$omit""" +
+        s""","n_queries":${results.size},"failed":$nFailed$fails$omit$isoJson""" +
         s""","runs":$runs,"estimator":"$estimator","hygiene":"$hygiene","load_avg":${fmt(loadAvg)},"n_cpu":$nCpu,"sf":"$sfDir"}"""
     }
 
@@ -147,8 +224,10 @@ object Bench {
       .mkString("{", ",", "}")
     val oks = results.map { case (k, _, ok) => s""""$k":$ok""" }
       .mkString("{", ",", "}")
+    val fullIso = iso.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"ok":$oks,"failed":$nFailed,"runs":$runs,"estimator":"$estimator","hygiene":"$hygiene","load_avg":$loadAvg,"n_cpu":$nCpu,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"ok":$oks,"iso":$fullIso,"failed":$nFailed,"runs":$runs,"estimator":"$estimator","hygiene":"$hygiene","load_avg":$loadAvg,"n_cpu":$nCpu,"sf":"$sfDir"}"""
     println(fullLine)
     try {
       java.nio.file.Files.write(
