@@ -40,6 +40,38 @@ object QueriesLlm {
     * identical first-32-bits-of-md5 comparison. */
   private def hx(f: Double): String = f"${(f * 4294967296.0).toLong}%08x"
 
+  /** 3-step BPE oracle, shared by t_bpe_merges (recomputing form) and
+    * t_bpe_materialized (checkpointing form) — the two must learn the
+    * IDENTICAL table, so they hash against the identical SQL. */
+  private val BpeOracle3: String =
+    s"""WITH d0 AS (SELECT ' ' || replace(trim(regexp_replace(lower(text),
+       |    '\\s+', ' ', 'g')), ' ', '  ') || ' ' AS st FROM documents),
+       |t1 AS (SELECT regexp_split_to_array(trim(st), ' +') AS ts FROM d0),
+       |p1 AS (SELECT u.s.l AS l, u.s.r AS r FROM t1, unnest(
+       |  CASE WHEN len(ts) < 2 THEN [] ELSE list_transform(range(1, len(ts)),
+       |    i -> struct_pack(l := ts[i], r := ts[i+1])) END) AS u(s)),
+       |b1 AS (SELECT l, r, count(*) AS cnt FROM p1 GROUP BY 1,2
+       |  ORDER BY cnt DESC, l, r LIMIT 1),
+       |d1 AS (SELECT replace(st, ' ' || b1.l || '  ' || b1.r || ' ',
+       |  ' ' || b1.l || chr(1) || b1.r || ' ') AS st FROM d0 CROSS JOIN b1),
+       |t2 AS (SELECT regexp_split_to_array(trim(st), ' +') AS ts FROM d1),
+       |p2 AS (SELECT u.s.l AS l, u.s.r AS r FROM t2, unnest(
+       |  CASE WHEN len(ts) < 2 THEN [] ELSE list_transform(range(1, len(ts)),
+       |    i -> struct_pack(l := ts[i], r := ts[i+1])) END) AS u(s)),
+       |b2 AS (SELECT l, r, count(*) AS cnt FROM p2 GROUP BY 1,2
+       |  ORDER BY cnt DESC, l, r LIMIT 1),
+       |d2 AS (SELECT replace(st, ' ' || b2.l || '  ' || b2.r || ' ',
+       |  ' ' || b2.l || chr(1) || b2.r || ' ') AS st FROM d1 CROSS JOIN b2),
+       |t3 AS (SELECT regexp_split_to_array(trim(st), ' +') AS ts FROM d2),
+       |p3 AS (SELECT u.s.l AS l, u.s.r AS r FROM t3, unnest(
+       |  CASE WHEN len(ts) < 2 THEN [] ELSE list_transform(range(1, len(ts)),
+       |    i -> struct_pack(l := ts[i], r := ts[i+1])) END) AS u(s)),
+       |b3 AS (SELECT l, r, count(*) AS cnt FROM p3 GROUP BY 1,2
+       |  ORDER BY cnt DESC, l, r LIMIT 1)
+       |SELECT CAST(1 AS BIGINT) AS step, * FROM b1
+       |UNION ALL SELECT 2, * FROM b2
+       |UNION ALL SELECT 3, * FROM b3 ORDER BY step""".stripMargin
+
   val registry: Seq[Q] = Seq(
 
     // --- Exact dedup: normalized-content hash groups, min-id keeper ---
@@ -318,33 +350,18 @@ object QueriesLlm {
     ("t_bpe_merges", (s, d) =>
       TextAnalysis.bpeMerges(SparkEntry.T(s, d, "documents"), "text",
         iterations = 3),
-      Some(s"""WITH d0 AS (SELECT ' ' || replace(trim(regexp_replace(lower(text),
-              |    '\\s+', ' ', 'g')), ' ', '  ') || ' ' AS st FROM documents),
-              |t1 AS (SELECT regexp_split_to_array(trim(st), ' +') AS ts FROM d0),
-              |p1 AS (SELECT u.s.l AS l, u.s.r AS r FROM t1, unnest(
-              |  CASE WHEN len(ts) < 2 THEN [] ELSE list_transform(range(1, len(ts)),
-              |    i -> struct_pack(l := ts[i], r := ts[i+1])) END) AS u(s)),
-              |b1 AS (SELECT l, r, count(*) AS cnt FROM p1 GROUP BY 1,2
-              |  ORDER BY cnt DESC, l, r LIMIT 1),
-              |d1 AS (SELECT replace(st, ' ' || b1.l || '  ' || b1.r || ' ',
-              |  ' ' || b1.l || chr(1) || b1.r || ' ') AS st FROM d0 CROSS JOIN b1),
-              |t2 AS (SELECT regexp_split_to_array(trim(st), ' +') AS ts FROM d1),
-              |p2 AS (SELECT u.s.l AS l, u.s.r AS r FROM t2, unnest(
-              |  CASE WHEN len(ts) < 2 THEN [] ELSE list_transform(range(1, len(ts)),
-              |    i -> struct_pack(l := ts[i], r := ts[i+1])) END) AS u(s)),
-              |b2 AS (SELECT l, r, count(*) AS cnt FROM p2 GROUP BY 1,2
-              |  ORDER BY cnt DESC, l, r LIMIT 1),
-              |d2 AS (SELECT replace(st, ' ' || b2.l || '  ' || b2.r || ' ',
-              |  ' ' || b2.l || chr(1) || b2.r || ' ') AS st FROM d1 CROSS JOIN b2),
-              |t3 AS (SELECT regexp_split_to_array(trim(st), ' +') AS ts FROM d2),
-              |p3 AS (SELECT u.s.l AS l, u.s.r AS r FROM t3, unnest(
-              |  CASE WHEN len(ts) < 2 THEN [] ELSE list_transform(range(1, len(ts)),
-              |    i -> struct_pack(l := ts[i], r := ts[i+1])) END) AS u(s)),
-              |b3 AS (SELECT l, r, count(*) AS cnt FROM p3 GROUP BY 1,2
-              |  ORDER BY cnt DESC, l, r LIMIT 1)
-              |SELECT CAST(1 AS BIGINT) AS step, * FROM b1
-              |UNION ALL SELECT 2, * FROM b2
-              |UNION ALL SELECT 3, * FROM b3 ORDER BY step""".stripMargin)),
+      Some(BpeOracle3)),
+
+    // --- BPE merge learning, MATERIALIZED-state form: per-iteration
+    //     localCheckpoint cuts the O(k^2) replay the lazy chain pays --
+    //     the shape a real 30K-merge trainer runs (per-step cost flat,
+    //     measured k=16/64 at sf1: BENCH_SF10.md r13 addendum).
+    //     Identical table to t_bpe_merges by construction, so it hashes
+    //     against the SAME oracle. ---
+    ("t_bpe_materialized", (s, d) =>
+      TextAnalysis.bpeMergesMaterialized(SparkEntry.T(s, d, "documents"),
+        "text", iterations = 3),
+      Some(BpeOracle3)),
 
     // --- BM25 corpus scoring against a fixed query (Okapi, Lucene idf):
     //     the classic retrieval scorer over the documents table; one
@@ -496,6 +513,51 @@ object QueriesLlm {
               |count(*) FILTER (WHERE NOT inv) AS n_unk,
               |string_agg(outtok, ' ' ORDER BY pos) AS unk_text
               |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // --- UNK rewrite through the Misra-Gries sketch — the open-vocab
+    //     100 TB path unkRewrite's scaladoc promises, on a PLANTED
+    //     Zipf-shaped corpus (the d_semantic_recall_geo device: the
+    //     testdata's 31-token distribution is uniform, so NO term
+    //     exceeds the N/capacity retention bound at any capacity < 31
+    //     and the MG contract is vacuous there). 2048 docs × 5 tokens:
+    //     three head slots cycling 32 head terms (exactly 192
+    //     occurrences each) + two doc-unique tail tokens (count 1, 4096
+    //     distinct) → vocabulary 4128 ≫ capacity 128, so the sketch
+    //     decrements constantly, yet N/128 = 80 < 192 GUARANTEES every
+    //     head survives with est ≥ 112 > any tail's est ≤ 1 — the MG
+    //     theorem makes the sketch's top-32 provably equal the exact
+    //     top-32, so the full rewrite is hash-oracled end to end: the
+    //     oracle replays the exact vocab cut, the engine routes through
+    //     the sketch, and they must agree byte for byte. ---
+    ("t_unk_mg_rewrite", (s, _) => {
+      val planted = s.range(2048).select(col("id"),
+        concat(lit("h"), (col("id") % 32).cast("string"),
+          lit(" h"), ((col("id") + 1) % 32).cast("string"),
+          lit(" h"), ((col("id") + 2) % 32).cast("string"),
+          lit(" t"), col("id").cast("string"),
+          lit(" u"), col("id").cast("string")).as("text"))
+      TextAnalysis.unkRewriteMG(planted, "id", "text",
+        vocabSize = 32, capacity = 128)
+        .orderBy(col("id"))
+    },
+      Some("""WITH docs AS (SELECT r.range AS id,
+             |  'h' || (r.range % 32) || ' h' || ((r.range + 1) % 32) ||
+             |  ' h' || ((r.range + 2) % 32) || ' t' || r.range ||
+             |  ' u' || r.range AS text FROM range(2048) r),
+             |t AS (SELECT id, string_split(text, ' ') AS ts FROM docs),
+             |toks AS (SELECT id, u.x.p AS pos, u.x.tok AS tok FROM t,
+             |  unnest(list_transform(range(1, len(ts) + 1),
+             |    i -> struct_pack(p := i - 1, tok := ts[i]))) AS u(x)),
+             |v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM toks
+             |  GROUP BY 1 ORDER BY c DESC, tok LIMIT 32)),
+             |m AS (SELECT id, pos,
+             |  CASE WHEN tok IN (SELECT tok FROM v) THEN tok
+             |       ELSE '<unk>' END AS outtok,
+             |  tok IN (SELECT tok FROM v) AS inv FROM toks)
+             |SELECT id, count(*) AS n_tokens,
+             |count(*) FILTER (WHERE NOT inv) AS n_unk,
+             |string_agg(outtok, ' ' ORDER BY pos) AS unk_text
+             |FROM m GROUP BY id ORDER BY id""".stripMargin)),
 
     // --- Vocab heavy hitters through the MG sketch — the 100 TB path for
     //     t_vocab_topk: ONE pass, O(k) state, no term-count shuffle at

@@ -334,6 +334,64 @@ object TextAnalysis {
     steps.reduce(_.union(_)).orderBy(col("step"))
   }
 
+  /** [[bpeMerges]] with per-iteration state materialization — the shape
+    * a real multi-thousand-merge trainer needs. The recomputing form
+    * above is ONE lazy Catalyst plan, but that means iteration k's pair
+    * count replays the whole replace chain from the raw corpus (k−1
+    * stacked replaces inside the scan) — O(k²) corpus work across the
+    * run, fine at the fixed k ≈ 3 a registry query uses, the wrong shape
+    * at a tokenizer's k = 30 000. Here each iteration's merged corpus is
+    * eagerly `localCheckpoint`ed (lineage cut, state held as executor
+    * blocks; the k−1 generation is unpersisted as soon as generation k
+    * is materialized, so at most TWO corpus copies are ever live), and
+    * the best pair is a 1-row sort-limit collected to the driver (the
+    * centroid-table bound) and folded into the replace as a literal —
+    * same counts, same tiebreak, same greedy merge, spec-pinned equal to
+    * [[bpeMerges]] on random corpora. Per-step cost is flat in k
+    * (measured at k = 16 / 64, sf1 — BENCH_SF10.md r13 addendum); on a
+    * cluster the same shape swaps localCheckpoint for a parquet
+    * checkpoint dir to survive executor loss. */
+  def bpeMergesMaterialized(df: DataFrame, textCol: String,
+                            iterations: Int): DataFrame = {
+    require(iterations >= 1, s"bpeMergesMaterialized: iterations=$iterations")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var state = df.select(concat(lit(" "),
+      regexp_replace(Dedup.normalizeText(col(textCol)), " ", "  "),
+      lit(" ")).as("__st")).localCheckpoint()
+    val steps = scala.collection.mutable.ListBuffer
+      .empty[(Long, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= iterations && !exhausted) {
+      val bestRow = state.select(split(trim(col("__st")), " +").as("__ts"))
+        .filter(size(col("__ts")) >= 2)
+        .select(explode(Dedup.wordShinglesFromTokens(col("__ts"), 2)).as("g"))
+        .select(element_at(split(col("g"), " "), 1).as("l"),
+          element_at(split(col("g"), " "), 2).as("r"))
+        .groupBy(col("l"), col("r")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .collect().headOption
+      bestRow match {
+        case None => exhausted = true // corpus out of pairs: ends early
+        case Some(row) =>
+          val (l, r, cnt) =
+            (row.getString(0), row.getString(1), row.getLong(2))
+          val prev = state
+          state = state
+            .select(org.apache.spark.sql.functions.replace(col("__st"),
+              lit(" " + l + "  " + r + " "),
+              lit(" " + l + "\u0001" + r + " ")).as("__st"))
+            .localCheckpoint()
+          prev.unpersist()
+          steps += ((step.toLong, l, r, cnt))
+          step += 1
+      }
+    }
+    state.unpersist()
+    steps.toSeq.toDF("step", "l", "r", "cnt")
+  }
+
   /** Vocabulary truncation — the rewrite between vocab selection and
     * training: every token outside the top-`vocabSize` corpus vocabulary
     * (by count, ties broken by term ascending — the heavy-hitters
@@ -346,19 +404,66 @@ object TextAnalysis {
     * construction), membership as a broadcast left join, reassembly as
     * one per-document aggregation ordered by token position. No
     * corpus-sized join sides, no windows. At open-vocab scale the exact
-    * top-V count feeding this swaps for the Misra-Gries heavy hitters
-    * ([[graft.functions.expr.HeavyHittersAgg]]) — same contract, O(V)
-    * state. */
+    * top-V count feeding this swaps for the Misra-Gries heavy hitters —
+    * [[unkRewriteMG]], same contract, O(capacity) state. */
   def unkRewrite(df: DataFrame, idCol: String, textCol: String,
                  vocabSize: Int, unkToken: String = "<unk>"): DataFrame = {
     require(vocabSize > 0, s"unkRewrite: vocabSize=$vocabSize")
-    val toks = df
-      .select(col(idCol), posexplode(tokens(col(textCol)))
-        .as(Seq("__pos", "__tok")))
+    val toks = posTokens(df, idCol, textCol)
     val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("__tok")).limit(vocabSize)
-      .select(col("__tok"), lit(true).as("__in"))
-    toks.join(broadcast(vocab), Seq("__tok"), "left")
+      .select(col("__tok"))
+    rewriteWithVocab(toks, vocab, idCol, unkToken)
+  }
+
+  /** [[unkRewrite]] with the vocabulary selected through the Misra-Gries
+    * heavy-hitters sketch ([[graft.functions.expr.HeavyHittersAgg]]) —
+    * the open-vocab scale path: the exact form's top-V needs a full
+    * (term, count) aggregation whose shuffle width is the CORPUS
+    * VOCABULARY (unbounded for open web text); the sketch keeps
+    * O(`capacity`) mergeable state in one pass with no term shuffle at
+    * all. Vocabulary = the top `vocabSize` sketch survivors by
+    * (estimated count desc, term asc) — the exact form's tiebreak on the
+    * sketch's estimates.
+    *
+    * Contract (Misra-Gries): every term with true count > N/capacity
+    * survives the sketch, and est ∈ [true − N/capacity, true]. So when
+    * `capacity` ≥ the corpus's distinct-term count the sketch never
+    * decrements, estimates are exact, and the rewrite is byte-identical
+    * to [[unkRewrite]] (spec-pinned); below that, boundary terms whose
+    * true counts sit within N/capacity of the V-th count may swap in or
+    * out — the in-query `t_unk_mg_rewrite` row measures exactly this
+    * vocab overlap and the doc-level agreement it induces. Rewrite plan
+    * shape is identical to [[unkRewrite]] — only the vocab source
+    * differs. */
+  def unkRewriteMG(df: DataFrame, idCol: String, textCol: String,
+                   vocabSize: Int, capacity: Int,
+                   unkToken: String = "<unk>"): DataFrame = {
+    require(vocabSize > 0 && capacity >= vocabSize,
+      s"unkRewriteMG: vocabSize=$vocabSize capacity=$capacity")
+    val toks = posTokens(df, idCol, textCol)
+    val vocab = toks
+      .agg(graft.functions.expr.HeavyHittersAgg
+        .heavyHitters(col("__tok"), capacity).as("__hh"))
+      .select(explode(col("__hh")).as("__e"))
+      .select(col("__e.item").as("__tok"), col("__e.est").as("__est"))
+      .orderBy(col("__est").desc, col("__tok")).limit(vocabSize)
+      .select(col("__tok"))
+    rewriteWithVocab(toks, vocab, idCol, unkToken)
+  }
+
+  private def posTokens(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(tokens(col(textCol)))
+      .as(Seq("__pos", "__tok")))
+
+  /** Shared rewrite tail: membership as a broadcast left join against the
+    * (V-row) vocab, reassembly as one per-document aggregation ordered by
+    * token position. */
+  private def rewriteWithVocab(toks: DataFrame, vocab: DataFrame,
+                               idCol: String, unkToken: String): DataFrame =
+    toks.join(broadcast(vocab.withColumn("__in", lit(true))),
+        Seq("__tok"), "left")
       .select(col(idCol), col("__pos"),
         when(col("__in").isNotNull, col("__tok")).otherwise(lit(unkToken))
           .as("__out"),
@@ -369,7 +474,6 @@ object TextAnalysis {
         array_join(transform(array_sort(collect_list(
           struct(col("__pos"), col("__out")))),
           p => p("__out")), " ").as("unk_text"))
-  }
 
   /** Per-document stats frame: id, token/char counts, ratios, quality.
     *

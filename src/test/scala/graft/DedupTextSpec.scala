@@ -1043,6 +1043,22 @@ class DedupTextSpec extends AnyFunSuite {
     val all = TextAnalysis.unkRewrite(df, "doc_id", "text", vocabSize = 10)
       .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
     assert(all(1L) === ((1L, 4L, 0L, "a b c a")))
+    // MG-backed variant, exact regime (capacity >= |vocab| -> the sketch
+    // never decrements, estimates are true counts, same tiebreak):
+    // byte-identical to the exact form, including the boundary-tie cut
+    val mg = TextAnalysis.unkRewriteMG(df, "doc_id", "text",
+      vocabSize = 2, capacity = 8)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(mg === got)
+    // approx regime sanity (capacity < |vocab| = 4): still a valid
+    // rewrite — token counts intact, n_unk consistent with the text
+    val approx = TextAnalysis.unkRewriteMG(df, "doc_id", "text",
+      vocabSize = 2, capacity = 2)
+      .as[(Long, Long, Long, String)].collect()
+    approx.foreach { case (_, nTok, nUnk, text) =>
+      assert(text.split(" ").length.toLong === nTok)
+      assert(text.split(" ").count(_ == "<unk>").toLong === nUnk)
+    }
   }
 
   test("dedupPassages: ragged tail passage is its own unit; unique corpus " +

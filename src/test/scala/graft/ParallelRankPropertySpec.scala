@@ -202,6 +202,14 @@ class ParallelRankPropertySpec extends AnyFunSuite {
         .map(r => (r._2, r._3, r._4))
       val want = referenceBpe(rows.map(_._2.split(" ").toList), 3)
       assert(got === want, s"batch $batch")
+      // the checkpointing form must learn the IDENTICAL table (same
+      // counts, same tiebreak, same greedy merge — only the state
+      // materialization differs)
+      val mat = graft.ops.TextAnalysis.bpeMergesMaterialized(
+          rows.toDF("doc_id", "text"), "text", iterations = 3)
+        .as[(Long, String, String, Long)].collect().toSeq
+        .map(r => (r._2, r._3, r._4))
+      assert(mat === want, s"batch $batch (materialized)")
     }
   }
 
