@@ -383,6 +383,26 @@ object StreamingJobs {
     stageAndSwapBuckets(spark, merged, storePath)
   }
 
+  /** Streaming form of [[incrementalPassageDedupBatch]] — the same
+    * foreachBatch shape as [[incrementalDedupStream]]: the checkpoint
+    * pins batchIds, so a post-crash replay re-offers rows with their
+    * ORIGINAL batchId and every first-writer minimum is unchanged
+    * (crash/replay proofs in StreamingSpec mirror the doc-level
+    * store's). */
+  def incrementalPassageDedupStream(docs: DataFrame, idCol: String,
+                                    textCol: String, storePath: String,
+                                    checkpointPath: String,
+                                    numBuckets: Int = 64,
+                                    size: Int = 16): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        incrementalPassageDedupBatch(batch, idCol, textCol, storePath,
+          batchId, numBuckets, size)
+      }
+      .start()
+
   /** The rewritten corpus a [[incrementalPassageDedupBatch]] store holds:
     * per document with at least one winning passage — (idCol, n_kept,
     * clean_text), passages reassembled in passage order. Documents whose

@@ -776,6 +776,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(clean() === Map(10L -> ((2L, s"$A $B")), 11L -> ((1L, C))))
   }
 
+  test("incremental PASSAGE dedup: post-stage crash recovers exactly-once " +
+    "from checkpoint (streaming form)") {
+    // The x25 crash proof, verbatim shape, on the passage store: the
+    // worst window is after staging, before the bucket swap — the store
+    // must be untouched, and the checkpoint must replay the micro-batch
+    // with its ORIGINAL batchId so recovery converges to the same
+    // winners.
+    val base = Files.createTempDirectory("graft-incpass-crash").toString
+    val src = base + "/src"
+    val store = base + "/store"
+    val ckpt = base + "/ckpt"
+    val A = (1 to 16).map(i => s"a$i").mkString(" ")
+    val B = (1 to 16).map(i => s"b$i").mkString(" ")
+    val C = (1 to 16).map(i => s"c$i").mkString(" ")
+    def run(): Unit = {
+      val s = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+      val q = StreamingJobs.incrementalPassageDedupStream(s, "doc_id",
+        "text", store, ckpt, numBuckets = 4)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def clean() = StreamingJobs.passageCleanCorpus(spark, store, "doc_id")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    Seq((10L, s"$A $B")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    run()
+    assert(clean() === Map(10L -> ((2L, s"$A $B"))))
+
+    // batch 1 offers a duplicate of A (must lose to the stored winner)
+    // and a fresh passage C (must land) — crash after staging first
+    Seq((5L, s"$A $C")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val abortKey = "spark.graft.upsert.abortAfterStage"
+    spark.conf.set(abortKey, "once")
+    intercept[Exception](run())
+    assert(clean() === Map(10L -> ((2L, s"$A $B"))),
+      "store mutated before the swap")
+    spark.conf.unset(abortKey)
+    run()
+    assert(clean() === Map(10L -> ((2L, s"$A $B")), 5L -> ((1L, C))),
+      "post-crash replay did not converge to first-writer winners")
+    run() // extra restart with nothing new: no-op
+    assert(clean() === Map(10L -> ((2L, s"$A $B")), 5L -> ((1L, C))))
+  }
+
   test("incremental dedup: post-stage crash recovers exactly-once from checkpoint") {
     val base = Files.createTempDirectory("graft-incdedup-crash").toString
     val src = base + "/src"
