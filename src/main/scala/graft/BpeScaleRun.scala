@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ops.TextAnalysis
+
+/** BPE trainer scaling harness (VERDICT r12 "Next round" #6): measures
+  * the recomputing chain ([[graft.ops.TextAnalysis.bpeMerges]]) against
+  * the materialized per-iteration-localCheckpoint form
+  * ([[graft.ops.TextAnalysis.bpeMergesMaterialized]]) at increasing merge
+  * counts on one corpus, so "per-step cost is flat" is a committed table
+  * (BENCH_SF10.md r13 addendum), not narrative. The recomputing form is
+  * measured only at small k: its step-k state subtree is referenced
+  * TWICE (by step k+1's pair count and by step k+1's state), so without
+  * whole-subtree reuse the executed plan roughly doubles per step —
+  * measured 6.4 s at k=4, 15.2 s at k=8, and a k=16 run was aborted at
+  * >5 min (sf1). The materialized form must grow ~linearly in k
+  * (constant secs/step).
+  *
+  * Usage: runMain graft.BpeScaleRun [sfDir=target/sf1] [maxK=64]
+  *        [maxRecomputeK=8]
+  */
+object BpeScaleRun {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("target/sf1")
+    val maxK = args.lift(1).map(_.toInt).getOrElse(64)
+    val maxRecomputeK = args.lift(2).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = SparkEntry.T(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("text"))
+      .localCheckpoint() // shared input: neither form charged for the scan
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    println(s"# BPE merge-count scaling (sfDir=$sfDir)")
+    println("| form | k | secs | secs/step |")
+    println("|---|---|---|---|")
+    val json = scala.collection.mutable.ListBuffer.empty[String]
+    for (k <- Seq(4, 8, 16, 64).filter(_ <= maxK)) {
+      val (sm, nm) =
+        time(TextAnalysis.bpeMergesMaterialized(docs, "text", k).count())
+      println(f"| materialized | $k | $sm%.2f | ${sm / k}%.3f |  <!-- $nm rows -->")
+      json += f""""mat_$k":$sm%.2f"""
+      // the recomputing chain's plan ~doubles per step: cap it where
+      // the point is made (k=16 measured >5 min at sf1 before abort)
+      if (k <= maxRecomputeK) {
+        val (sr, nr) = time(TextAnalysis.bpeMerges(docs, "text", k).count())
+        println(f"| recomputing | $k | $sr%.2f | ${sr / k}%.3f |  <!-- $nr rows -->")
+        json += f""""rec_$k":$sr%.2f"""
+      }
+    }
+    println("{" + json.mkString(",") + "}")
+    spark.stop()
+  }
+}

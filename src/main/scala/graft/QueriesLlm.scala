@@ -1009,9 +1009,12 @@ object QueriesLlm {
     //     broadcast test batch in ONE projection (HOF fold + native dot,
     //     zero train-side shuffles), max per-pair cosine rounded to 6
     //     BEFORE the max/threshold so keep/drop is engine-identical.
-    //     nlist=0 here (exact — the affordable form at benchmark-sized
-    //     test sets); the cluster-blocked escalation is spec-pinned
-    //     blocked ⊆ exact and exact-on-geometric. ---
+    //     nlist=0 here (auto since r13: the shape gate's bounded probe
+    //     sees the 50-vector test side and stays exact — spec-pinned
+    //     bit-equal to the pinned exact form on this shape, so the
+    //     oracle hash is gate-invariant); a corpus-shaped test side
+    //     would auto-escalate to the cluster-blocked path, which is
+    //     spec-pinned blocked ⊆ exact and exact-on-geometric. ---
     ("x12b_semantic_decontaminate", (s, d) => {
       val emb = SparkEntry.T(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"))

@@ -302,9 +302,10 @@ object TextAnalysis {
     * combined agg on (l, r)) → a one-row sort-limit → the merge as a
     * broadcast of that one row into a per-row projection. No joins
     * between corpus-sized sides, no windows. The k-step composition
-    * recomputes the state chain per step (fine at the fixed small k a
-    * query uses; a real 30 K-merge trainer checkpoints state per
-    * iteration — same plan, materialized). Documents with fewer than 2
+    * recomputes the state chain per step and the executed plan roughly
+    * doubles per step (measured — see [[bpeMergesMaterialized]], the
+    * checkpointing form a real 30 K-merge trainer needs); keep this form
+    * to the fixed small k a query uses. Documents with fewer than 2
     * tokens contribute no pairs; if the corpus runs out of pairs the
     * table just ends early. */
   def bpeMerges(df: DataFrame, textCol: String,
@@ -336,11 +337,13 @@ object TextAnalysis {
 
   /** [[bpeMerges]] with per-iteration state materialization — the shape
     * a real multi-thousand-merge trainer needs. The recomputing form
-    * above is ONE lazy Catalyst plan, but that means iteration k's pair
-    * count replays the whole replace chain from the raw corpus (k−1
-    * stacked replaces inside the scan) — O(k²) corpus work across the
-    * run, fine at the fixed k ≈ 3 a registry query uses, the wrong shape
-    * at a tokenizer's k = 30 000. Here each iteration's merged corpus is
+    * above is ONE lazy Catalyst plan, but its step-k state subtree is
+    * referenced TWICE (by step k+1's pair count AND inside step k+1's
+    * state), so without whole-subtree reuse the executed plan roughly
+    * DOUBLES per step — measured at sf1: 6.4 s at k=4, 15.2 s at k=8,
+    * k=16 aborted at >5 min (BENCH_SF10.md r13 addendum). Fine at the
+    * fixed k ≈ 3 a registry query uses, hopeless at a tokenizer's
+    * k = 30 000. Here each iteration's merged corpus is
     * eagerly `localCheckpoint`ed (lineage cut, state held as executor
     * blocks; the k−1 generation is unpersisted as soon as generation k
     * is materialized, so at most TWO corpus copies are ever live), and
