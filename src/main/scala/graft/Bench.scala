@@ -136,10 +136,16 @@ object Bench {
               .readTree(f)
             // driver files nest the parsed line under "parsed"; accept a
             // bare bench line (e.g. target/bench_full.json) too
-            val q = Seq(Option(root.get("parsed"))
-                .map(_.get("queries")).orNull, root.get("queries"))
+            val parsed = Option(root.get("parsed")).filter(!_.isNull)
+            val q = Seq(parsed.map(_.get("queries")).orNull,
+                root.get("queries"))
               .find(n => n != null && !n.isNull)
-            q.map { node =>
+            // cross-SF comparisons are meaningless (a dev subset run at
+            // sf0.001 must not iso-flag against the sf0.1 round prior)
+            val priorSf = Seq(parsed.map(_.get("sf")).orNull, root.get("sf"))
+              .find(n => n != null && !n.isNull).map(_.asText())
+            if (priorSf.exists(_ != sfDir)) None
+            else q.map { node =>
               val it = node.properties().iterator()
               val b = Map.newBuilder[String, Double]
               while (it.hasNext) {
