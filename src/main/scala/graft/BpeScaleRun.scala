@@ -45,6 +45,10 @@ object BpeScaleRun {
     println("| form | k | secs | secs/step |")
     println("|---|---|---|---|")
     val json = scala.collection.mutable.ListBuffer.empty[String]
+    val docsId = SparkEntry.T(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .localCheckpoint()
     for (k <- Seq(4, 8, 16, 64).filter(_ <= maxK)) {
       val (sm, nm) =
         time(TextAnalysis.bpeMergesMaterialized(docs, "text", k).count())
@@ -57,6 +61,18 @@ object BpeScaleRun {
         println(f"| recomputing | $k | $sr%.2f | ${sr / k}%.3f |  <!-- $nr rows -->")
         json += f""""rec_$k":$sr%.2f"""
       }
+      // ENCODE with the k-merge table: one projection whose plan size is
+      // constant in k (the table folds into a single aggregate literal) —
+      // cost should grow sublinearly in k (k cheap replace passes per doc,
+      // most of which no-op), nowhere near the trainer's per-step price.
+      val table = TextAnalysis
+        .bpeMergesMaterialized(docs, "text", k)
+        .orderBy(org.apache.spark.sql.functions.col("step"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val (se, ne) = time(
+        TextAnalysis.bpeEncode(docsId, "doc_id", "text", table).count())
+      println(f"| encode | $k | $se%.2f | ${se / k}%.3f |  <!-- $ne docs -->")
+      json += f""""enc_$k":$se%.2f"""
     }
     println("{" + json.mkString(",") + "}")
     spark.stop()

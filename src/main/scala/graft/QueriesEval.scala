@@ -805,11 +805,17 @@ object QueriesEval {
       // hook, which never runs on SIGKILL — a killed harness strands the
       // appId-keyed dir forever (no later run shares the appId, so no
       // later run reclaims it). Sweeping every graft_c5cat_* dir NOT
-      // owned by this application on entry makes the leak self-healing:
-      // at most one generation of stale catalogs ever exists.
+      // owned by this application makes the leak self-healing — but only
+      // dirs older than an hour: a foreign-appId dir with a fresh mtime
+      // belongs to a CONCURRENTLY running JVM (a bench leg overlapping a
+      // dev verify), and deleting it would yank that run's catalog
+      // mid-read. SIGKILL strays age past the guard and still get swept.
+      val sweepAgeMs = 60L * 60L * 1000L
       Option(tmpRoot.listFiles()).foreach(_.foreach { f =>
         if (f.getName.startsWith("graft_c5cat_") &&
-          !f.getName.endsWith("_" + appId)) rm(f)
+          !f.getName.endsWith("_" + appId) &&
+          java.lang.System.currentTimeMillis() - f.lastModified() >
+            sweepAgeMs) rm(f)
       })
       // Rebuild gate is the _SUCCESS marker, not dir existence: a build
       // that crashed mid-parquet-write in THIS JVM leaves a half-written

@@ -72,6 +72,43 @@ object QueriesLlm {
        |UNION ALL SELECT 2, * FROM b2
        |UNION ALL SELECT 3, * FROM b3 ORDER BY step""".stripMargin
 
+  /** Shared 3-merge encode oracle prefix: learns the same table as
+    * [[BpeOracle3]] (b1/b2/b3) while carrying doc_id through the merge
+    * chain, ending in per-document final token lists (`tok`). The encode
+    * and vocab-usage oracles both read from it. */
+  private val BpeEncodePrefix: String =
+    s"""WITH d0 AS (SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+       |    ' ' || replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+       |      ' ', '  ') || ' ' AS st FROM documents),
+       |t1 AS (SELECT regexp_split_to_array(trim(st), ' +') AS ts FROM d0),
+       |p1 AS (SELECT u.s.l AS l, u.s.r AS r FROM t1, unnest(
+       |  CASE WHEN len(ts) < 2 THEN [] ELSE list_transform(range(1, len(ts)),
+       |    i -> struct_pack(l := ts[i], r := ts[i+1])) END) AS u(s)),
+       |b1 AS (SELECT l, r FROM p1 GROUP BY 1,2
+       |  ORDER BY count(*) DESC, l, r LIMIT 1),
+       |d1 AS (SELECT doc_id, norm, replace(st, ' ' || b1.l || '  ' || b1.r || ' ',
+       |  ' ' || b1.l || chr(1) || b1.r || ' ') AS st FROM d0 CROSS JOIN b1),
+       |t2 AS (SELECT regexp_split_to_array(trim(st), ' +') AS ts FROM d1),
+       |p2 AS (SELECT u.s.l AS l, u.s.r AS r FROM t2, unnest(
+       |  CASE WHEN len(ts) < 2 THEN [] ELSE list_transform(range(1, len(ts)),
+       |    i -> struct_pack(l := ts[i], r := ts[i+1])) END) AS u(s)),
+       |b2 AS (SELECT l, r FROM p2 GROUP BY 1,2
+       |  ORDER BY count(*) DESC, l, r LIMIT 1),
+       |d2 AS (SELECT doc_id, norm, replace(st, ' ' || b2.l || '  ' || b2.r || ' ',
+       |  ' ' || b2.l || chr(1) || b2.r || ' ') AS st FROM d1 CROSS JOIN b2),
+       |t3 AS (SELECT regexp_split_to_array(trim(st), ' +') AS ts FROM d2),
+       |p3 AS (SELECT u.s.l AS l, u.s.r AS r FROM t3, unnest(
+       |  CASE WHEN len(ts) < 2 THEN [] ELSE list_transform(range(1, len(ts)),
+       |    i -> struct_pack(l := ts[i], r := ts[i+1])) END) AS u(s)),
+       |b3 AS (SELECT l, r FROM p3 GROUP BY 1,2
+       |  ORDER BY count(*) DESC, l, r LIMIT 1),
+       |d3 AS (SELECT doc_id, norm, replace(st, ' ' || b3.l || '  ' || b3.r || ' ',
+       |  ' ' || b3.l || chr(1) || b3.r || ' ') AS st FROM d2 CROSS JOIN b3),
+       |tok AS (SELECT doc_id, norm,
+       |  list_filter(regexp_split_to_array(trim(st), ' +'),
+       |    t -> len(t) > 0) AS ts FROM d3)""".stripMargin
+
   val registry: Seq[Q] = Seq(
 
     // --- Exact dedup: normalized-content hash groups, min-id keeper ---
@@ -362,6 +399,45 @@ object QueriesLlm {
       TextAnalysis.bpeMergesMaterialized(SparkEntry.T(s, d, "documents"),
         "text", iterations = 3),
       Some(BpeOracle3)),
+
+    // --- BPE ENCODE (the tokenizer-apply half): learn 3 merges with the
+    //     materialized trainer, then rewrite the whole corpus through the
+    //     table in ONE projection (constant plan size in k — the merge
+    //     table folds into a single codegen'd aggregate over an array
+    //     literal). Output is the per-doc token stream + the counts a
+    //     packing / token-budget stage consumes. Oracle replays the
+    //     identical learn-then-apply chain with doc_id carried through. ---
+    ("t_bpe_encode", (s, d) =>
+      TextAnalysis.bpeLearnEncode(SparkEntry.T(s, d, "documents"),
+        "doc_id", "text", iterations = 3)
+        .orderBy(col("doc_id")),
+      Some(s"""$BpeEncodePrefix
+              |SELECT doc_id,
+              |  len(list_filter(string_split(norm, ' '),
+              |    w -> len(w) > 0)) AS n_words,
+              |  len(ts) AS n_bpe_tokens,
+              |  len(list_filter(ts, t -> contains(t, chr(1))))
+              |    AS n_merged_tokens,
+              |  array_to_string(ts, ' ') AS bpe_text
+              |FROM tok ORDER BY doc_id""".stripMargin)),
+
+    // --- Post-encode vocabulary usage: the corpus frequency of every
+    //     token the encoder actually emits (base words + chr(1)-joined
+    //     merged tokens) — the table a vocab-coverage / UNK-budget
+    //     decision reads after tokenizer training. Top-20 by (count desc,
+    //     token asc); one explode + map-combined agg over the encoded
+    //     stream. ---
+    ("t_bpe_vocab_usage", (s, d) =>
+      TextAnalysis.bpeLearnEncode(SparkEntry.T(s, d, "documents"),
+        "doc_id", "text", iterations = 3)
+        .select(explode(split(col("bpe_text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(20),
+      Some(s"""$BpeEncodePrefix,
+              |u AS (SELECT unnest(ts) AS token FROM tok)
+              |SELECT token, count(*) AS cnt FROM u WHERE len(token) > 0
+              |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin)),
 
     // --- BM25 corpus scoring against a fixed query (Okapi, Lucene idf):
     //     the classic retrieval scorer over the documents table; one

@@ -395,6 +395,75 @@ object TextAnalysis {
     steps.toSeq.toDF("step", "l", "r", "cnt")
   }
 
+  /** BPE encode — the tokenizer-APPLY half of [[bpeMerges]]: rewrite
+    * each document through a learned merge table in merge-rank order and
+    * return the per-document token stream plus the counts a packing /
+    * token-budget stage consumes. Output: (id, n_words, n_bpe_tokens,
+    * n_merged_tokens, bpe_text); merged token names carry the U+0001
+    * joiner (the [[bpeMerges]] naming contract), so the stream joins
+    * directly against the learned merge table / vocabulary.
+    *
+    * Rank-order application IS BPE application: a merge learned at step
+    * i consumes only symbols that existed at training step i, so once
+    * steps 1..i−1 have been applied no later merge can create a fresh
+    * occurrence of an earlier pair — applying the table as one ordered
+    * pass equals iterative lowest-rank-first merging (the property that
+    * lets real tokenizers stream merges.txt; spec-pinned against an
+    * iterative min-rank reference on fuzz corpora, including tables
+    * learned on one corpus and applied to another). The merge device is
+    * the trainer's own double-spaced padded replace, so encoding the
+    * training corpus reproduces the trainer's final state bit-for-bit.
+    *
+    * Scale shape: ONE projection over the corpus — the whole merge
+    * table folds into a single codegen'd `aggregate` over an array
+    * literal, so plan size is constant in k (no k-deep expression chain,
+    * no joins, no shuffle; k replace passes per document inside one
+    * generated loop). Cost is O(k · doc_len) per document — right for
+    * the registry-scale k; at tokenizer-scale k (≳10⁴) the swap is a
+    * per-word min-rank heap kernel behind a word-frequency cache, same
+    * output contract. The merge table is driver-resident by construction
+    * (k rows, two short strings each). */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    merges.foreach { case (l, r) =>
+      require(l.nonEmpty && r.nonEmpty && !l.contains(" ") && !r.contains(" "),
+        s"bpeEncode: merge operands must be non-empty space-free tokens, got ('$l','$r')")
+    }
+    val norm = Dedup.normalizeText(col(textCol))
+    val padded = concat(lit(" "),
+      regexp_replace(norm, " ", "  "), lit(" "))
+    val enc =
+      if (merges.isEmpty) padded
+      else aggregate(
+        typedLit(merges.map { case (l, r) =>
+          (" " + l + "  " + r + " ", " " + l + "\u0001" + r + " ")
+        }),
+        padded,
+        (acc, m) => org.apache.spark.sql.functions.replace(
+          acc, m.getField("_1"), m.getField("_2")))
+    val toks = filter(split(trim(enc), " +"), t => length(t) > 0)
+    val words = filter(split(norm, " "), w => length(w) > 0)
+    df.select(col(idCol),
+      size(words).cast("long").as("n_words"),
+      size(toks).cast("long").as("n_bpe_tokens"),
+      size(filter(toks, t => t.contains("\u0001"))).cast("long")
+        .as("n_merged_tokens"),
+      array_join(toks, " ").as("bpe_text"))
+  }
+
+  /** Learn-then-encode convenience: [[bpeMergesMaterialized]] (the flat
+    * per-step trainer) for `iterations` merges, table collected to the
+    * driver (k rows — bounded by construction), then [[bpeEncode]] in
+    * one corpus projection. The full tokenizer-training loop a corpus
+    * pipeline ships: learn merges.txt, encode the corpus with it. */
+  def bpeLearnEncode(df: DataFrame, idCol: String, textCol: String,
+                     iterations: Int): DataFrame = {
+    val table = bpeMergesMaterialized(df, textCol, iterations)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncode(df, idCol, textCol, table)
+  }
+
   /** Vocabulary truncation — the rewrite between vocab selection and
     * training: every token outside the top-`vocabSize` corpus vocabulary
     * (by count, ties broken by term ascending — the heavy-hitters

@@ -1030,6 +1030,56 @@ class DedupTextSpec extends AnyFunSuite {
     assert(m === Seq((1L, "a", "a", 4L), (2L, "a\u0001a", "a", 1L)))
   }
 
+  test("bpeEncode: applies the table in rank order; counts, joiner names, " +
+    "and edge docs (empty / one word / no match) hold") {
+    val merges = Seq(("a", "b"), ("a\u0001b", "c"))
+    val df = Seq(
+      (1L, "a b c a b x"), // both merges fire: [a⊕b⊕c, a⊕b, x]
+      (2L, "b a"),         // pair present only in the wrong order: no-op
+      (3L, "a"),           // single word: nothing to merge
+      (4L, "  "),          // whitespace-only: zero tokens everywhere
+      (5L, "A B C"))       // normalizeText lowercases before matching
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(df, "doc_id", "text", merges)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 6L, 3L, 2L, "a\u0001b\u0001c a\u0001b x")))
+    assert(got(2L) === ((2L, 2L, 2L, 0L, "b a")))
+    assert(got(3L) === ((3L, 1L, 1L, 0L, "a")))
+    assert(got(4L) === ((4L, 0L, 0L, 0L, "")))
+    assert(got(5L) === ((5L, 3L, 1L, 1L, "a\u0001b\u0001c")))
+    // empty merge table: identity tokenization
+    val id0 = TextAnalysis.bpeEncode(df, "doc_id", "text", Nil)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(id0(1L) === ((1L, 6L, 6L, 0L, "a b c a b x")))
+    // n_words − n_bpe_tokens = total merge applications = total joiners
+    got.values.foreach { case (_, nw, nb, _, txt) =>
+      assert(nw - nb === txt.count(_ == '\u0001').toLong)
+    }
+    // operand validation is loud
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncode(df, "doc_id", "text", Seq(("a b", "c")))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncode(df, "doc_id", "text", Seq(("", "c")))
+    }
+  }
+
+  test("bpeLearnEncode: encoding the training corpus reproduces the " +
+    "trainer's final state (learn->apply closes the loop)") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "a b c a b"),
+      (3L, "x a a a y")).toDF("doc_id", "text")
+    // from the bpeMerges spec above: step1 = (a,b), step2 = (a⊕b, c)
+    val got = TextAnalysis.bpeLearnEncode(df, "doc_id", "text", 2)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._5 === "a\u0001b\u0001c a\u0001b\u0001c a\u0001b\u0001c")
+    assert(got(2L)._5 === "a\u0001b\u0001c a\u0001b")
+    assert(got(3L)._5 === "x a a a y")
+    assert(got(1L) === ((1L, 9L, 3L, 3L, got(1L)._5)))
+  }
+
   test("unkRewrite: top-V cut with the (count desc, term asc) tiebreak, " +
     "positions intact, OOV counted") {
     // counts: a=3, b=2, c=2, d=1. vocabSize=2 -> boundary tie between b

@@ -213,6 +213,72 @@ class ParallelRankPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bpeEncode = iterative lowest-rank-first apply on unseen corpora " +
+    "(tables learned on a different corpus)") {
+    // The engine applies the table as ONE ordered pass of replaces; the
+    // reference here is the classic tokenizer-apply loop — repeatedly
+    // find the lowest-RANK pair present in the doc and merge all its
+    // non-overlapping occurrences left to right, until no table pair is
+    // present. Equal outputs on tables learned on corpus A applied to
+    // fresh corpus B is exactly the "one ordered pass IS BPE apply"
+    // property the operator's scaladoc claims.
+    def minRankApply(doc0: List[String],
+                     merges: List[(String, String)]): List[String] = {
+      val rank = merges.zipWithIndex.toMap
+      var doc = doc0
+      var done = false
+      while (!done) {
+        val present = doc.iterator.sliding(2).withPartial(false)
+          .map(p => (p(0), p(1))).filter(rank.contains).toList
+        if (present.isEmpty) done = true
+        else {
+          val (l, r) = present.minBy(rank)
+          val buf = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < doc.length) {
+            if (i + 1 < doc.length && doc(i) == l && doc(i + 1) == r) {
+              buf += (l + "\u0001" + r); i += 2
+            } else { buf += doc(i); i += 1 }
+          }
+          doc = buf.toList
+        }
+      }
+      doc
+    }
+    val corpusGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(1, 30)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 14)
+        toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+      } yield toks.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    (1 to 4).foreach { batch =>
+      val trainRows = corpusGen.pureApply(Gen.Parameters.default,
+        Seed(2600L + batch))
+      val applyRows = corpusGen.pureApply(Gen.Parameters.default,
+        Seed(2700L + batch))
+      val table = graft.ops.TextAnalysis.bpeMergesMaterialized(
+          trainRows.toDF("doc_id", "text"), "text", iterations = 4)
+        .orderBy(col("step"))
+        .as[(Long, String, String, Long)].collect().toList
+        .map(r => (r._2, r._3))
+      val got = graft.ops.TextAnalysis.bpeEncode(
+          applyRows.toDF("doc_id", "text"), "doc_id", "text", table)
+        .as[(Long, Long, Long, Long, String)].collect()
+        .map(r => r._1 -> r).toMap
+      applyRows.foreach { case (id, text) =>
+        val doc0 = text.split(" ").filter(_.nonEmpty).toList
+        val want = minRankApply(doc0, table)
+        val (gid, nw, nb, nm, enc) = got(id)
+        assert(gid === id)
+        assert(enc === want.mkString(" "), s"batch $batch doc $id")
+        assert(nw === doc0.length.toLong)
+        assert(nb === want.length.toLong)
+        assert(nm === want.count(_.contains("\u0001")).toLong)
+      }
+    }
+  }
+
   test("MaxVectorDot = HOF array_max(transform(dot)) on random vector sets") {
     import org.apache.spark.sql.graftshim.ColumnBridge
     val setGen: Gen[(Array[Array[Double]], List[List[Float]])] = for {
