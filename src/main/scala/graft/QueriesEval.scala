@@ -809,7 +809,11 @@ object QueriesEval {
       // dirs older than an hour: a foreign-appId dir with a fresh mtime
       // belongs to a CONCURRENTLY running JVM (a bench leg overlapping a
       // dev verify), and deleting it would yank that run's catalog
-      // mid-read. SIGKILL strays age past the guard and still get swept.
+      // mid-read. Reads never refresh mtime, so each use below touches
+      // the dir explicitly — liveness is keyed off last USE, and a
+      // long leg that re-reads its catalog past the hour (the iso
+      // re-measure pass) stays protected. SIGKILL strays stop being
+      // touched and age past the guard, so they still get swept.
       val sweepAgeMs = 60L * 60L * 1000L
       Option(tmpRoot.listFiles()).foreach(_.foreach { f =>
         if (f.getName.startsWith("graft_c5cat_") &&
@@ -833,6 +837,7 @@ object QueriesEval {
         // removed on JVM exit, the x25 store-leak rule
         sys.addShutdownHook { rm(catDir) }
       }
+      catDir.setLastModified(java.lang.System.currentTimeMillis())
       val catalog = s.read.parquet(catDir.getAbsolutePath)
       val nCat = SparkEntry.rowCount(s, d, "embeddings") * 500L
       val nlist = math.max(64L, nCat / 500L).toInt

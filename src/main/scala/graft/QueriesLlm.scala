@@ -75,7 +75,11 @@ object QueriesLlm {
   /** Shared 3-merge encode oracle prefix: learns the same table as
     * [[BpeOracle3]] (b1/b2/b3) while carrying doc_id through the merge
     * chain, ending in per-document final token lists (`tok`). The encode
-    * and vocab-usage oracles both read from it. */
+    * and vocab-usage oracles both read from it. Each merge step is a
+    * LEFT JOIN ON TRUE + CASE, not a CROSS JOIN: on a pair-exhausted
+    * corpus an empty b_i would make a cross join DROP every document
+    * (while the engine ends the merge table early and still encodes all
+    * docs) — the left join keeps the step a per-doc no-op instead. */
   private val BpeEncodePrefix: String =
     s"""WITH d0 AS (SELECT doc_id,
        |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
@@ -87,24 +91,30 @@ object QueriesLlm {
        |    i -> struct_pack(l := ts[i], r := ts[i+1])) END) AS u(s)),
        |b1 AS (SELECT l, r FROM p1 GROUP BY 1,2
        |  ORDER BY count(*) DESC, l, r LIMIT 1),
-       |d1 AS (SELECT doc_id, norm, replace(st, ' ' || b1.l || '  ' || b1.r || ' ',
-       |  ' ' || b1.l || chr(1) || b1.r || ' ') AS st FROM d0 CROSS JOIN b1),
+       |d1 AS (SELECT doc_id, norm, CASE WHEN b1.l IS NULL THEN st ELSE
+       |  replace(st, ' ' || b1.l || '  ' || b1.r || ' ',
+       |    ' ' || b1.l || chr(1) || b1.r || ' ') END AS st
+       |  FROM d0 LEFT JOIN b1 ON TRUE),
        |t2 AS (SELECT regexp_split_to_array(trim(st), ' +') AS ts FROM d1),
        |p2 AS (SELECT u.s.l AS l, u.s.r AS r FROM t2, unnest(
        |  CASE WHEN len(ts) < 2 THEN [] ELSE list_transform(range(1, len(ts)),
        |    i -> struct_pack(l := ts[i], r := ts[i+1])) END) AS u(s)),
        |b2 AS (SELECT l, r FROM p2 GROUP BY 1,2
        |  ORDER BY count(*) DESC, l, r LIMIT 1),
-       |d2 AS (SELECT doc_id, norm, replace(st, ' ' || b2.l || '  ' || b2.r || ' ',
-       |  ' ' || b2.l || chr(1) || b2.r || ' ') AS st FROM d1 CROSS JOIN b2),
+       |d2 AS (SELECT doc_id, norm, CASE WHEN b2.l IS NULL THEN st ELSE
+       |  replace(st, ' ' || b2.l || '  ' || b2.r || ' ',
+       |    ' ' || b2.l || chr(1) || b2.r || ' ') END AS st
+       |  FROM d1 LEFT JOIN b2 ON TRUE),
        |t3 AS (SELECT regexp_split_to_array(trim(st), ' +') AS ts FROM d2),
        |p3 AS (SELECT u.s.l AS l, u.s.r AS r FROM t3, unnest(
        |  CASE WHEN len(ts) < 2 THEN [] ELSE list_transform(range(1, len(ts)),
        |    i -> struct_pack(l := ts[i], r := ts[i+1])) END) AS u(s)),
        |b3 AS (SELECT l, r FROM p3 GROUP BY 1,2
        |  ORDER BY count(*) DESC, l, r LIMIT 1),
-       |d3 AS (SELECT doc_id, norm, replace(st, ' ' || b3.l || '  ' || b3.r || ' ',
-       |  ' ' || b3.l || chr(1) || b3.r || ' ') AS st FROM d2 CROSS JOIN b3),
+       |d3 AS (SELECT doc_id, norm, CASE WHEN b3.l IS NULL THEN st ELSE
+       |  replace(st, ' ' || b3.l || '  ' || b3.r || ' ',
+       |    ' ' || b3.l || chr(1) || b3.r || ' ') END AS st
+       |  FROM d2 LEFT JOIN b3 ON TRUE),
        |tok AS (SELECT doc_id, norm,
        |  list_filter(regexp_split_to_array(trim(st), ' +'),
        |    t -> len(t) > 0) AS ts FROM d3)""".stripMargin

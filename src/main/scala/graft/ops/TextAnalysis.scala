@@ -498,21 +498,26 @@ object TextAnalysis {
     * (estimated count desc, term asc) — the exact form's tiebreak on the
     * sketch's estimates.
     *
-    * Contract (Misra-Gries): every term with true count > N/capacity
-    * survives the sketch, and est ∈ [true − N/capacity, true]. So when
-    * `capacity` ≥ the corpus's distinct-term count the sketch never
-    * decrements, estimates are exact, and the rewrite is byte-identical
-    * to [[unkRewrite]] (spec-pinned); below that, boundary terms whose
-    * true counts sit within N/capacity of the V-th count may swap in or
-    * out — the in-query `t_unk_mg_rewrite` row measures exactly this
-    * vocab overlap and the doc-level agreement it induces. Rewrite plan
-    * shape is identical to [[unkRewrite]] — only the vocab source
-    * differs. */
+    * Contract (Misra-Gries, `capacity − 1` counters — the classic m-counter
+    * sketch with m = capacity − 1, error ≤ N/(m+1) = N/capacity): every
+    * term with true count > N/capacity survives the sketch, and
+    * est ∈ [true − N/capacity, true]. So when `capacity − 1` ≥ the
+    * corpus's distinct-term count the sketch never decrements, estimates
+    * are exact, and the rewrite is byte-identical to [[unkRewrite]]
+    * (spec-pinned); below that, boundary terms whose true counts sit
+    * within N/capacity of the V-th count may swap in or out — the
+    * in-query `t_unk_mg_rewrite` row measures exactly this vocab overlap
+    * and the doc-level agreement it induces. `capacity > vocabSize` is
+    * required (not ≥): with capacity − 1 counters, capacity == vocabSize
+    * could never fill the vocabulary even on an exact-regime corpus.
+    * Rewrite plan shape is identical to [[unkRewrite]] — only the vocab
+    * source differs. */
   def unkRewriteMG(df: DataFrame, idCol: String, textCol: String,
                    vocabSize: Int, capacity: Int,
                    unkToken: String = "<unk>"): DataFrame = {
-    require(vocabSize > 0 && capacity >= vocabSize,
-      s"unkRewriteMG: vocabSize=$vocabSize capacity=$capacity")
+    require(vocabSize > 0 && capacity > vocabSize,
+      s"unkRewriteMG: vocabSize=$vocabSize needs capacity > vocabSize " +
+        s"(got $capacity): the sketch keeps capacity-1 counters")
     val toks = posTokens(df, idCol, textCol)
     val vocab = toks
       .agg(graft.functions.expr.HeavyHittersAgg

@@ -1100,10 +1100,26 @@ class DedupTextSpec extends AnyFunSuite {
       vocabSize = 2, capacity = 8)
       .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
     assert(mg === got)
-    // approx regime sanity (capacity < |vocab| = 4): still a valid
-    // rewrite — token counts intact, n_unk consistent with the text
+    // exact-regime BOUNDARY: the sketch keeps capacity-1 counters, so
+    // capacity = |vocab| + 1 = 5 is the smallest exact capacity — all 4
+    // terms keepable, byte-identical to the exact form at vocabSize 4
+    val mgB = TextAnalysis.unkRewriteMG(df, "doc_id", "text",
+      vocabSize = 4, capacity = 5)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val exB = TextAnalysis.unkRewrite(df, "doc_id", "text", vocabSize = 4)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(mgB === exB)
+    assert(mgB(1L)._3 === 0L) // all four terms in vocab: zero unks
+    // capacity == vocabSize is loudly rejected: the sketch keeps
+    // capacity-1 counters, so it could never fill the vocabulary
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unkRewriteMG(df, "doc_id", "text",
+        vocabSize = 2, capacity = 2)
+    }
+    // approx regime sanity (capacity-1 = 2 counters < |vocab| = 4): still
+    // a valid rewrite — token counts intact, n_unk consistent with text
     val approx = TextAnalysis.unkRewriteMG(df, "doc_id", "text",
-      vocabSize = 2, capacity = 2)
+      vocabSize = 2, capacity = 3)
       .as[(Long, Long, Long, String)].collect()
     approx.foreach { case (_, nTok, nUnk, text) =>
       assert(text.split(" ").length.toLong === nTok)
