@@ -71,6 +71,45 @@ object Bench {
     // than the first (codegen, parquet footers and page cache are warm).
     val runs = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    // Leg-context observability (VERDICT r13 "What's wrong" #1 / "Next
+    // round" #2): with SPARK_GRAFT_BENCH_DIAG=1, dump the JVM/executor
+    // state BETWEEN queries — persisted-RDD block storage (localCheckpoint
+    // blocks from MLlib fits and iterative ops are NOT touched by
+    // clearCache), block-manager on-disk file counts (ContextCleaner lag),
+    // heap, and load average — so a leg-vs-iso inflation can be bisected
+    // to a named cause instead of re-guessed every round.
+    val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG").contains("1")
+    def diagLine(tag: String): Unit = if (diag) {
+      try {
+        val rdds = spark.sparkContext.getRDDStorageInfo
+        val mem = rdds.map(_.memSize).sum / (1 << 20)
+        val dsk = rdds.map(_.diskSize).sum / (1 << 20)
+        var files = 0L
+        var bytes = 0L
+        def walk(f: java.io.File): Unit = {
+          val ls = f.listFiles()
+          if (ls != null) ls.foreach { c =>
+            if (c.isDirectory) walk(c)
+            else { files += 1; bytes += c.length() }
+          }
+        }
+        Option(new java.io.File(
+            java.lang.System.getProperty("java.io.tmpdir")).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("blockmgr-") && f.isDirectory)
+          .foreach(walk)
+        val rt = Runtime.getRuntime
+        val heap = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
+        val load = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+        java.lang.System.err.println(
+          f"[bench-diag] $tag: rdds=${rdds.length} rddMem=${mem}MB " +
+            f"rddDisk=${dsk}MB bmFiles=$files bmMB=${bytes / (1 << 20)} " +
+            f"heapMB=$heap load=$load%.1f")
+      } catch { case e: Throwable =>
+        java.lang.System.err.println(s"[bench-diag] $tag failed: $e")
+      }
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Inter-query hygiene (untimed): a long single-JVM sweep otherwise
       // AGES — cached plans/broadcasts pile up and the ContextCleaner's
@@ -82,6 +121,7 @@ object Bench {
       // reclaims that state so each timing starts from a comparable JVM.
       spark.catalog.clearCache()
       System.gc()
+      diagLine(s"before $name")
       var best = Double.MaxValue
       var succeeded = false
       var failed = false
@@ -182,12 +222,31 @@ object Bench {
       (name, best)
     }.filter(_._2 < Double.MaxValue)
 
+    // --- iso OVERRIDES the leg number when they disagree (VERDICT r13
+    // "Next round" #2, option B): the leg has produced inflated rows on
+    // unchanged code for three consecutive rounds (c2 120.1 s leg vs 8.61
+    // iso in r13; see BENCH_SF10.md r14 leg-inflation note for the
+    // bisected cause). The driver-facing `queries` map and total now carry
+    // the iso re-measure for any flagged row whose leg time diverges >30%
+    // from its own same-JVM isolated re-run — the steady-state number a
+    // cross-round diff should read — and the raw leg numbers of the
+    // overridden rows ship alongside under `leg` so nothing is hidden. ---
+    val isoMap = iso.toMap
+    def overridden(name: String, legT: Double): Option[Double] =
+      isoMap.get(name).filter(v => math.abs(legT / v - 1.0) > 0.30)
+    val adjusted = results.map { case (name, t, ok) =>
+      (name, overridden(name, t).getOrElse(t), ok)
+    }
+    val legKept = results.collect {
+      case (name, t, _) if overridden(name, t).isDefined => (name, t)
+    }
     // System load alongside the timings so a grader can normalize a
     // contended run (1-min load average / available processors).
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadAvg = osBean.getSystemLoadAverage
     val nCpu = osBean.getAvailableProcessors
-    val total = results.map(_._2).sum
+    val total = adjusted.map(_._2).sum
+    val legTotal = results.map(_._2).sum
     val nFailed = results.count(!_._3)
     // Self-describing estimator so cross-round totals compare like-for-like
     // (r1-r6 were single cold runs; r7+ are min-of-N warm).
@@ -212,6 +271,13 @@ object Bench {
       if (iso.isEmpty) ""
       else iso.sortBy(_._1).map { case (k, v) => s""""$k":${fmt(v)}""" }
         .mkString(""","iso":{""", ",", "}")
+    // Raw leg numbers of iso-overridden rows (+ the raw leg total when any
+    // row was overridden) — always shipped in full, like iso.
+    val legJson =
+      if (legKept.isEmpty) ""
+      else legKept.sortBy(_._1).map { case (k, v) => s""""$k":${fmt(v)}""" }
+        .mkString(""","leg":{""", ",",
+          s"""},"leg_total":${fmt(legTotal)}""")
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => s""""$k":${fmt(v)}""" }
         .mkString("{", ",", "}")
@@ -220,20 +286,22 @@ object Bench {
         if (nFailed > 0) s""","failed_queries":[${failedNames.mkString(",")}]"""
         else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs""" +
-        s""","n_queries":${results.size},"failed":$nFailed$fails$omit$isoJson""" +
+        s""","n_queries":${results.size},"failed":$nFailed$fails$omit$isoJson$legJson""" +
         s""","runs":$runs,"estimator":"$estimator","hygiene":"$hygiene","load_avg":${fmt(loadAvg)},"n_cpu":$nCpu,"sf":"$sfDir"}"""
     }
 
     // Full detail: log line (may be sbt-prefixed/truncated — that's fine)
     // and a file for offline reading.
-    val fullQs = results.map { case (k, v, _) => s""""$k":$v""" }
+    val fullQs = adjusted.map { case (k, v, _) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val oks = results.map { case (k, _, ok) => s""""$k":$ok""" }
       .mkString("{", ",", "}")
     val fullIso = iso.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val fullLeg = legKept.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"ok":$oks,"iso":$fullIso,"failed":$nFailed,"runs":$runs,"estimator":"$estimator","hygiene":"$hygiene","load_avg":$loadAvg,"n_cpu":$nCpu,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"ok":$oks,"iso":$fullIso,"leg":$fullLeg,"leg_total":$legTotal,"failed":$nFailed,"runs":$runs,"estimator":"$estimator","hygiene":"$hygiene","load_avg":$loadAvg,"n_cpu":$nCpu,"sf":"$sfDir"}"""
     println(fullLine)
     try {
       java.nio.file.Files.write(
@@ -244,7 +312,7 @@ object Bench {
     // Driver-facing line: all queries if they fit the tail budget, else
     // drop the fastest until they do (slowest-first content, keys sorted
     // by name within the kept set for stable diffs).
-    val byTime = results.sortBy(-_._2).map { case (k, v, _) => (k, v) }
+    val byTime = adjusted.sortBy(-_._2).map { case (k, v, _) => (k, v) }
     var keep = byTime.length
     while (keep > 0 && line(byTime.take(keep).sortBy(_._1), byTime.length - keep).length > LineBudget)
       keep -= 1

@@ -50,8 +50,17 @@ object BpeScaleRun {
         org.apache.spark.sql.functions.col("text"))
       .localCheckpoint()
     for (k <- Seq(4, 8, 16, 64).filter(_ <= maxK)) {
-      val (sm, nm) =
-        time(TextAnalysis.bpeMergesMaterialized(docs, "text", k).count())
+      // Train ONCE per k and time the table collect itself (ADVICE r13:
+      // the earlier count()-then-collect() shape ran the whole trainer
+      // twice — ~40 redundant seconds per bench run at k=64/sf1). The
+      // collected table serves both the trainer row and the encode legs.
+      var table: Seq[(String, String)] = Nil
+      val (sm, nm) = time {
+        table = TextAnalysis.bpeMergesMaterialized(docs, "text", k)
+          .orderBy(org.apache.spark.sql.functions.col("step"))
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        table.size.toLong
+      }
       println(f"| materialized | $k | $sm%.2f | ${sm / k}%.3f |  <!-- $nm rows -->")
       json += f""""mat_$k":$sm%.2f"""
       // the recomputing chain's plan ~doubles per step: cap it where
@@ -65,14 +74,43 @@ object BpeScaleRun {
       // constant in k (the table folds into a single aggregate literal) —
       // cost should grow sublinearly in k (k cheap replace passes per doc,
       // most of which no-op), nowhere near the trainer's per-step price.
-      val table = TextAnalysis
-        .bpeMergesMaterialized(docs, "text", k)
-        .orderBy(org.apache.spark.sql.functions.col("step"))
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       val (se, ne) = time(
         TextAnalysis.bpeEncode(docsId, "doc_id", "text", table).count())
       println(f"| encode | $k | $se%.2f | ${se / k}%.3f |  <!-- $ne docs -->")
       json += f""""enc_$k":$se%.2f"""
+    }
+    // --- ENCODE k-curve, fold vs rank-indexed kernel (VERDICT r13 top-
+    //     next): tables come from topPairTable (one pass; all-base
+    //     operands → valid apply table) so tokenizer-scale k is reachable
+    //     without paying k trainer rounds. The fold is O(k·len)/doc — its
+    //     curve should grow ~linearly in k; the indexed kernel is
+    //     O(applied·len)/doc — its curve should stay flat. Both forms'
+    //     outputs are asserted EQUAL here (count + sum of token counts)
+    //     on top of the DedupTextSpec differential. ---
+    println("| form | k | secs | secs/step |")
+    println("|---|---|---|---|")
+    val F = org.apache.spark.sql.functions
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    for (k <- Seq(3, 64, 256, 1024)) {
+      val table = TextAnalysis.topPairTable(docsId, "text", k)
+      def agg(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+        val r = df.agg(F.count(F.lit(1)), F.sum(F.col("n_bpe_tokens")),
+          F.sum(F.col("n_merged_tokens"))).collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val (sf, rf) = timed(
+        agg(TextAnalysis.bpeEncode(docsId, "doc_id", "text", table)))
+      val (si, ri) = timed(
+        agg(TextAnalysis.bpeEncodeIndexed(docsId, "doc_id", "text", table)))
+      require(rf == ri,
+        s"encode fold vs indexed DIVERGED at k=${table.size}: $rf vs $ri")
+      println(f"| encode-fold | ${table.size} | $sf%.2f | ${sf / k}%.4f |  <!-- ${rf._2} toks, ${rf._3} merged -->")
+      println(f"| encode-indexed | ${table.size} | $si%.2f | ${si / k}%.4f |")
+      json += f""""encfold_$k":$sf%.2f,"encidx_$k":$si%.2f"""
     }
     println("{" + json.mkString(",") + "}")
     spark.stop()

@@ -699,6 +699,152 @@ object QueriesEval {
     //     (small-catalog path; clusterPrunedTopK is the drop-in for large
     //     catalogs), seen-set anti-join shuffles on (u, it), metadata join
     //     broadcasts the dim table. ---
+    // --- C7: the §7.2 end-to-end slice as a DRIVER-GATED row (VERDICT r13
+    //     "Next round" #5): implicit labels (P4) → positives only (P5) →
+    //     3-iteration k-core (J5) → global 80/10/10 time split (W2) →
+    //     popularity ranking (A7) → top-100 minus seen (X4+W3) → the full
+    //     multi-K metric stack + coverage (E1–E9) as ONE row — the
+    //     scripts/evaluate_model.py:237-362 trace (SURVEY §3.2) over the
+    //     driver testdata. Ml1mEndToEndSpec pins the identical pipeline on
+    //     real ML-1M files against a 24-value golden vector in ScalaTest;
+    //     this row puts the composition in the DuckDB oracle gate so the
+    //     driver's hard signal sees it every round. Scale shape: one fact
+    //     scan feeds labeling+dedup (one (u,it) agg), k-core is 6
+    //     map-combined counts + semi-joins, the split rides the parallel
+    //     globalRowNumber, top-100 is TakeOrderedAndProject, exclusion is
+    //     a broadcast anti-join, and every metric mean is one agg over a
+    //     per-user frame. Oracle note: the shared mid-pipeline CTEs are
+    //     AS MATERIALIZED — DuckDB inlines multiply-referenced CTEs here
+    //     and the 17-way per-user metric join re-evaluates the whole
+    //     upstream pipeline per branch (measured 5.5 min → 0.5 s at
+    //     sf0.001 with materialization). ---
+    ("c7_e2e_eval", (s, d) => {
+      val ks = Seq(5, 10, 20, 50, 100)
+      val base = SparkEntry.T(s, d, "lineitem")
+        .join(SparkEntry.T(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("it"),
+          col("l_quantity").as("rating"), col("l_shipdate").as("sd"))
+      // P4/P5: label = qty >= 25, keep positives; one interaction per
+      // (u, it) at its FIRST positive ship date (the distinct() of the
+      // reference pipeline, with a deterministic timestamp)
+      val inter = Relational.implicitLabels(base, "rating", 25.0)
+        .filter(col("label") === 1)
+        .groupBy(col("u"), col("it")).agg(min(col("sd")).as("ts"))
+      val core = Relational.kCore(inter, "u", "it", 5, 5, 3)
+      // (u, it) is unique after the agg above, so the zero-padded
+      // concat tiebreak makes the global time order total (W2 contract);
+      // the oracle orders by (ts, u, it) — the same total order
+      val split = Relational.timeSplit(
+        core.withColumn("__tb",
+          format_string("%020d%020d", col("u"), col("it"))),
+        "ts", "__tb", 0.8, 0.1)
+      val train = split.filter(col("split") === "train")
+        .select(col("u"), col("it"))
+      val test = split.filter(col("split") === "test")
+        .select(col("u"), col("it"))
+      // A7: popularity top-100 WITHOUT an unpartitioned window (the predGt
+      // device above: TakeOrderedAndProject + in-array rank recovery)
+      val pop = train.groupBy(col("it")).agg(count(lit(1)).as("c"))
+      val top100 = pop.orderBy(col("c").desc, col("it")).limit(100)
+        .agg(sort_array(collect_list(struct((-col("c")).as("nc"), col("it"))))
+          .as("__t"))
+        .select(posexplode(col("__t")).as(Seq("__p", "__s")))
+        .select(col("__s.it").as("it"), (col("__p") + 1).as("rnk"))
+      val users = core.select(col("u")).distinct()
+      val pred = users.crossJoin(broadcast(top100))
+        .join(train, Seq("u", "it"), "left_anti")
+        .groupBy(col("u"))
+        .agg(sort_array(collect_list(struct(col("rnk"), col("it")))).as("__o"))
+        .select(col("u"),
+          transform(col("__o"), x => x.getField("it")).as("pred"))
+      val gt = test.groupBy(col("u"))
+        .agg(sort_array(collect_set(col("it"))).as("gt"))
+      val predGt = gt.join(pred, Seq("u"), "left")
+        .withColumn("pred",
+          coalesce(col("pred"), array().cast(pred.schema("pred").dataType)))
+      val per = RankingMetrics.perUserMetrics(predGt, "pred", "gt", ks)
+      val metricCols = ks.flatMap(k => Seq(s"recall_at_$k", s"precision_at_$k",
+        s"ndcg_at_$k", s"hit_rate_at_$k")) ++ Seq("mrr", "map")
+      val means = per.filter(size(col("gt")) > 0).agg(
+        count(lit(1)).as("n_users"),
+        metricCols.map(c => round(avg(col(c)), 6).as(c)): _*)
+      val cov = predGt.select(explode(slice(col("pred"), 1, 100)).as("it"))
+        .agg(countDistinct(col("it")).as("nd"))
+      val cat = inter.agg(countDistinct(col("it")).as("nc"))
+      means.crossJoin(cov).crossJoin(cat)
+        .withColumn("coverage", col("nd") / col("nc"))
+        .drop("nd", "nc")
+    }, {
+      val ks = Seq(5, 10, 20, 50, 100)
+      val perK = ks.map { k =>
+        s"""hx$k AS (SELECT u, count(*) AS h FROM hits WHERE pos <= $k GROUP BY u),
+           |dcg$k AS (SELECT u, sum(1.0 / log2(pos + 1)) AS dcg FROM hits WHERE pos <= $k GROUP BY u),
+           |idcg$k AS (SELECT u, sum(1.0 / log2(i + 2)) AS idcg
+           |           FROM (SELECT u, unnest(range(least(gt_size, $k))) AS i FROM gts) t GROUP BY u)""".stripMargin
+      }.mkString(",\n")
+      val perVals = ks.map { k =>
+        s"""coalesce(hx$k.h, 0) / g.gt_size AS r$k,
+           |coalesce(hx$k.h, 0) / $k AS p$k,
+           |coalesce(dcg$k.dcg / idcg$k.idcg, 0.0) AS n$k,
+           |CASE WHEN coalesce(hx$k.h, 0) > 0 THEN 1.0 ELSE 0.0 END AS hr$k""".stripMargin
+      }.mkString(",\n")
+      val perJoins = ks.map { k =>
+        s"""JOIN idcg$k ON g.u = idcg$k.u
+           |LEFT JOIN hx$k ON g.u = hx$k.u
+           |LEFT JOIN dcg$k ON g.u = dcg$k.u""".stripMargin
+      }.mkString("\n")
+      val meanSel = ks.map { k =>
+        s"""round(avg(r$k), 6) AS recall_at_$k,
+           |round(avg(p$k), 6) AS precision_at_$k,
+           |round(avg(n$k), 6) AS ndcg_at_$k,
+           |round(avg(hr$k), 6) AS hit_rate_at_$k""".stripMargin
+      }.mkString(",\n")
+      Some(s"""WITH inter AS MATERIALIZED (
+              |  SELECT o_custkey AS u, l_partkey AS it, min(l_shipdate) AS ts
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  WHERE l_quantity >= 25 GROUP BY 1, 2),
+              |u1 AS (SELECT * FROM inter WHERE u IN (SELECT u FROM inter GROUP BY 1 HAVING count(*) >= 5)),
+              |i1 AS (SELECT * FROM u1 WHERE it IN (SELECT it FROM u1 GROUP BY 1 HAVING count(*) >= 5)),
+              |u2 AS (SELECT * FROM i1 WHERE u IN (SELECT u FROM i1 GROUP BY 1 HAVING count(*) >= 5)),
+              |i2 AS (SELECT * FROM u2 WHERE it IN (SELECT it FROM u2 GROUP BY 1 HAVING count(*) >= 5)),
+              |u3 AS (SELECT * FROM i2 WHERE u IN (SELECT u FROM i2 GROUP BY 1 HAVING count(*) >= 5)),
+              |core AS (SELECT * FROM u3 WHERE it IN (SELECT it FROM u3 GROUP BY 1 HAVING count(*) >= 5)),
+              |s AS MATERIALIZED (SELECT u, it, row_number() OVER (ORDER BY ts, u, it) AS rn,
+              |      count(*) OVER () AS n FROM core),
+              |train AS MATERIALIZED (SELECT u, it FROM s WHERE rn <= n * 0.8),
+              |test AS MATERIALIZED (SELECT u, it FROM s WHERE rn > n * 0.9),
+              |pop AS (SELECT it, count(*) AS c FROM train GROUP BY it),
+              |top100 AS (SELECT it, rnk FROM (SELECT it, row_number() OVER (ORDER BY c DESC, it) AS rnk FROM pop) t WHERE rnk <= 100),
+              |users AS (SELECT DISTINCT u FROM core),
+              |pred AS (SELECT users.u, t.it, t.rnk FROM users CROSS JOIN top100 t
+              |         WHERE NOT EXISTS (SELECT 1 FROM train tr WHERE tr.u = users.u AND tr.it = t.it)),
+              |predr AS MATERIALIZED (SELECT u, it, row_number() OVER (PARTITION BY u ORDER BY rnk) AS pos FROM pred),
+              |gts AS MATERIALIZED (SELECT u, count(*) AS gt_size FROM test GROUP BY u),
+              |hits AS MATERIALIZED (SELECT p.u, p.pos FROM predr p JOIN test g ON p.u = g.u AND p.it = g.it),
+              |fh AS (SELECT u, min(pos) AS fp FROM hits GROUP BY u),
+              |hr AS (SELECT u, pos, row_number() OVER (PARTITION BY u ORDER BY pos) AS nh FROM hits),
+              |apx AS (SELECT u, sum(CAST(nh AS DOUBLE) / pos) AS aps FROM hr GROUP BY u),
+              |$perK,
+              |per AS (SELECT g.u,
+              |$perVals,
+              |coalesce(1.0 / fh.fp, 0.0) AS m,
+              |coalesce(apx.aps / g.gt_size, 0.0) AS a
+              |FROM gts g
+              |$perJoins
+              |LEFT JOIN fh ON g.u = fh.u
+              |LEFT JOIN apx ON g.u = apx.u),
+              |cov AS (SELECT count(DISTINCT it) AS nd FROM predr
+              |        WHERE pos <= 100 AND u IN (SELECT u FROM gts)),
+              |cat AS (SELECT count(DISTINCT it) AS nc FROM inter)
+              |SELECT count(*) AS n_users,
+              |$meanSel,
+              |round(avg(m), 6) AS mrr,
+              |round(avg(a), 6) AS "map",
+              |nd / nc AS coverage
+              |FROM per, cov, cat GROUP BY nd, nc""".stripMargin)
+    }),
+
     ("c_recommend_request", (s, d) => {
       val n = 10
       val emb = SparkEntry.T(s, d, "embeddings")
@@ -837,7 +983,25 @@ object QueriesEval {
         // removed on JVM exit, the x25 store-leak rule
         sys.addShutdownHook { rm(catDir) }
       }
-      catDir.setLastModified(java.lang.System.currentTimeMillis())
+      // Liveness-by-mtime must actually hold: if the touch silently fails
+      // (permission/filesystem quirk) this JVM's own catalog would age past
+      // the 1-hour guard and a CONCURRENT JVM's sweep could yank it
+      // mid-read. Fall back to refreshing a marker file inside the dir —
+      // the sweep keys off the dir mtime, and creating/deleting a child
+      // updates the parent dir's mtime on POSIX filesystems.
+      if (!catDir.setLastModified(java.lang.System.currentTimeMillis())) {
+        val marker = new java.io.File(catDir, "_KEEPALIVE")
+        try {
+          marker.delete()
+          marker.createNewFile()
+          ()
+        } catch {
+          case e: java.io.IOException =>
+            java.lang.System.err.println(
+              s"[c5_serving_ivf] catalog mtime touch AND marker refresh " +
+                s"failed ($e): a concurrent JVM may sweep $catDir")
+        }
+      }
       val catalog = s.read.parquet(catDir.getAbsolutePath)
       val nCat = SparkEntry.rowCount(s, d, "embeddings") * 500L
       val nlist = math.max(64L, nCat / 500L).toInt
@@ -871,11 +1035,14 @@ object QueriesEval {
       val hits = exact.join(
         approx.select(col("query_id").as("u"), col("item_id")),
         Seq("u", "item_id"), "left_semi")
-      val nQ = requests.count()
+      // n_queries rides the SAME job as the recall aggregation (a 32-row
+      // count crossJoined like the others) instead of a separate
+      // requests.count() action — the timed query is exactly one job.
       exact.agg(count(lit(1)).as("n_exact")).crossJoin(
           hits.agg(count(lit(1)).as("n_hits")))
+        .crossJoin(requests.agg(count(lit(1)).as("n_queries")))
         .select(lit(nCat).as("catalog_size"), lit(nlist).as("nlist"),
-          lit(nprobe).as("nprobe"), lit(nQ).as("n_queries"),
+          lit(nprobe).as("nprobe"), col("n_queries"),
           lit(k).as("k"), col("n_hits"),
           round(col("n_hits").cast("double") / col("n_exact"), 4)
             .as("recall"))

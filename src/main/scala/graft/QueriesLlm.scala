@@ -449,6 +449,55 @@ object QueriesLlm {
               |SELECT token, count(*) AS cnt FROM u WHERE len(token) > 0
               |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin)),
 
+    // --- BPE ENCODE at tokenizer-scale merge count (VERDICT r13 top-next):
+    //     a 256-entry table (top-256 adjacent pairs by count desc, l, r —
+    //     one pass, all-base operands so any application order is valid
+    //     BPE) applied through the rank-indexed lowest-rank-first kernel
+    //     (BpeMergeKernel: O(applied·len) per doc, not O(k·len)). The
+    //     oracle applies the IDENTICAL 256 replaces sequentially via a
+    //     recursive CTE — so the hash match pins kernel ≡ sequential
+    //     rank-order apply at k=256, on top of the ScalaTest differential
+    //     vs the fold form. ---
+    ("t_bpe_encode_scaled", (s, d) => {
+      val docs = SparkEntry.T(s, d, "documents")
+      val table = TextAnalysis.topPairTable(docs, "text", 256)
+      TextAnalysis.bpeEncodeIndexed(docs, "doc_id", "text", table)
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH RECURSIVE d0 AS (SELECT doc_id,
+              |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+              |    ' ' || replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+              |      ' ', '  ') || ' ' AS st FROM documents),
+              |t0 AS (SELECT string_split(norm, ' ') AS ts FROM d0
+              |       WHERE len(string_split(norm, ' ')) >= 2),
+              |p0 AS (SELECT u.s.l AS l, u.s.r AS r FROM t0, unnest(
+              |  list_transform(range(1, len(ts)),
+              |    i -> struct_pack(l := ts[i], r := ts[i+1])) ) AS u(s)),
+              |b AS (SELECT l, r, row_number() OVER
+              |    (ORDER BY count(*) DESC, l, r) AS rk
+              |  FROM p0 GROUP BY l, r ORDER BY count(*) DESC, l, r LIMIT 256),
+              |nb AS (SELECT count(*) AS n FROM b),
+              |rec AS (
+              |  SELECT doc_id, norm, st, CAST(0 AS BIGINT) AS rk FROM d0
+              |  UNION ALL
+              |  SELECT rec.doc_id, rec.norm,
+              |    replace(rec.st, ' ' || b.l || '  ' || b.r || ' ',
+              |      ' ' || b.l || chr(1) || b.r || ' ') AS st,
+              |    rec.rk + 1 AS rk
+              |  FROM rec JOIN b ON b.rk = rec.rk + 1),
+              |fin AS (SELECT doc_id, norm, st FROM rec, nb WHERE rec.rk = nb.n),
+              |tok AS (SELECT doc_id, norm,
+              |  list_filter(regexp_split_to_array(trim(st), ' +'),
+              |    t -> len(t) > 0) AS ts FROM fin)
+              |SELECT doc_id,
+              |  len(list_filter(string_split(norm, ' '),
+              |    w -> len(w) > 0)) AS n_words,
+              |  len(ts) AS n_bpe_tokens,
+              |  len(list_filter(ts, t -> contains(t, chr(1))))
+              |    AS n_merged_tokens,
+              |  array_to_string(ts, ' ') AS bpe_text
+              |FROM tok ORDER BY doc_id""".stripMargin)),
+
     // --- BM25 corpus scoring against a fixed query (Okapi, Lucene idf):
     //     the classic retrieval scorer over the documents table; one
     //     exploded pass pre-filtered to the query terms, df via window

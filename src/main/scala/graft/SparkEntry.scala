@@ -117,6 +117,32 @@ object SparkEntry {
 
   /** Injected "now" anchor for trailing-window queries (events span Jan 2024). */
   private val Anchor = "2024-01-31 00:00:00"
+
+  /** 3-iteration PageRank oracle over the item co-occurrence graph, shared
+    * by g1_pagerank (unrolled form) and g1b_pagerank_ckpt (checkpoint-per-
+    * round form) — the two must produce the IDENTICAL ranks, so they hash
+    * against the identical SQL. */
+  private val PageRank3Oracle: String =
+    """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      |p0 AS (SELECT id, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+      |c1 AS (SELECT e.dst AS id, sum(p0.pr / od.outdeg) AS s
+      |  FROM e JOIN p0 ON e.src = p0.id JOIN od ON e.src = od.src GROUP BY e.dst),
+      |p1 AS (SELECT nodes.id, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c1.s, 0.0) AS pr
+      |  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.id),
+      |c2 AS (SELECT e.dst AS id, sum(p1.pr / od.outdeg) AS s
+      |  FROM e JOIN p1 ON e.src = p1.id JOIN od ON e.src = od.src GROUP BY e.dst),
+      |p2 AS (SELECT nodes.id, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c2.s, 0.0) AS pr
+      |  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id),
+      |c3 AS (SELECT e.dst AS id, sum(p2.pr / od.outdeg) AS s
+      |  FROM e JOIN p2 ON e.src = p2.id JOIN od ON e.src = od.src GROUP BY e.dst),
+      |p3 AS (SELECT nodes.id, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c3.s, 0.0) AS pr
+      |  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.id)
+      |SELECT id, round(pr, 6) AS pr FROM p3 ORDER BY id""".stripMargin
   private def anchorTs: Column = lit(Anchor).cast("timestamp")
 
   // ====================================================================
@@ -1641,26 +1667,26 @@ object SparkEntry {
         .select(col("id"), round(col("pr"), 6).as("pr"))
         .orderBy(col("id"))
     },
-      Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-             |  FROM lineitem a JOIN lineitem b
-             |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-             |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-             |nn AS (SELECT count(*) AS n FROM nodes),
-             |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-             |p0 AS (SELECT id, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
-             |c1 AS (SELECT e.dst AS id, sum(p0.pr / od.outdeg) AS s
-             |  FROM e JOIN p0 ON e.src = p0.id JOIN od ON e.src = od.src GROUP BY e.dst),
-             |p1 AS (SELECT nodes.id, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c1.s, 0.0) AS pr
-             |  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.id),
-             |c2 AS (SELECT e.dst AS id, sum(p1.pr / od.outdeg) AS s
-             |  FROM e JOIN p1 ON e.src = p1.id JOIN od ON e.src = od.src GROUP BY e.dst),
-             |p2 AS (SELECT nodes.id, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c2.s, 0.0) AS pr
-             |  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id),
-             |c3 AS (SELECT e.dst AS id, sum(p2.pr / od.outdeg) AS s
-             |  FROM e JOIN p2 ON e.src = p2.id JOIN od ON e.src = od.src GROUP BY e.dst),
-             |p3 AS (SELECT nodes.id, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c3.s, 0.0) AS pr
-             |  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.id)
-             |SELECT id, round(pr, 6) AS pr FROM p3 ORDER BY id""".stripMargin)),
+      Some(PageRank3Oracle)),
+
+    // --- G1b: the SAME 3-iteration PageRank through the checkpoint-per-
+    //     round form (pageRankCheckpointed — the k=50-capable path the
+    //     unrolled form's 1..10 require() points at). Identical math and
+    //     float-op ordering by construction, so it hashes against the
+    //     identical oracle; GraphSpec pins exact double equality vs the
+    //     unrolled form at k ≤ 10 and PrScaleRun measures flat s/step to
+    //     k = 50 at sf1 (BENCH_SF10.md r14 addendum). ---
+    ("g1b_pagerank_ckpt", (s, d) => {
+      val li = T(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.join(li.withColumnRenamed("l_partkey", "p2"), Seq("l_orderkey"))
+        .filter(col("l_partkey") =!= col("p2"))
+        .select(col("l_partkey").as("src"), col("p2").as("dst"))
+        .distinct()
+      Graph.pageRankCheckpointed(e, "src", "dst", iters = 3)
+        .select(col("id"), round(col("pr"), 6).as("pr"))
+        .orderBy(col("id"))
+    },
+      Some(PageRank3Oracle)),
 
     // --- X14: training-mix rebalance — per-source keep rates DERIVED from
     //     the data (uniform target share, rate_s = min(1, (N/S)/n_s)) and

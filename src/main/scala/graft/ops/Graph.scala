@@ -59,4 +59,51 @@ object Graph {
     }
     pr.select(col("id"), col("pr"))
   }
+
+  /** [[pageRank]] at realistic iteration counts — the checkpoint-per-round
+    * form the 1..10 unrolled version's require() points at. Same math,
+    * same float-op ordering, same simple (non-dangling-redistributing)
+    * formulation; differentially spec-pinned EQUAL to the unrolled form at
+    * k ≤ 10 (GraphSpec). The difference is purely executional: the
+    * unrolled form is one lazy plan whose rank subtree deepens per round
+    * (fine at the fixed k ≈ 3 a registry query uses, lineage-explosive at
+    * k = 50), while here each round's rank frame is eagerly
+    * `localCheckpoint`ed (lineage cut; per-step cost flat in k — the
+    * [[graft.ops.TextAnalysis.bpeMergesMaterialized]] device) and the
+    * superseded round's blocks are freed immediately via
+    * `ColumnBridge.unpersistCheckpoint`, so at most TWO rank copies are
+    * ever live. On a cluster the same shape swaps localCheckpoint for a
+    * reliable checkpoint dir to survive executor loss. Returns (id, pr). */
+  def pageRankCheckpointed(edges: DataFrame, srcCol: String, dstCol: String,
+                           iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"pageRankCheckpointed: iters=$iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val nn = nodes.agg(count(lit(1)).as("__n"))
+    var pr = nodes.crossJoin(broadcast(nn))
+      .select(col("id"), (lit(1.0) / col("__n")).as("pr"), col("__n"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.select(col("id").as("src"), col("pr")), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("pr") / col("outdeg")).as("__in"))
+      val prev = pr
+      pr = pr.select(col("id"), col("__n"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) / col("__n") +
+            lit(damping) * coalesce(col("__in"), lit(0.0))).as("pr"),
+          col("__n"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpoint(prev)
+    }
+    pr.select(col("id"), col("pr"))
+  }
 }

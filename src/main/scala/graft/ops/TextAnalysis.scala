@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
 
 /** Text analysis for training-data pipelines (builder-brief north-star
   * component): language ID, quality scoring, token counting, document
@@ -410,7 +411,11 @@ object TextAnalysis {
     * pass equals iterative lowest-rank-first merging (the property that
     * lets real tokenizers stream merges.txt; spec-pinned against an
     * iterative min-rank reference on fuzz corpora, including tables
-    * learned on one corpus and applied to another). The merge device is
+    * learned on one corpus and applied to another). That property holds
+    * only for genuinely LEARNED tables, so [[validateMergeTable]] enforces
+    * it at the API: a hand-built table whose compound operand has no
+    * earlier defining entry is rejected loudly instead of silently
+    * producing non-BPE output. The merge device is
     * the trainer's own double-spaced padded replace, so encoding the
     * training corpus reproduces the trainer's final state bit-for-bit.
     *
@@ -425,10 +430,7 @@ object TextAnalysis {
     * (k rows, two short strings each). */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)]): DataFrame = {
-    merges.foreach { case (l, r) =>
-      require(l.nonEmpty && r.nonEmpty && !l.contains(" ") && !r.contains(" "),
-        s"bpeEncode: merge operands must be non-empty space-free tokens, got ('$l','$r')")
-    }
+    validateMergeTable(merges, "bpeEncode")
     val norm = Dedup.normalizeText(col(textCol))
     val padded = concat(lit(" "),
       regexp_replace(norm, " ", "  "), lit(" "))
@@ -462,6 +464,92 @@ object TextAnalysis {
       .orderBy(col("step")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     bpeEncode(df, idCol, textCol, table)
+  }
+
+  /** Merge-table validity check (the learned-table contract both encode
+    * forms rely on): every operand of entry i is either a base token (no
+    * U+0001) or the U+0001-join of an EARLIER entry. Tables produced by
+    * [[bpeMerges]]/[[bpeMergesMaterialized]]/[[topPairTable]] satisfy this
+    * by construction; a hand-built out-of-order table would make "one
+    * ordered pass ≡ iterative lowest-rank-first merging" silently false,
+    * so it fails loudly here instead. O(k) driver-side — the table is
+    * driver-resident by construction. */
+  def validateMergeTable(merges: Seq[(String, String)], fn: String): Unit = {
+    val defined = scala.collection.mutable.HashSet.empty[String]
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      require(l.nonEmpty && r.nonEmpty && !l.contains(" ") && !r.contains(" "),
+        s"$fn: merge operands must be non-empty space-free tokens, " +
+          s"got ('$l','$r')")
+      Seq(l, r).foreach { op =>
+        require(!op.contains("\u0001") || defined.contains(op),
+          s"$fn: entry ${i + 1} operand '${op.replace("\u0001", "+")}' is a " +
+            "merged name with no EARLIER defining entry — rank-order " +
+            "application equals BPE only for learned tables (step-i " +
+            "operands must exist at step i)")
+      }
+      defined += (l + "\u0001" + r)
+    }
+  }
+
+  /** [[bpeEncode]] at tokenizer-scale merge counts — identical output
+    * contract (same columns, same values; differentially spec-pinned and
+    * oracle-checked at k=256 via `t_bpe_encode_scaled`), different apply
+    * kernel: instead of k sequential whole-string replace passes
+    * (O(k·len) per document — 30 000 scans per doc at real-tokenizer k),
+    * the merge table is indexed into a rank map once and each document is
+    * encoded by the standard lowest-rank-first loop
+    * ([[graft.functions.expr.BpeMergeKernel]]): O(applied·len) where
+    * `applied` is the number of merges that actually FIRE in the document,
+    * independent of table size. Still ONE codegen'd projection over the
+    * corpus — no joins, no shuffle, constant plan/generated-code size in k
+    * (the kernel rides a reference object, not an expression chain).
+    *
+    * Why not the per-distinct-WORD cache real subword tokenizers use: this
+    * operator's merges are WORD-granularity (operands are whole corpus
+    * words; a merge joins adjacent words across the corpus), so there is
+    * no intra-word unit to cache — the cacheable unit is the whole
+    * document, and identical documents are exactly what the upstream
+    * exact-dedup stage already collapses. The rank-indexed kernel is the
+    * lever that remains, and it is the same one merges.txt encoders use. */
+  def bpeEncodeIndexed(df: DataFrame, idCol: String, textCol: String,
+                       merges: Seq[(String, String)]): DataFrame = {
+    validateMergeTable(merges, "bpeEncodeIndexed")
+    val norm = Dedup.normalizeText(col(textCol))
+    val toks = ColumnBridge.column(graft.functions.expr.BpeApplyMerges(
+      ColumnBridge.expression(norm), merges))
+    // Two projections on purpose: __toks is referenced three times below,
+    // and CollapseProject keeps the expensive kernel un-duplicated (it only
+    // inlines cheap expressions into multiple consumers).
+    df.select(col(idCol), norm.as("__norm"), toks.as("__toks"))
+      .select(col(idCol),
+        size(filter(split(col("__norm"), " "), w => length(w) > 0))
+          .cast("long").as("n_words"),
+        size(col("__toks")).cast("long").as("n_bpe_tokens"),
+        size(filter(col("__toks"), t => t.contains("\u0001"))).cast("long")
+          .as("n_merged_tokens"),
+        array_join(col("__toks"), " ").as("bpe_text"))
+  }
+
+  /** One-pass top-k adjacent-pair table over the BASE corpus — the cheap
+    * valid-table source for encode-path scale tests and for phrase-style
+    * vocabularies that don't need the trainer's re-count-after-each-merge
+    * semantics. Ranked by (count desc, l, r) — the trainer's tiebreak.
+    * All operands are base corpus words (no U+0001), so the table
+    * trivially satisfies [[validateMergeTable]] and ANY application order
+    * is a valid BPE apply. One corpus scan, one map-combined aggregation,
+    * a k-row sort-limit collected to the driver (the centroid-table
+    * bound). */
+  def topPairTable(df: DataFrame, textCol: String,
+                   k: Int): Seq[(String, String)] = {
+    require(k >= 1, s"topPairTable: k=$k")
+    df.select(split(Dedup.normalizeText(col(textCol)), " ").as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(explode(Dedup.wordShinglesFromTokens(col("__ts"), 2)).as("g"))
+      .select(element_at(split(col("g"), " "), 1).as("l"),
+        element_at(split(col("g"), " "), 2).as("r"))
+      .groupBy(col("l"), col("r")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("l"), col("r")).limit(k)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
   }
 
   /** Vocabulary truncation — the rewrite between vocab selection and

@@ -1080,6 +1080,50 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got(1L) === ((1L, 9L, 3L, 3L, got(1L)._5)))
   }
 
+  test("bpeEncodeIndexed: differential vs the fold form on fuzz corpora " +
+    "(learned AND top-k-pair tables, incl. cross-corpus application)") {
+    val rng = new scala.util.Random(20260815L)
+    val vocab = Seq("a", "b", "c", "d", "e", "ab", "cd")
+    def corpus(n: Int): Seq[(Long, String)] = (1L to n.toLong).map { i =>
+      val len = 1 + rng.nextInt(12)
+      (i, Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    for (trial <- 1 to 4) {
+      val train = corpus(40 + trial * 7).toDF("doc_id", "text")
+      val apply = corpus(30).toDF("doc_id", "text")
+      val learned = TextAnalysis.bpeMergesMaterialized(train, "text", 6)
+        .orderBy($"step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val topk = TextAnalysis.topPairTable(train, "text", 16)
+      for (table <- Seq(learned, topk); docs <- Seq(train, apply)) {
+        assert(
+          rows(TextAnalysis.bpeEncodeIndexed(docs, "doc_id", "text", table))
+            === rows(TextAnalysis.bpeEncode(docs, "doc_id", "text", table)),
+          s"trial=$trial tableSize=${table.size}")
+      }
+    }
+  }
+
+  test("validateMergeTable: compound operand with no earlier defining " +
+    "entry is rejected; learned order is accepted") {
+    val df = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    // valid: ("a","b") defines a⊕b before ("a⊕b","c") consumes it
+    TextAnalysis.bpeEncode(df, "doc_id", "text",
+      Seq(("a", "b"), ("a\u0001b", "c"))).collect()
+    // invalid: the compound operand appears BEFORE its defining entry —
+    // rank-order application would silently diverge from min-rank BPE
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncodeIndexed(df, "doc_id", "text",
+        Seq(("a\u0001b", "c"), ("a", "b")))
+    }
+    // invalid: compound operand never defined at all
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncode(df, "doc_id", "text", Seq(("x\u0001y", "c")))
+    }
+  }
+
   test("unkRewrite: top-V cut with the (count desc, term asc) tiebreak, " +
     "positions intact, OOV counted") {
     // counts: a=3, b=2, c=2, d=1. vocabSize=2 -> boundary tie between b

@@ -30,6 +30,38 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(pr(2L) - pr(3L)) < 1e-15)
   }
 
+  test("pageRankCheckpointed: differential vs the unrolled form at k <= 10 " +
+    "on a seeded random graph (ulp-level equality)") {
+    val rng = new scala.util.Random(14L)
+    // 400 directed edges over 60 nodes: dense enough that every node has
+    // in/out structure, small enough that the k=10 unrolled plan is cheap
+    val edges = (1 to 400).map(_ =>
+      (rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val df = edges.toDF("src", "dst")
+    for (k <- Seq(1, 3, 10)) {
+      val unrolled = Graph.pageRank(df, "src", "dst", k)
+        .as[(Long, Double)].collect().toMap
+      val ckpt = Graph.pageRankCheckpointed(df, "src", "dst", k)
+        .as[(Long, Double)].collect().toMap
+      assert(ckpt.keySet === unrolled.keySet)
+      // ulp-level, not bit-exact: the contribution sum's merge order inside
+      // a shuffle partition depends on upstream row layout, and the
+      // checkpoint scan feeds rows in a different order than the unrolled
+      // form's recomputed join (measured: a 1-ulp delta at k=3). The
+      // engine-contract equality (round to 6 decimals) is pinned by
+      // g1b_pagerank_ckpt hashing against g1_pagerank's exact oracle.
+      ckpt.foreach { case (id, v) =>
+        assert(math.abs(v - unrolled(id)) <=
+          1e-12 * math.max(1.0, math.abs(unrolled(id))), s"k=$k id=$id")
+      }
+    }
+    // and past the unrolled form's k <= 10 contract: sums stay sane
+    val deep = Graph.pageRankCheckpointed(df, "src", "dst", 25)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(deep.values.sum - 1.0) < 0.05) // few dangling leaks
+  }
+
   test("mass conservation on dangling-free graphs; sink leaks as documented") {
     val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
     assert(math.abs(ranks(cycle, 3).values.sum - 1.0) < 1e-9)
