@@ -43,9 +43,12 @@ object PrScaleRun {
     }
     // round(6) = the engine-contract equality (registry rows hash at 6
     // decimals); ulp-level sum-order deltas between the two forms are
-    // expected and documented in GraphSpec.
+    // expected and documented in GraphSpec. The per-row hash is reduced
+    // mod 1e9+7 before summing: a raw sum of millions of full-range
+    // xxhash64 values overflows a long under ANSI mode.
     def fingerprint(df: org.apache.spark.sql.DataFrame): Long =
-      df.select(xxhash64(col("id"), round(col("pr"), 6)).as("h"))
+      df.select(pmod(xxhash64(col("id"), round(col("pr"), 6)),
+          lit(1000000007L)).as("h"))
         .agg(sum(col("h"))).collect()(0).getLong(0)
     println(s"# PageRank iteration scaling (sfDir=$sfDir, |E|=$nEdges)")
     println("| form | k | secs | secs/step |")

@@ -1166,20 +1166,26 @@ object Dedup {
       // near-dup-sparse corpora this kills most candidates cheaply.
       .filter(abs(length(col("__n1")) - length(col("__n2"))) <=
         (lit(1.0) - minSim) * mx)
-      // THRESHOLD-BOUNDED Levenshtein: only distances ≤ (1−minSim)·max
-      // can survive the sim filter, so the DP runs banded
-      // (O((t+1)·min(m,n)) instead of O(m·n)) and early-terminates to −1
-      // beyond the bound. +1 slack covers the round(…, 6) boundary (a raw
-      // sim up to 5e-7 below minSim still rounds up to it), so the kept
-      // pair set is bit-identical to the unbounded form; −1 rows are
+      // BIT-PARALLEL bounded Levenshtein (Myers/Hyyrö — see
+      // functions.expr.MyersLevenshtein): same value and same −1-beyond-
+      // bound contract as Spark's banded `Levenshtein(l, r, t)` (fuzz-
+      // differential-pinned incl. code-point semantics), but the pattern
+      // rows are packed 64 per machine word — O(n·⌈m/64⌉) per pair
+      // instead of the band's O((t+1)·min(m,n)). The band was measured
+      // NEUTRAL at this row's permissive minSim=0.35 (band ≈ 0.65·max is
+      // most of the matrix — r11); Myers' cut is threshold-independent.
+      // The +1 bound slack covers the round(…, 6) boundary (a raw sim up
+      // to 5e-7 below minSim still rounds up to it), so the kept pair
+      // set stays bit-identical to the unbounded form; −1 rows are
       // rejected in the SAME pinned filter below (a separate filter on
       // the derived column would be pushed into the join condition and
-      // run the DP twice). Measured neutral at the bench's loose
-      // minSim=0.35 (band ≈ 0.65·max covers most of the matrix); the win
-      // is at production-typical tight thresholds — minSim 0.8 bounds the
-      // band at 0.2·max, ~5× less DP per pair.
-      .withColumn("lev", boundedLevenshtein(col("__n1"), col("__n2"),
-        (floor((lit(1.0) - minSim) * mx) + 1).cast("int")))
+      // run the kernel twice).
+      .withColumn("lev", ColumnBridge.column(
+        graft.functions.expr.MyersLevenshtein(
+          ColumnBridge.expression(col("__n1")),
+          ColumnBridge.expression(col("__n2")),
+          ColumnBridge.expression(
+            (floor((lit(1.0) - minSim) * mx) + 1).cast("int")))))
       // __pin + the always-true conjunct pin the DP to ONE evaluation
       // here: PushDownPredicates would otherwise substitute edit_sim's
       // definition into the filter and slide it into the join condition,
@@ -1200,8 +1206,10 @@ object Dedup {
   /** Spark's threshold-bounded Levenshtein (returns −1 beyond the bound;
     * banded DP with early termination). The `functions.levenshtein`
     * 3-arg overload only takes a literal Int threshold, so the per-row
-    * bound goes through the expression constructor directly. */
-  private def boundedLevenshtein(a: Column, b: Column, t: Column): Column =
+    * bound goes through the expression constructor directly. Kept as the
+    * reference kernel for the Myers differential spec (the hot path uses
+    * [[graft.functions.expr.MyersLevenshtein]]). */
+  def boundedLevenshtein(a: Column, b: Column, t: Column): Column =
     ColumnBridge.column(
       org.apache.spark.sql.catalyst.expressions.Levenshtein(
         ColumnBridge.expression(a), ColumnBridge.expression(b),

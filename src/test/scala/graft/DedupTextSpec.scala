@@ -718,6 +718,48 @@ class DedupTextSpec extends AnyFunSuite {
     assert(math.abs(sim - expected) < 1e-6)
   }
 
+  test("MyersLevenshtein: fuzz differential vs Spark's banded Levenshtein " +
+    "(value + bounded -1 contract, code-point semantics)") {
+    import graft.functions.expr.MyersKernel
+    val rng = new scala.util.Random(4242L)
+    // alphabets chosen to exercise: dense matches (small), sparse,
+    // multi-byte (accents), astral-plane code points (surrogate pairs),
+    // and >64-char patterns (multi-block carry chain)
+    val alphabets = Seq("ab", "abcde", "aéß日", "a😀b",
+      "abcdefghijklmnop")
+    def randStr(maxCp: Int, alpha: String): String = {
+      val cps = alpha.codePoints().toArray
+      val n = rng.nextInt(maxCp + 1)
+      val sb = new java.lang.StringBuilder
+      (1 to n).foreach(_ => sb.appendCodePoint(cps(rng.nextInt(cps.length))))
+      sb.toString
+    }
+    def sparkLev(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .levenshteinDistance(
+          org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    var trials = 0
+    for (alpha <- alphabets; maxLen <- Seq(8, 70, 200); _ <- 1 to 40) {
+      val a = randStr(maxLen, alpha)
+      val b = randStr(maxLen, alpha)
+      val expect = sparkLev(a, b)
+      assert(MyersKernel.distance(a, b) === expect, s"'$a' vs '$b'")
+      // bounded contract: value when <= bound, -1 beyond
+      val ua = org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      val ub = org.apache.spark.unsafe.types.UTF8String.fromString(b)
+      assert(MyersKernel.bounded(ua, ub, expect) === expect)
+      if (expect > 0)
+        assert(MyersKernel.bounded(ua, ub, expect - 1) === -1)
+      trials += 1
+    }
+    assert(trials === 600)
+    // edges: empty / equal / fully disjoint
+    assert(MyersKernel.distance("", "") === 0)
+    assert(MyersKernel.distance("", "abc") === 3)
+    assert(MyersKernel.distance("same", "same") === 0)
+    assert(MyersKernel.distance("aaaa", "bbbb") === 4)
+  }
+
   test("span dup stats: shared 8-token span counted, within-doc repeat not") {
     val span = "one two three four five six seven eight"
     val df = Seq(
