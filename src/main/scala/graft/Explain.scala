@@ -26,6 +26,8 @@ object Explain {
       "same bruteForceTopK small-catalog contract (serving template; c5_serving_ivf IS that swap, measured at a 1M-item catalog)",
     "c5_serving_ivf" ->
       "exact-recall baseline streams the catalog once against the BROADCAST request batch (vec_id<32 — request-sized by construction); retrieval itself is the centroid_id equi-join, plan-REQUIREd in-query",
+    "c5b_serving_ivf_int8" ->
+      "same exact-baseline contract as c5_serving_ivf (float catalog streamed once against the broadcast request batch); the int8 retrieval itself is the centroid_id equi-join, plan-REQUIREd in-query",
     "ann_cluster_recall" ->
       "centroid frame is nlist(=64)-bounded by construction; localCheckpoint in refineCentroids truncates the provable lineage",
     "ann_mllib_lsh_recall" ->

@@ -805,10 +805,18 @@ object QueriesEval {
           col("l_quantity").as("rating"), col("l_shipdate").as("sd"))
       // P4/P5: label = qty >= 25, keep positives; one interaction per
       // (u, it) at its FIRST positive ship date (the distinct() of the
-      // reference pipeline, with a deterministic timestamp)
+      // reference pipeline, with a deterministic timestamp).
+      // localCheckpoint barriers (the c2 composition device) at the two
+      // fan-out points: `inter` feeds the k-core chain AND the coverage
+      // denominator, `split` feeds train/test/users/pop — without them
+      // every downstream consumer re-derives the fact scan + the
+      // 12-shuffle k-core chain (measured: 95.9 s at sf0.1 un-barriered
+      // vs ~13 s with; both frames are (u, it[, ts]) — catalog-pair
+      // sized, far below the corpus).
       val inter = Relational.implicitLabels(base, "rating", 25.0)
         .filter(col("label") === 1)
         .groupBy(col("u"), col("it")).agg(min(col("sd")).as("ts"))
+        .localCheckpoint()
       val core = Relational.kCore(inter, "u", "it", 5, 5, 3)
       // (u, it) is unique after the agg above, so the zero-padded
       // concat tiebreak makes the global time order total (W2 contract);
@@ -817,6 +825,7 @@ object QueriesEval {
         core.withColumn("__tb",
           format_string("%020d%020d", col("u"), col("it"))),
         "ts", "__tb", 0.8, 0.1)
+        .localCheckpoint()
       val train = split.filter(col("split") === "train")
         .select(col("u"), col("it"))
       val test = split.filter(col("split") === "test")
@@ -829,7 +838,10 @@ object QueriesEval {
           .as("__t"))
         .select(posexplode(col("__t")).as(Seq("__p", "__s")))
         .select(col("__s.it").as("it"), (col("__p") + 1).as("rnk"))
-      val users = core.select(col("u")).distinct()
+      // users from the checkpointed split, not `core` (same set — every
+      // core row lands in exactly one split), so nothing re-enters the
+      // k-core subtree
+      val users = split.select(col("u")).distinct()
       val pred = users.crossJoin(broadcast(top100))
         .join(train, Seq("u", "it"), "left_anti")
         .groupBy(col("u"))
@@ -838,9 +850,13 @@ object QueriesEval {
           transform(col("__o"), x => x.getField("it")).as("pred"))
       val gt = test.groupBy(col("u"))
         .agg(sort_array(collect_set(col("it"))).as("gt"))
+      // third barrier: the per-user (pred, gt) frame is read twice (metric
+      // means + coverage) and is test-user-sized — one short array row per
+      // user
       val predGt = gt.join(pred, Seq("u"), "left")
         .withColumn("pred",
           coalesce(col("pred"), array().cast(pred.schema("pred").dataType)))
+        .localCheckpoint()
       val per = RankingMetrics.perUserMetrics(predGt, "pred", "gt", ks)
       val metricCols = ks.flatMap(k => Seq(s"recall_at_$k", s"precision_at_$k",
         s"ndcg_at_$k", s"hit_rate_at_$k")) ++ Seq("mrr", "map")
@@ -1089,9 +1105,17 @@ object QueriesEval {
           else g.length()
         sz(f)
       }
+      // Dequantize-on-read is the deal this row prices: the catalog
+      // never exists as floats at rest, so every catalog-side consumer
+      // (centroid assignment, normalization) re-evaluates the per-row
+      // transform — compute traded for the 3.6× memory cut (the leg pays
+      // ~2× c5's float path; a production deployment amortizes by
+      // storing centroid_id WITH the int8 catalog at index-build time).
+      // Single-pass float math: float lane × float scale, no
+      // double-widening + re-cast.
       val items = qcat.select(col("item_id"),
-        V.int8Dequantize(col("qvec"), col("scale"))
-          .cast("array<float>").as("embedding"))
+        transform(col("qvec"), x => x.cast("float") * col("scale"))
+          .as("embedding"))
       val nCat = SparkEntry.rowCount(s, d, "embeddings") * 500L
       val nlist = math.max(64L, nCat / 500L).toInt
       val nprobe = math.max(8, nlist / 25)
