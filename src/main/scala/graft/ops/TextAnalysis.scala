@@ -466,6 +466,17 @@ object TextAnalysis {
     bpeEncode(df, idCol, textCol, table)
   }
 
+  /** BPE decode — the inverse of [[bpeEncode]]/[[bpeEncodeIndexed]]'s
+    * `bpe_text`: every U+0001 joiner becomes a space, restoring the
+    * normalized text. BPE merging is lossless by construction (a merge
+    * only re-labels a space as a joiner; no character is created or
+    * destroyed), so `bpeDecode(encode(x)) == normalizeText(x)` for ANY
+    * valid table — the round-trip property a tokenizer ships with,
+    * spec-pinned on fuzz corpora in DedupTextSpec. One codegen'd
+    * `translate` per row: zero shuffles, zero joins. */
+  def bpeDecode(bpeText: Column): Column =
+    translate(bpeText, "\u0001", " ")
+
   /** Merge-table validity check (the learned-table contract both encode
     * forms rely on): every operand of entry i is either a base token (no
     * U+0001) or the U+0001-join of an EARLIER entry. Tables produced by

@@ -1148,6 +1148,32 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeDecode: decode(encode(x)) == normalizeText(x) on fuzz corpora " +
+    "(lossless round-trip, learned and top-k tables, both encode forms)") {
+    val rng = new scala.util.Random(777L)
+    val vocab = Seq("a", "b", "c", "ab", "xyz")
+    val docs = (1L to 60L).map { i =>
+      val len = rng.nextInt(10)
+      (i, Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString("  ") + " ")
+    }.toDF("doc_id", "text") // ragged whitespace: normalize must own it
+    val learned = TextAnalysis.bpeMergesMaterialized(docs, "text", 5)
+      .orderBy($"step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val topk = TextAnalysis.topPairTable(docs, "text", 12)
+    for (table <- Seq(learned, topk)) {
+      for (enc <- Seq(
+        TextAnalysis.bpeEncode(docs, "doc_id", "text", table),
+        TextAnalysis.bpeEncodeIndexed(docs, "doc_id", "text", table))) {
+        val bad = enc
+          .join(docs, "doc_id")
+          .filter(TextAnalysis.bpeDecode(col("bpe_text")) =!=
+            graft.ops.Dedup.normalizeText(col("text")))
+          .count()
+        assert(bad === 0L, s"tableSize=${table.size}")
+      }
+    }
+  }
+
   test("validateMergeTable: compound operand with no earlier defining " +
     "entry is rejected; learned order is accepted") {
     val df = Seq((1L, "a b c a b")).toDF("doc_id", "text")
