@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expr.{HeavyHittersAgg, MinHashSignature, SimHash64, VectorDot, VectorNormSq}
+import graft.functions.expr.{HeavyHittersAgg, MinHashSignature, MyersLevenshtein, SimHash64, VectorDot, VectorNormSq}
 
 /** Catalyst extension entry point (SURVEY §7.3): exposes graft's native
   * expressions to SQL as `vector_dot` / `vector_norm_sq` / `sim_hash64` /
@@ -33,6 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
       GraftExtensions.buildHeavyHitters))
+    // myers_levenshtein(left, right, bound) -> distance, or -1 beyond
+    // bound (Spark's bounded-Levenshtein contract, bit-parallel kernel)
+    e.injectFunction((FunctionIdentifier("myers_levenshtein"),
+      new ExpressionInfo(classOf[MyersLevenshtein].getName,
+        "myers_levenshtein"),
+      (args: Seq[Expression]) =>
+        MyersLevenshtein(args(0), args(1), args(2))))
     // Whole-operator escalation: per-group top-k-by-score planned as
     // partial heap → exchange → final heap (graft.plans.TopKByScore).
     e.injectPlannerStrategy(_ => graft.plans.TopKByScoreStrategy)
@@ -86,6 +93,9 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("min_hash_signature", buildMinHash,
       "scala_udf")
     reg.createOrReplaceTempFunction("heavy_hitters", buildHeavyHitters,
+      "scala_udf")
+    reg.createOrReplaceTempFunction("myers_levenshtein",
+      (args: Seq[Expression]) => MyersLevenshtein(args(0), args(1), args(2)),
       "scala_udf")
   }
 }

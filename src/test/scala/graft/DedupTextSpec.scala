@@ -758,6 +758,13 @@ class DedupTextSpec extends AnyFunSuite {
     assert(MyersKernel.distance("", "abc") === 3)
     assert(MyersKernel.distance("same", "same") === 0)
     assert(MyersKernel.distance("aaaa", "bbbb") === 4)
+    // SQL surface via GraftExtensions.register
+    GraftExtensions.register(spark)
+    val sqlGot = spark.sql(
+      "SELECT myers_levenshtein('kitten', 'sitting', 10) AS d, " +
+        "myers_levenshtein('kitten', 'sitting', 2) AS capped")
+      .as[(Int, Int)].head()
+    assert(sqlGot === ((3, -1)))
   }
 
   test("span dup stats: shared 8-token span counted, within-doc repeat not") {
