@@ -668,19 +668,30 @@ object QueriesEval {
     // --- R11c: Kendall tau-b at the reference's exact call shape
     //     (metrics.py:481-527): per user, tau between the PREDICTED score
     //     (pred-list rank, negated so rank 1 = highest) and the TRUE
-    //     preference (test-period purchase frequency as implicit rating)
-    //     over their COMMON items — reference computes kendalltau(
-    //     predicted_scores, true_ratings) on common_items, skipping users
-    //     with < 3 of them and zero-variance groups. Common items per user
+    //     preference (test-period total QUANTITY as implicit rating — the
+    //     standard interaction-strength stand-in for the reference's
+    //     explicit ratings) over their COMMON items — reference computes
+    //     kendalltau(predicted_scores, true_ratings) on common_items,
+    //     skipping users with < 3 of them and zero-variance groups.
+    //     Quantity, not row count, on purpose: per-(u,it) purchase
+    //     frequency is 1 for >99.8% of test-period pairs in this data, so
+    //     the frequency form made EVERY user zero-variance and the row
+    //     passed its oracle on 0 rows for five rounds (VERDICT r14 —
+    //     vacuous); quantity varies 1–50, so the tau-b arithmetic is now
+    //     actually exercised (25 users at sf0.01). Common items per user
     //     are bounded by the pred-list length (≤ 100), so the per-user
     //     pair self-join is C(common, 2) ≤ 4950 — linear in users. ---
     ("r11b_kendall", (s, d) => {
       val predPos = predGtShared(s, d)
         .select(col("u"), posexplode(col("pred")).as(Seq("p", "it")))
         .select(col("u"), col("it"), (-col("p")).cast("long").as("x"))
-      val yf = pairs(s, d)
-        .filter(col("sd") >= lit(Cutoff).cast("timestamp"))
-        .groupBy(col("u"), col("it")).agg(count(lit(1)).as("y"))
+      val yf = SparkEntry.T(s, d, "lineitem")
+        .join(SparkEntry.T(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >= lit(Cutoff).cast("timestamp"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("it"),
+          col("l_quantity").as("q"))
+        .groupBy(col("u"), col("it")).agg(sum(col("q")).as("y"))
       val common = predPos.join(yf, Seq("u", "it"))
       val a = common.alias("a")
       val b = common.alias("b")
@@ -708,8 +719,10 @@ object QueriesEval {
         .orderBy(col("u"))
     },
       Some(s"""$EvalCtes,
-              |tf AS (SELECT u, it, count(*) AS y FROM li
-              |       WHERE sd >= TIMESTAMP '$Cutoff' GROUP BY u, it),
+              |liq AS (SELECT o_custkey AS u, l_partkey AS it, l_quantity AS q
+              |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |        WHERE l_shipdate >= TIMESTAMP '$Cutoff'),
+              |tf AS (SELECT u, it, sum(q) AS y FROM liq GROUP BY u, it),
               |cm AS (SELECT p.u, p.it, -p.pos AS x, t.y
               |       FROM predr p JOIN tf t ON t.u = p.u AND t.it = p.it),
               |pp AS (SELECT a.u,

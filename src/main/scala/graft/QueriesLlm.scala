@@ -498,6 +498,43 @@ object QueriesLlm {
               |  array_to_string(ts, ' ') AS bpe_text
               |FROM tok ORDER BY doc_id""".stripMargin)),
 
+    // --- TOKEN-ID HANDOFF (VERDICT r14 top-next): the trainer-facing
+    //     output format — learn 3 merges, BPE-encode, then assign DENSE
+    //     INT IDS from the deterministic top-50 vocabulary (count desc,
+    //     token asc → ids 1..50; OOV → 0) and emit the per-doc id
+    //     sequence. The oracle replays the identical learn→encode chain
+    //     (BpeEncodePrefix) AND the id assignment (row_number over the
+    //     same ranked vocab), then compares the id arrays value-for-value
+    //     via the canonical space-joined rendering (the driver's compare
+    //     is scalar-typed — the ArrayType(Int) surface itself is
+    //     schema-pinned in DedupTextSpec). Empty docs keep (0, 0, ''). ---
+    ("t_token_ids", (s, d) =>
+      TextAnalysis.bpeLearnEncodeIds(SparkEntry.T(s, d, "documents"),
+        "doc_id", "text", iterations = 3, vocabSize = 50)
+        .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+          array_join(transform(col("token_ids"), i => i.cast("string")), " ")
+            .as("ids_str"))
+        .orderBy(col("doc_id")),
+      Some(s"""$BpeEncodePrefix,
+              |u AS (SELECT unnest(ts) AS tok FROM tok),
+              |v AS (SELECT tok, row_number() OVER
+              |    (ORDER BY count(*) DESC, tok) AS tid
+              |  FROM u GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 50),
+              |e AS (SELECT doc_id, x.s.p AS pos, x.s.tok AS tok FROM tok,
+              |  unnest(list_transform(range(1, len(ts) + 1),
+              |    i -> struct_pack(p := i - 1, tok := ts[i]))) AS x(s)),
+              |m AS (SELECT doc_id, pos, coalesce(v.tid, 0) AS tid
+              |      FROM e LEFT JOIN v USING (tok)),
+              |ids AS (SELECT doc_id, count(*) AS n_tokens,
+              |  count(*) FILTER (WHERE tid = 0) AS n_unk,
+              |  string_agg(tid::VARCHAR, ' ' ORDER BY pos) AS ids_str
+              |  FROM m GROUP BY doc_id)
+              |SELECT d.doc_id, coalesce(i.n_tokens, 0) AS n_tokens,
+              |  coalesce(i.n_unk, 0) AS n_unk,
+              |  coalesce(i.ids_str, '') AS ids_str
+              |FROM (SELECT doc_id FROM documents) d
+              |LEFT JOIN ids i USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // --- BM25 corpus scoring against a fixed query (Okapi, Lucene idf):
     //     the classic retrieval scorer over the documents table; one
     //     exploded pass pre-filtered to the query terms, df via window
@@ -858,6 +895,67 @@ object QueriesLlm {
               |CAST(sum(nt) AS BIGINT) AS total_tokens,
               |min(doc_id) AS first_doc, max(doc_id) AS last_doc
               |FROM o GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin)),
+
+    // --- ID-LEVEL sequence packing (VERDICT r14 top-next, the second half
+    //     of the token-ID handoff): the t_token_ids id arrays concatenated
+    //     by doc_id within each lang and sliced into exactly-64-id training
+    //     sequences — input_ids padded with 0, loss_mask 1/0, doc_starts =
+    //     attention-reset offsets. End-to-end oracle: DuckDB replays
+    //     learn → encode → id-assign → prefix-sum → slice → pad and the
+    //     rendered tensors must agree value-for-value. ---
+    ("x9b_pack_ids", (s, d) => {
+      val docs = SparkEntry.T(s, d, "documents")
+      val ids = TextAnalysis.bpeLearnEncodeIds(docs, "doc_id", "text",
+          iterations = 3, vocabSize = 50)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      TextAnalysis.packSequenceIds(ids, "doc_id", "token_ids",
+          seqLen = 64, padId = 0, groupCols = Seq("lang"))
+        .select(col("lang"), col("seq_idx"), col("n_real"),
+          col("n_doc_starts"),
+          array_join(transform(col("input_ids"), i => i.cast("string")), " ")
+            .as("ids_str"),
+          array_join(transform(col("loss_mask"), i => i.cast("string")), " ")
+            .as("mask_str"),
+          array_join(transform(col("doc_starts"), i => i.cast("string")), " ")
+            .as("starts_str"))
+        .orderBy(col("lang"), col("seq_idx"))
+    },
+      Some(s"""$BpeEncodePrefix,
+              |u AS (SELECT unnest(ts) AS tok FROM tok),
+              |v AS (SELECT tok, row_number() OVER
+              |    (ORDER BY count(*) DESC, tok) AS tid
+              |  FROM u GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 50),
+              |e AS (SELECT doc_id, x.s.p AS pos, x.s.tok AS tok FROM tok,
+              |  unnest(list_transform(range(1, len(ts) + 1),
+              |    i -> struct_pack(p := i - 1, tok := ts[i]))) AS x(s)),
+              |m AS (SELECT doc_id, pos, coalesce(v.tid, 0) AS tid
+              |      FROM e LEFT JOIN v USING (tok)),
+              |dt AS (SELECT doc_id, count(*) AS nt FROM m GROUP BY doc_id),
+              |st AS (SELECT dt.doc_id, docs.lang,
+              |  CAST(coalesce(sum(nt) OVER (PARTITION BY docs.lang
+              |    ORDER BY dt.doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |    AS BIGINT) AS strt
+              |  FROM dt JOIN documents docs USING (doc_id)),
+              |g AS (SELECT st.lang, st.strt + m.pos AS gpos, m.tid,
+              |             m.pos = 0 AS isstart
+              |      FROM m JOIN st USING (doc_id)),
+              |sq AS (SELECT lang, gpos // 64 AS seq_idx,
+              |              (gpos % 64)::INT AS sp, tid, isstart FROM g),
+              |agg AS (SELECT lang, seq_idx,
+              |  count(*) AS n_real,
+              |  CAST(sum(CASE WHEN isstart THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_doc_starts,
+              |  string_agg(tid::VARCHAR, ' ' ORDER BY sp) AS real_str,
+              |  string_agg(CASE WHEN isstart THEN sp::VARCHAR END,
+              |    ' ' ORDER BY sp) AS starts_str
+              |  FROM sq GROUP BY lang, seq_idx)
+              |SELECT lang, seq_idx, n_real, n_doc_starts,
+              |  real_str || repeat(' 0', (64 - n_real)::INT) AS ids_str,
+              |  trim(repeat('1 ', n_real::INT) ||
+              |       repeat('0 ', (64 - n_real)::INT)) AS mask_str,
+              |  coalesce(starts_str, '') AS starts_str
+              |FROM agg ORDER BY lang, seq_idx""".stripMargin)),
 
     // --- Language ID by marker profiles (argmax + alphabetical tiebreak) ---
     ("t_lang_id", (s, d) => {

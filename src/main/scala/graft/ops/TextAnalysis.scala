@@ -541,6 +541,126 @@ object TextAnalysis {
         array_join(col("__toks"), " ").as("bpe_text"))
   }
 
+  /** Token-ID encode — the trainer handoff format (the analog of the
+    * reference's id-encoding before training, `src/data/movielens.py:299-303`:
+    * every entity is mapped to a dense int id before tensors are built).
+    * BPE-encodes each document through `merges` (empty table = plain
+    * whitespace tokens), assigns DENSE INT IDS from a deterministic
+    * vocabulary — the top `vocabSize` encoded tokens by (count desc, token
+    * asc), the heavy-hitters tiebreak, ids 1..V in rank order with id 0
+    * reserved for OOV — and emits `ArrayType(Int)` id sequences:
+    * (id, n_tokens, n_unk, token_ids). A trainer consumes ids, not text;
+    * this is the step between [[bpeEncodeIndexed]]'s token streams and
+    * [[packSequenceIds]]'s fixed-length training sequences.
+    *
+    * Scale shape: vocab selection is one encode pass → map-combined token
+    * count → V-row sort-limit collected to the driver (the centroid-table
+    * bound — V is a tokenizer vocab, ≤ ~10⁵); the id assignment is then a
+    * MAP LITERAL folded into ONE codegen'd projection (`element_at` per
+    * token, OOV → 0) — no shuffle, no join on the encode side at all. The
+    * BPE kernel runs twice (vocab pass + encode pass) by design: two linear
+    * scans beat materializing a corpus-sized token copy between them. */
+  def bpeEncodeIds(df: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)],
+                   vocabSize: Int): DataFrame = {
+    validateMergeTable(merges, "bpeEncodeIds")
+    require(vocabSize > 0, s"bpeEncodeIds: vocabSize=$vocabSize")
+    val norm = Dedup.normalizeText(col(textCol))
+    val toks =
+      if (merges.isEmpty) filter(split(norm, " "), t => length(t) > 0)
+      else ColumnBridge.column(graft.functions.expr.BpeApplyMerges(
+        ColumnBridge.expression(norm), merges))
+    val enc = df.select(col(idCol), toks.as("__toks"))
+    val vocab: Seq[String] = enc.select(explode(col("__toks")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__t")).limit(vocabSize)
+      .collect().map(_.getString(0)).toSeq
+    val idMap: Map[String, Int] =
+      vocab.zipWithIndex.map { case (t, i) => (t, i + 1) }.toMap
+    val m = typedLit(idMap)
+    // Two projections on purpose (the bpeEncodeIndexed device): token_ids
+    // is referenced twice below and CollapseProject would otherwise inline
+    // the transform into both consumers.
+    enc.select(col(idCol),
+        transform(col("__toks"),
+          t => coalesce(element_at(m, t), lit(0))).as("token_ids"))
+      .select(col(idCol),
+        size(col("token_ids")).cast("long").as("n_tokens"),
+        size(filter(col("token_ids"), i => i === 0)).cast("long").as("n_unk"),
+        col("token_ids"))
+  }
+
+  /** Learn-then-id-encode convenience — the full tokenizer-training handoff
+    * a corpus pipeline ships: learn `iterations` merges with the flat
+    * per-step trainer ([[bpeMergesMaterialized]]), then [[bpeEncodeIds]]
+    * with a `vocabSize` vocabulary. */
+  def bpeLearnEncodeIds(df: DataFrame, idCol: String, textCol: String,
+                        iterations: Int, vocabSize: Int): DataFrame = {
+    val table = bpeMergesMaterialized(df, textCol, iterations)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncodeIds(df, idCol, textCol, table, vocabSize)
+  }
+
+  /** Fixed-length training-sequence packing over TOKEN-ID arrays — the
+    * id-level successor to [[packSequences]]' manifest: documents are
+    * concatenated in `idCol` order within each group and sliced into
+    * exactly-`seqLen` id sequences (a document spanning a boundary is
+    * split), the final partial sequence is padded with `padId`. Emits one
+    * row per (group, seq_idx) with the tensors a trainer consumes:
+    * `input_ids` (always `seqLen` ints), `loss_mask` (1 = real token,
+    * 0 = padding — the loss is masked at pad positions), `doc_starts`
+    * (offsets in [0, seqLen) where a document begins — the attention-reset
+    * boundaries concat-packing needs), plus n_real / n_doc_starts.
+    * Zero-length id arrays contribute nothing (and cannot host a start).
+    *
+    * Scale shape: the per-group prefix sum is a window ordered by `idCol`
+    * — parallelism = number of groups, so at 100 TB the caller adds a
+    * hash-shard column to `groupCols` (packing is shard-local by
+    * construction, sequences never cross shards) and the window is
+    * embarrassingly parallel. Then ONE token-level shuffle keyed on
+    * (group, seq_idx): every reduce group is ≤ `seqLen` tokens by
+    * construction, so the collect_list is bounded and skew-free no matter
+    * how large any document is. */
+  def packSequenceIds(df: DataFrame, idCol: String, idsCol: String,
+                      seqLen: Int, padId: Int = 0,
+                      groupCols: Seq[String] = Nil): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val parts: Seq[Column] =
+      if (groupCols.isEmpty) Seq(lit(1)) else groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(parts: _*)
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val base = df
+      .select(groupCols.map(col) :+ col(idCol) :+ col(idsCol).as("__ids"): _*)
+      .withColumn("__nt", size(col("__ids")).cast("long"))
+      .filter(col("__nt") > 0)
+      .withColumn("__start", coalesce(sum(col("__nt")).over(w), lit(0L)))
+    val toks = base
+      .select(groupCols.map(col) :+ col("__start") :+
+        posexplode(col("__ids")).as(Seq("__p", "__tid")): _*)
+      .withColumn("__g", col("__start") + col("__p"))
+      .select(groupCols.map(col) :+
+        floor(col("__g") / seqLen).cast("bigint").as("seq_idx") :+
+        (col("__g") % seqLen).cast("int").as("__sp") :+
+        col("__tid") :+ (col("__p") === 0).as("__isstart"): _*)
+    toks.groupBy(groupCols.map(col) :+ col("seq_idx"): _*)
+      .agg(
+        transform(array_sort(collect_list(struct(col("__sp"), col("__tid")))),
+          x => x.getField("__tid")).as("__real"),
+        array_sort(collect_list(when(col("__isstart"), col("__sp"))))
+          .as("doc_starts"),
+        count(lit(1)).as("n_real"),
+        sum(when(col("__isstart"), 1L).otherwise(0L)).as("n_doc_starts"))
+      .select(groupCols.map(col) :+ col("seq_idx") :+
+        concat(col("__real"), array_repeat(lit(padId),
+          (lit(seqLen) - size(col("__real"))).cast("int"))).as("input_ids") :+
+        concat(array_repeat(lit(1), size(col("__real"))),
+          array_repeat(lit(0),
+            (lit(seqLen) - size(col("__real"))).cast("int"))).as("loss_mask") :+
+        col("n_real") :+ col("n_doc_starts") :+ col("doc_starts"): _*)
+  }
+
   /** One-pass top-k adjacent-pair table over the BASE corpus — the cheap
     * valid-table source for encode-path scale tests and for phrase-style
     * vocabularies that don't need the trainer's re-count-after-each-merge

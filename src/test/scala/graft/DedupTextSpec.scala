@@ -718,6 +718,54 @@ class DedupTextSpec extends AnyFunSuite {
     assert(math.abs(sim - expected) < 1e-6)
   }
 
+  test("editSimilarityPairs: differential vs an all-pairs reference " +
+    "(candidate jaccard then exact lev) on fuzz corpora — the carried-" +
+    "text rewrite must keep the pair set and values bit-identical") {
+    val rng = new scala.util.Random(7157L)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def levRef(a: String, b: String): Int = {
+      val x = a.codePoints.toArray
+      val y = b.codePoints.toArray
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val minSim = 0.5
+    val candT = 0.4
+    for (_ <- 1 to 3) {
+      val base = (1 to 25).map(_ => (1 to (2 + rng.nextInt(6)))
+        .map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+      val texts = base ++
+        base.take(10).map(_.replaceFirst("a", "o")) ++ // 1-char variants
+        base.slice(10, 15).map(_ + " extra")           // appended-token dups
+      val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val got = Dedup.editSimilarityPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", minSim, candT)
+        .select(col("id1"), col("id2"), col("lev"), col("edit_sim"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val expected = (for {
+        (i, ti) <- docs
+        (j, tj) <- docs if i < j
+        si = ti.split(" ").toSet
+        sj = tj.split(" ").toSet
+        common = (si intersect sj).size
+        if common.toDouble / (si.size + sj.size - common) >= candT
+        d = levRef(ti, tj)
+        mx = math.max(ti.length, tj.length)
+        sim = if (mx == 0) 1.0 else round6(1.0 - d.toDouble / mx)
+        if sim >= minSim
+      } yield (i, j, d.toLong, sim)).toSet
+      assert(got === expected)
+      assert(expected.nonEmpty) // the planted variants must actually hit
+    }
+  }
+
   test("MyersLevenshtein: fuzz differential vs Spark's banded Levenshtein " +
     "(value + bounded -1 contract, code-point semantics)") {
     import graft.functions.expr.MyersKernel
@@ -1152,6 +1200,64 @@ class DedupTextSpec extends AnyFunSuite {
             === rows(TextAnalysis.bpeEncode(docs, "doc_id", "text", table)),
           s"trial=$trial tableSize=${table.size}")
       }
+    }
+  }
+
+  test("bpeEncodeIds: deterministic vocab ids (count desc, token asc -> " +
+    "1..V), OOV -> 0, ArrayType(Int) schema, merged tokens get ids too") {
+    val df = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a b q"),
+      (3L, " ")).toDF("doc_id", "text")
+    // corpus counts: b=4, a=3, c=1, q=1 -> vocab 3 = b->1, a->2, c->3
+    // (count desc, token asc puts c before q); q is OOV -> 0
+    val got = TextAnalysis.bpeEncodeIds(df, "doc_id", "text", Nil, 3)
+    got.schema("token_ids").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, _) => ()
+      case other => fail(s"token_ids must be array<int>, got $other")
+    }
+    val m = got.as[(Long, Long, Long, Seq[Int])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m(1L) === ((1L, 6L, 0L, Seq(1, 1, 1, 2, 2, 3))))
+    assert(m(2L) === ((2L, 3L, 1L, Seq(2, 1, 0))))
+    assert(m(3L) === ((3L, 0L, 0L, Seq.empty[Int])))
+    // merged tokens are first-class vocab entries: after (a,b) fires,
+    // a⊕b (count 2) outranks c (count 1)
+    val merged = TextAnalysis.bpeEncodeIds(
+      Seq((1L, "a b a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq(("a", "b")), 2)
+      .as[(Long, Long, Long, Seq[Int])].collect().head
+    assert(merged === ((1L, 3L, 0L, Seq(1, 1, 2))))
+  }
+
+  test("packSequenceIds: exact slicing across doc boundaries, padding, " +
+    "loss mask, doc_starts; groups pack independently; empty arrays drop") {
+    val df = Seq(
+      ("g1", 1L, Seq(10, 11, 12)),
+      ("g1", 2L, Seq(20, 21, 22)), // spans the seqLen=4 boundary: split
+      ("g1", 3L, Seq.empty[Int]),  // zero-length: contributes nothing
+      ("g2", 9L, Seq(7)))
+      .toDF("g", "doc_id", "ids")
+    val got = TextAnalysis.packSequenceIds(df, "doc_id", "ids", seqLen = 4,
+        padId = -1, groupCols = Seq("g"))
+      .select(col("g"), col("seq_idx"), col("input_ids"), col("loss_mask"),
+        col("n_real"), col("n_doc_starts"), col("doc_starts"))
+      .as[(String, Long, Seq[Int], Seq[Int], Long, Long, Seq[Int])]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.size === 3)
+    // g1 token stream in doc order: 10 11 12 | 20 21 22
+    assert(got(("g1", 0L)) ===
+      (("g1", 0L, Seq(10, 11, 12, 20), Seq(1, 1, 1, 1), 4L, 2L, Seq(0, 3))))
+    assert(got(("g1", 1L)) ===
+      (("g1", 1L, Seq(21, 22, -1, -1), Seq(1, 1, 0, 0), 2L, 0L,
+        Seq.empty[Int])))
+    assert(got(("g2", 0L)) ===
+      (("g2", 0L, Seq(7, -1, -1, -1), Seq(1, 0, 0, 0), 1L, 1L, Seq(0))))
+    // every sequence is exactly seqLen wide and mask matches n_real
+    got.values.foreach { case (_, _, ids, mask, nReal, _, _) =>
+      assert(ids.size === 4 && mask.size === 4)
+      assert(mask.map(_.toLong).sum === nReal)
     }
   }
 
