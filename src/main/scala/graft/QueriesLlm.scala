@@ -1538,6 +1538,37 @@ object QueriesLlm {
               |  FILTER (WHERE keep), '') AS clean_text
               |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // --- Span-granular duplicate REMOVAL at arbitrary offsets (VERDICT
+    //     r14 next #3 — the full Lee et al. 2022 semantics d_passage_dedup
+    //     approximates at fixed 16-token blocks): sliding 8-token spans,
+    //     first-occurrence-wins election on span content, every non-first
+    //     occurrence covers its positions for removal, docs reassembled
+    //     from surviving tokens. The oracle replays election + coverage +
+    //     reassembly; clean_text equality is byte-for-byte. ---
+    ("d_span_dedup", (s, d) =>
+      TextAnalysis.dedupSpans(SparkEntry.T(s, d, "documents"),
+        "doc_id", "text", n = 8)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckTokens AS ts FROM documents),
+              |sp AS (SELECT doc_id, i - 1 AS si,
+              |  md5(array_to_string(ts[i:i+7], ' ')) AS h
+              |  FROM t, unnest(range(1, len(ts) - 6)) AS r(i)
+              |  WHERE len(ts) >= 8),
+              |k AS (SELECT doc_id, si, row_number() OVER
+              |  (PARTITION BY h ORDER BY doc_id, si) = 1 AS first FROM sp),
+              |rm AS (SELECT DISTINCT doc_id, si + j AS p
+              |  FROM k, unnest(range(0, 8)) AS u(j) WHERE NOT first),
+              |tok AS (SELECT doc_id, x.s.p AS p, x.s.tok AS tok FROM t,
+              |  unnest(list_transform(range(1, len(ts) + 1),
+              |    i -> struct_pack(p := i - 1, tok := ts[i]))) AS x(s))
+              |SELECT tok.doc_id, count(*) AS n_tokens,
+              |count(*) FILTER (WHERE rm.p IS NOT NULL) AS n_removed,
+              |coalesce(string_agg(tok.tok, ' ' ORDER BY tok.p)
+              |  FILTER (WHERE rm.p IS NULL), '') AS clean_text
+              |FROM tok LEFT JOIN rm
+              |  ON tok.doc_id = rm.doc_id AND tok.p = rm.p
+              |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin)),
+
     ("t_chunk_docs", (s, d) =>
       TextAnalysis.chunkDocs(SparkEntry.T(s, d, "documents"),
         "doc_id", "text", size = 32, stride = 24)

@@ -1085,6 +1085,74 @@ object TextAnalysis {
           p => p("__passage")), " ").as("clean_text"))
   }
 
+  /** Span-granular duplicate REMOVAL at ARBITRARY offsets — the full
+    * Lee et al. 2022 semantics [[dedupPassages]] approximates at fixed
+    * passage boundaries (its removal unit is the aligned 16-token block;
+    * a duplicated run straddling two blocks survives both). Here every
+    * SLIDING n-token span is elected (first-occurrence-wins on content,
+    * ordered by (id, span_start) — the [[dedupPassages]] rule), every
+    * occurrence that is NOT its content's first covers its n token
+    * positions for removal, covered positions are dropped and each
+    * document is reassembled from the surviving tokens in order. Overlap
+    * and boundary merging fall out of position-coverage union — no
+    * interval arithmetic. Emits (id, n_tokens, n_removed, clean_text);
+    * a fully-duplicated document survives as an empty clean_text row
+    * (the caller decides the drop, like [[dedupPassages]]).
+    *
+    * Semantics notes (deterministic, engine-replayable):
+    *  - documents shorter than `n` tokens have no spans and are always
+    *    kept whole — runs below the match granularity are not duplication
+    *    (Lee et al.'s minimum-match-length threshold); whole-short-doc
+    *    duplicates belong to [[graft.ops.Dedup.exactDedup]];
+    *  - a first-occurrence span's tokens can still be removed when a
+    *    DIFFERENT duplicated span covers them (including self-overlapping
+    *    periodic text: "a a a a a" at n=2 keeps exactly "a") — coverage
+    *    union is more aggressive than Lee et al.'s keep-one-occurrence
+    *    on periodic runs, but is order-free and growth-stable: appending
+    *    documents never changes which EXISTING occurrence is first.
+    *
+    * Scale shape: one explode (≈ corpus tokens span rows; the shuffle
+    * ships the 16-byte content hash, never the span text) → the election
+    * as ONE map-combined min-struct aggregation → hash-join back → dup
+    * coverage exploded to (id, pos) and distinct'd → one token-level
+    * left join + per-document reassembly aggregation. No windows, no
+    * self-join, no quadratic term — the same linear skeleton as
+    * [[dedupPassages]] with a ×n coverage explode on DUP spans only. */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+                 n: Int = 8): DataFrame = {
+    require(n > 0, s"dedupSpans: n must be positive, got $n")
+    val toks = df.select(col(idCol), Dedup.tokens(col(textCol)).as("__t"))
+    // No spans below the match granularity: wordShinglesFromTokens emits
+    // the whole doc as ONE shingle when len < n, which would turn this
+    // into exact whole-doc dedup for short rows — mask it to empty.
+    val spans = toks
+      .select(col(idCol),
+        posexplode(when(size(col("__t")) < n,
+          array().cast("array<string>"))
+          .otherwise(Dedup.wordShinglesFromTokens(col("__t"), n)))
+          .as(Seq("__i", "__span")))
+      .select(col(idCol), col("__i").cast("long").as("__i"),
+        md5(col("__span")).as("__h"))
+    val firstSeen = spans.groupBy(col("__h"))
+      .agg(min(struct(col(idCol).as("__fid"), col("__i").as("__fidx")))
+        .as("__first"))
+    val removed = spans.join(firstSeen, Seq("__h"))
+      .filter(!(col("__first.__fid") === col(idCol) &&
+        col("__first.__fidx") === col("__i")))
+      .select(col(idCol),
+        explode(sequence(col("__i"), col("__i") + (n - 1))).as("__p"))
+      .distinct()
+    toks.select(col(idCol), posexplode(col("__t")).as(Seq("__p", "__tok")))
+      .withColumn("__p", col("__p").cast("long"))
+      .join(removed.withColumn("__rm", lit(true)), Seq(idCol, "__p"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__rm"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+          when(col("__rm").isNull, struct(col("__p"), col("__tok"))))),
+          p => p("__tok")), " ").as("clean_text"))
+  }
+
   /** Overlapping token-window chunking — the RAG/embedding-prep splitter:
     * each document becomes ceil((len−size)/stride)+1 chunks of up to
     * `size` tokens starting every `stride` tokens (consecutive chunks

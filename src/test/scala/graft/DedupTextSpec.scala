@@ -813,6 +813,22 @@ class DedupTextSpec extends AnyFunSuite {
         "myers_levenshtein('kitten', 'sitting', 2) AS capped")
       .as[(Int, Int)].head()
     assert(sqlGot === ((3, -1)))
+    // wrong arity is a clean builder error, not IndexOutOfBounds
+    val arityErr = intercept[Exception] {
+      spark.sql("SELECT myers_levenshtein('a', 'b')").collect()
+    }
+    assert(arityErr.getMessage.contains("exactly 3"),
+      s"got: ${arityErr.getMessage}")
+    // the early-exit path (score floor > bound abandons mid-column) must
+    // preserve the bounded contract on long strings with a tiny bound
+    val longA = "x" * 500 + "tail"
+    val longB = "y" * 500 + "tail"
+    assert(MyersKernel.bounded(
+      org.apache.spark.unsafe.types.UTF8String.fromString(longA),
+      org.apache.spark.unsafe.types.UTF8String.fromString(longB), 3) === -1)
+    assert(MyersKernel.bounded(
+      org.apache.spark.unsafe.types.UTF8String.fromString(longA),
+      org.apache.spark.unsafe.types.UTF8String.fromString(longA), 0) === 0)
   }
 
   test("span dup stats: shared 8-token span counted, within-doc repeat not") {
@@ -1101,6 +1117,70 @@ class DedupTextSpec extends AnyFunSuite {
     val got = TextAnalysis.dedupPassages(df, "doc_id", "text", size = 16)
       .as[(Long, Long, Long, String)].head()
     assert(got === ((7L, 3L, 2L, s"$P $Q")))
+  }
+
+  test("dedupSpans: arbitrary-offset removal — straddling runs that " +
+    "passage dedup misses are removed; overlap/boundary coverage merges") {
+    def toks(k: Int, from: Int = 0): String =
+      (from until from + k).map(i => s"w$i").mkString(" ")
+    // doc 1: 20 unique tokens; doc 2: its OWN 6-token prefix, then doc 1's
+    // tokens 5..14 (a 10-token duplicated run starting at OFFSET 6 —
+    // straddles any aligned block boundary), then 4 unique tokens.
+    val dupRun = (5 until 15).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, toks(20)),
+      (2L, toks(6, from = 100) + " " + dupRun + " " + toks(4, from = 200)),
+      (3L, toks(5, from = 300)), // short (< n): never touched
+      (4L, toks(5, from = 300)), // exact short dup: still untouched here
+      (5L, toks(20))) // full duplicate of doc 1: emptied
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dedupSpans(df, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // doc 1 is every span's first occurrence: untouched
+    assert(got(1L) === ((1L, 20L, 0L, toks(20))))
+    // doc 2: spans at starts 6..8 (inside the run) are dups of doc 1's
+    // spans at 5..7 -> coverage = positions 6..15 (the whole 10-token
+    // run), surrounding unique text survives byte-exact
+    assert(got(2L) ===
+      ((2L, 20L, 10L, toks(6, from = 100) + " " + toks(4, from = 200))))
+    // short docs below the span granularity are never touched, even as
+    // exact duplicates of each other (that is exactDedup's job)
+    assert(got(3L) === ((3L, 5L, 0L, toks(5, from = 300))))
+    assert(got(4L) === ((4L, 5L, 0L, toks(5, from = 300))))
+    // full duplicate: every span a dup, all positions covered
+    assert(got(5L) === ((5L, 20L, 20L, "")))
+    // contrast pin: the 16-token-aligned passage form MISSES the
+    // offset-6 straddling run (neither of doc 2's aligned passages
+    // equals one of doc 1's)
+    val passage = TextAnalysis.dedupPassages(df, "doc_id", "text", 16)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // all of doc 2's aligned passages survive (n_kept == n_passages) —
+    // i.e. the aligned form removes NOTHING from the straddling run
+    assert(passage(2L)._3 === passage(2L)._2,
+      "aligned passages keep the straddler")
+  }
+
+  test("dedupSpans: periodic self-overlap collapses by coverage; " +
+    "boundary-adjacent dup runs merge") {
+    // periodic: "a a a a a" at n=2 — span@0 is first, spans@1..3 dup ->
+    // positions 1..4 covered, exactly "a" survives
+    val df = Seq(
+      (1L, Seq.fill(5)("a").mkString(" ")),
+      // two dup runs ADJACENT in doc 3 (doc 2's run then doc 1-style run):
+      // coverage merges across the seam with no boundary artifacts
+      (2L, (0 until 8).map(i => s"x$i").mkString(" ")),
+      (3L, (0 until 8).map(i => s"x$i").mkString(" ") + " " +
+        Seq.fill(5)("a").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dedupSpans(df, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 5L, 4L, "a")))
+    assert(got(2L) === ((2L, 8L, 0L, (0 until 8).map(i => s"x$i")
+      .mkString(" "))))
+    // doc 3: every span is a dup of doc 1/2 content except... the seam
+    // span "x7 a" is NOVEL (first occurrence) — but both its positions
+    // are covered by neighboring dup spans, so the whole doc empties
+    assert(got(3L) === ((3L, 13L, 13L, "")))
   }
 
   test("bpeMerges: greedy left-to-right, overlap not double-merged, " +
