@@ -106,11 +106,16 @@ object BpeScaleRun {
         agg(TextAnalysis.bpeEncode(docsId, "doc_id", "text", table)))
       val (si, ri) = timed(
         agg(TextAnalysis.bpeEncodeIndexed(docsId, "doc_id", "text", table)))
+      // table.size everywhere (row labels, per-step divisor, JSON keys):
+      // topPairTable can return FEWER than the requested k on a small
+      // corpus, and mixing the two made the printed rows and the JSON
+      // disagree (ADVICE r14).
+      val kEff = table.size
       require(rf == ri,
-        s"encode fold vs indexed DIVERGED at k=${table.size}: $rf vs $ri")
-      println(f"| encode-fold | ${table.size} | $sf%.2f | ${sf / k}%.4f |  <!-- ${rf._2} toks, ${rf._3} merged -->")
-      println(f"| encode-indexed | ${table.size} | $si%.2f | ${si / k}%.4f |")
-      json += f""""encfold_$k":$sf%.2f,"encidx_$k":$si%.2f"""
+        s"encode fold vs indexed DIVERGED at k=$kEff: $rf vs $ri")
+      println(f"| encode-fold | $kEff | $sf%.2f | ${sf / kEff}%.4f |  <!-- ${rf._2} toks, ${rf._3} merged -->")
+      println(f"| encode-indexed | $kEff | $si%.2f | ${si / kEff}%.4f |")
+      json += f""""encfold_$kEff":$sf%.2f,"encidx_$kEff":$si%.2f"""
     }
     println("{" + json.mkString(",") + "}")
     spark.stop()

@@ -34,12 +34,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
       GraftExtensions.buildHeavyHitters))
     // myers_levenshtein(left, right, bound) -> distance, or -1 beyond
-    // bound (Spark's bounded-Levenshtein contract, bit-parallel kernel)
+    // bound (Spark's bounded-Levenshtein contract, bit-parallel kernel).
+    // injectFunction does NOT enforce arity — pattern-match so a wrong
+    // arg count is a clean analysis-time error, not an
+    // IndexOutOfBoundsException (ADVICE r14).
     e.injectFunction((FunctionIdentifier("myers_levenshtein"),
       new ExpressionInfo(classOf[MyersLevenshtein].getName,
         "myers_levenshtein"),
-      (args: Seq[Expression]) =>
-        MyersLevenshtein(args(0), args(1), args(2))))
+      GraftExtensions.buildMyers))
     // Whole-operator escalation: per-group top-k-by-score planned as
     // partial heap → exchange → final heap (graft.plans.TopKByScore).
     e.injectPlannerStrategy(_ => graft.plans.TopKByScoreStrategy)
@@ -82,6 +84,17 @@ object GraftExtensions {
   }
 
   /** Register the graft SQL functions on an existing session. */
+  /** myers_levenshtein(left, right, bound) — arity checked here because
+    * neither injectFunction nor createOrReplaceTempFunction enforces it
+    * (ADVICE r14: a wrong arg count must be a clean builder error, not an
+    * IndexOutOfBoundsException). */
+  private[graft] val buildMyers: Seq[Expression] => Expression = {
+    case Seq(a, b, t) => MyersLevenshtein(a, b, t)
+    case other => throw new IllegalArgumentException(
+      "myers_levenshtein(left, right, bound) takes exactly 3 arguments, " +
+        s"got ${other.length}")
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vector_dot",
@@ -94,8 +107,7 @@ object GraftExtensions {
       "scala_udf")
     reg.createOrReplaceTempFunction("heavy_hitters", buildHeavyHitters,
       "scala_udf")
-    reg.createOrReplaceTempFunction("myers_levenshtein",
-      (args: Seq[Expression]) => MyersLevenshtein(args(0), args(1), args(2)),
+    reg.createOrReplaceTempFunction("myers_levenshtein", buildMyers,
       "scala_udf")
   }
 }

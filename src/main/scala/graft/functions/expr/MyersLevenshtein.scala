@@ -38,13 +38,25 @@ import org.apache.spark.unsafe.types.UTF8String
 object MyersKernel {
 
   /** Levenshtein distance between a and b (code points), or −1 if it
-    * exceeds `bound`. */
+    * exceeds `bound`. Tight bounds now also cut WORK, not just the return
+    * (ADVICE r14): the column loop abandons as soon as the running score
+    * minus the remaining-column slack provably exceeds `bound` (final ≥
+    * score_j − (n−j), since one text column changes the score by at most
+    * 1), and a length-gap pre-check skips the loop entirely — so the SQL
+    * surface's "bounded" is genuinely bounded-cost for small bounds,
+    * while loose bounds (d_lev_neardup's minSim=0.35) pay nothing new. */
   def bounded(a: UTF8String, b: UTF8String, bound: Int): Int = {
-    val d = distance(a.toString, b.toString)
-    if (d <= bound) d else -1
+    val d = distance(a.toString, b.toString, bound)
+    if (d >= 0 && d <= bound) d else -1
   }
 
-  def distance(sa: String, sb: String): Int = {
+  def distance(sa: String, sb: String): Int =
+    distance(sa, sb, Int.MaxValue)
+
+  /** Bound-aware core: returns the exact distance when it is ≤ `bound`,
+    * any value > `bound` (possibly −1 for an early abandon) otherwise —
+    * [[bounded]] normalizes both to −1. */
+  private def distance(sa: String, sb: String, bound: Int): Int = {
     // pattern = shorter string (fewer blocks); text = longer
     val ca = sa.codePointCount(0, sa.length)
     val cb = sb.codePointCount(0, sb.length)
@@ -54,6 +66,8 @@ object MyersKernel {
     val m = pat.length
     val n = txt.length
     if (m == 0) return n
+    // length-gap lower bound: distance >= n - m always
+    if (n - m > bound) return -1
     // per-block per-character pattern bitmasks
     val nb = (m + 63) >>> 6
     val peq = new java.util.HashMap[Integer, Array[Long]](m * 2)
@@ -103,6 +117,10 @@ object MyersKernel {
       }
       score += hin // hin now = the final block's score delta
       j += 1
+      // Ukkonen-style abandon: each remaining column moves the score by
+      // at most 1, so final >= score - (n - j); once that floor exceeds
+      // the bound the answer is provably "beyond bound".
+      if (score - (n - j) > bound) return -1
     }
     score
   }

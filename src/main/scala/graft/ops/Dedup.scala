@@ -459,38 +459,21 @@ object Dedup {
     * with the hot-token quadratic candidate term pruned by construction.
     * `maxPostingSize > 0` keeps the explicitly-lossy capped posting join
     * (drops corpus-hot tokens from the token SETS — different, documented
-    * semantics). Same unique-id CONTRACT as [[tokenJaccardPairs]].
-    *
-    * `carry`: extra `df` columns to thread THROUGH the verify stage — the
-    * output gains `<c>_1`/`<c>_2` for each, read off the exact-verify
-    * join's two sides for free (that join already fetches each side's full
-    * token array; a downstream verifier that needs per-side payloads —
-    * [[editSimilarityPairs]] needs the normalized texts — would otherwise
-    * re-join the corpus twice to fetch them back). Prefix-path only: the
-    * capped posting path has no full-array verify join to ride (postings
-    * are token-level — a carried payload would replicate per token), so it
-    * rejects a non-empty carry loudly. */
+    * semantics). Same unique-id CONTRACT as [[tokenJaccardPairs]]. */
   def tokenJaccardPairsFromTokens(df: DataFrame, idCol: String,
                                   tokensCol: String, threshold: Double,
                                   bucketCols: Seq[String] = Nil,
-                                  maxPostingSize: Int = 0,
-                                  carry: Seq[String] = Nil): DataFrame =
+                                  maxPostingSize: Int = 0): DataFrame =
     if (maxPostingSize <= 0)
       jaccardViaPrefix(
         df.select((Seq(col(idCol),
           array_distinct(col(tokensCol)).as("__t")) ++
-          (bucketCols ++ carry).map(col)): _*),
-        idCol, threshold, bucketCols, carry)
-    else {
-      require(carry.isEmpty,
-        "tokenJaccardPairsFromTokens: carry columns ride the prefix path's " +
-          "exact-verify join; the capped posting path (maxPostingSize > 0) " +
-          "has none — join payloads back on id1/id2 instead")
-      jaccardFromPostings(
-        tokenPostingsFromTokens(df, idCol, tokensCol, bucketCols,
-          maxPostingSize),
+          bucketCols.map(col)): _*),
         idCol, threshold, bucketCols)
-    }
+    else jaccardFromPostings(
+      tokenPostingsFromTokens(df, idCol, tokensCol, bucketCols,
+        maxPostingSize),
+      idCol, threshold, bucketCols)
 
   /** Lossless prefix-filtered Jaccard join (Bayardo et al. 2007,
     * "Scaling Up All Pairs Similarity Search"): order every document's
@@ -573,22 +556,18 @@ object Dedup {
 
   private def jaccardViaPrefix(toks: DataFrame, idCol: String,
                                threshold: Double,
-                               bucketCols: Seq[String],
-                               carry: Seq[String] = Nil): DataFrame = {
+                               bucketCols: Seq[String]): DataFrame = {
     uniqueIdGuard(toks, idCol, "jaccardViaPrefix")
     val (_, cand) = jaccardPrefixCandidates(toks, idCol, threshold, bucketCols)
-    val f1 = toks.select(Seq(col(idCol).as("id1"), col("__t").as("__t1")) ++
-      carry.map(c => col(c).as(c + "_1")): _*)
-    val f2 = toks.select(Seq(col(idCol).as("id2"), col("__t").as("__t2")) ++
-      carry.map(c => col(c).as(c + "_2")): _*)
+    val f1 = toks.select(col(idCol).as("id1"), col("__t").as("__t1"))
+    val f2 = toks.select(col(idCol).as("id2"), col("__t").as("__t2"))
     cand.join(f1, Seq("id1")).join(f2, Seq("id2"))
       .withColumn("common",
         size(array_intersect(col("__t1"), col("__t2"))))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("__t1")) + size(col("__t2")) - col("common")))
       .filter(col("jaccard") >= threshold)
-      .select(Seq(col("id1"), col("id2"), col("jaccard")) ++
-        carry.flatMap(c => Seq(col(c + "_1"), col(c + "_2"))): _*)
+      .select("id1", "id2", "jaccard")
   }
 
   /** Asymmetric prefix filter for containment (the [[jaccardViaPrefix]]
@@ -1140,68 +1119,53 @@ object Dedup {
                           minSim: Double, candidateThreshold: Double = 0.5,
                           bucketCols: Seq[String] = Nil,
                           maxPostingSize: Int = 0): DataFrame = {
+    // Explicit fixed-width exchange between candidate generation and the
+    // O(len²) verify stage: candidate pairs are only a few MB, so AQE
+    // plans the downstream stage's width by BYTE size and coalesces it to
+    // ~1 partition — the DP work then runs serially (measured 57 s for a
+    // 65 K-pair verify that takes ~2 s spread over 32 slots). CPU-heavy
+    // stages must be width-planned by ROW cost, not bytes; the explicit
+    // numPartitions (REPARTITION_BY_NUM) pins the width against AQE
+    // coalescing, and the two text-lookup broadcast joins + the DP all
+    // execute in the 32-wide stage this exchange opens. (The sim filter
+    // still pushes the DP into the join condition — that doubles the
+    // per-pair DP, which parallelism absorbs; pinning evaluation to once
+    // would need an optimizer barrier that costs more than it saves.)
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // Single normalization: __norm is materialized once and both the
-    // candidate tokens (split of __norm) and the verify-side texts derive
-    // from it, instead of each stage re-running lower+regexp_replace+trim
-    // over the raw text.
+    // candidate tokens (split of __norm) and the verify-side text lookups
+    // derive from it, instead of each stage re-running
+    // lower+regexp_replace+trim over the raw text.
     val base = df.select((Seq(col(idCol),
       normalizeText(col(textCol)).as("__norm")) ++ bucketCols.map(col)): _*)
       .withColumn("__toks", split(col("__norm"), " "))
-    // Candidate pairs WITH both sides' normalized texts already attached.
-    // Default (prefix) path: the texts ride the prefix join's own
-    // exact-verify stage via `carry` — r14's form dropped them after
-    // candidate generation and RE-JOINED the corpus twice (broadcast-built
-    // twice at bench scale, two corpus shuffles beyond the 1 GiB gate) to
-    // fetch them back; VERDICT r14 measured those two joins + the
-    // ids-only exchange as the dominant surviving cost at sf10 (131 s).
-    // Capped-postings path: postings are token-level (no full-array verify
-    // join to ride), so it keeps the gated re-join form.
-    val candWithText: DataFrame =
-      if (maxPostingSize <= 0)
-        tokenJaccardPairsFromTokens(base, idCol, "__toks",
-          candidateThreshold, bucketCols, 0, carry = Seq("__norm"))
-          .select(col("id1"), col("id2"),
-            col("__norm_1").as("__n1"), col("__norm_2").as("__n2"))
-      else {
-        val cand = tokenJaccardPairsFromTokens(base, idCol, "__toks",
-          candidateThreshold, bucketCols, maxPostingSize)
-          .select(col("id1"), col("id2"))
-        val norm = base.select(col(idCol), col("__norm"))
-        // Explicit broadcast bypasses Spark's size thresholds — fine at
-        // bench scale, but past the 8 GB broadcast / driver-memory budget
-        // it fails despite this module's 100 TB framing. Gate on
-        // Catalyst's own size estimate: beyond 1 GiB, fall back to
-        // shuffled joins on id (the standard scale plan).
-        val normHint: DataFrame => DataFrame =
-          if (norm.queryExecution.optimizedPlan.stats.sizeInBytes <=
-            (1L << 30)) broadcast _
-          else identity _
-        cand
-          .join(normHint(norm.select(col(idCol).as("id1"),
-            col("__norm").as("__n1"))), Seq("id1"))
-          .join(normHint(norm.select(col(idCol).as("id2"),
-            col("__norm").as("__n2"))), Seq("id2"))
-      }
+    val cand = tokenJaccardPairsFromTokens(base, idCol, "__toks",
+      candidateThreshold, bucketCols, maxPostingSize)
+      .select(col("id1"), col("id2"))
+      .repartition(nPart, col("id1"), col("id2"))
+    val norm = base.select(col(idCol), col("__norm"))
+    // The explicit broadcast of the full normalized corpus (twice) bypasses
+    // Spark's size thresholds — fine at bench scale, but past the 8 GB
+    // broadcast / driver-memory budget it fails despite this module's
+    // 100 TB framing. Gate it on Catalyst's own size estimate: beyond
+    // 1 GiB estimated, fall back to shuffled joins on id (two corpus
+    // shuffles — the standard scale plan; the candidate side is a few MB
+    // either way and keeps the pinned 32-wide stage).
+    val normHint: DataFrame => DataFrame =
+      if (norm.queryExecution.optimizedPlan.stats.sizeInBytes <= (1L << 30))
+        broadcast _
+      else identity _
     val mx = greatest(length(col("__n1")), length(col("__n2")))
-    candWithText
+    cand
+      .join(normHint(norm.select(col(idCol).as("id1"), col("__norm").as("__n1"))), Seq("id1"))
+      .join(normHint(norm.select(col(idCol).as("id2"), col("__norm").as("__n2"))), Seq("id2"))
       // Length-band prefilter — semantics-preserving (never changes the
       // output): lev ≥ |len₁−len₂| always, so a pair whose length gap
-      // alone exceeds (1−minSim)·max can't reach minSim; it short-circuits
-      // the O(len²) DP entirely, and running it BEFORE the width-pinning
-      // exchange below means band-killed pairs never ship their texts.
+      // alone exceeds (1−minSim)·max can't reach minSim; evaluated before
+      // the sim predicate, it short-circuits the O(len²) DP entirely. On
+      // near-dup-sparse corpora this kills most candidates cheaply.
       .filter(abs(length(col("__n1")) - length(col("__n2"))) <=
         (lit(1.0) - minSim) * mx)
-      // Explicit fixed-width exchange between candidate generation and the
-      // O(len²) verify: surviving pairs are only a few MB, so AQE plans
-      // the DP stage's width by BYTE size and coalesces it to ~1 partition
-      // — the DP then runs serially (measured 57 s for a 65 K-pair verify
-      // that takes ~2 s spread over 32 slots). CPU-heavy stages must be
-      // width-planned by ROW cost, not bytes; the explicit numPartitions
-      // (REPARTITION_BY_NUM) pins the width against AQE coalescing. The
-      // DP below cannot slide under this exchange: the __pin barrier keeps
-      // the sim filter above the kernel projection.
-      .repartition(nPart, col("id1"), col("id2"))
       // BIT-PARALLEL bounded Levenshtein (Myers/Hyyrö — see
       // functions.expr.MyersLevenshtein): same value and same −1-beyond-
       // bound contract as Spark's banded `Levenshtein(l, r, t)` (fuzz-
