@@ -80,17 +80,30 @@ object QueriesEval {
     // the 100 survivors inside one array — struct (-c, it) ascending =
     // (c desc, it asc) — and posexploding. The rank reconstruction is a
     // single-row aggregate over exactly 100 rows, not a data-sized sort.
-    val top100 = pop.orderBy(col("c").desc, col("it")).limit(100)
+    val top100Arr = pop.orderBy(col("c").desc, col("it")).limit(100)
       .agg(sort_array(collect_list(struct((-col("c")).as("nc"), col("it"))))
         .as("__t"))
-      .select(posexplode(col("__t")).as(Seq("__p", "__s")))
-      .select(col("__s.it").as("it"), (col("__p") + 1).as("rnk"))
+      .select(transform(col("__t"), x => x.getField("it")).as("__arr"))
     val users = split.select(col("u")).distinct()
-    val pred = users.crossJoin(broadcast(top100))
-      .join(train, Seq("u", "it"), "left_anti") // E8/R6: exclude seen
-      .groupBy(col("u"))
-      .agg(sort_array(collect_list(struct(col("rnk"), col("it")))).as("__o"))
-      .select(col("u"), transform(col("__o"), x => x.getField("it")).as("pred"))
+    // E8/R6 seen-item exclusion in ARRAY form (r15, from the c7 sf10 stage
+    // attribution): the old shape cross-joined every user with all 100
+    // candidates and anti-joined the fan-out back down — users×100 rows
+    // through an exchange and a per-user collect_list sort, measured as
+    // c7's DOMINANT stage at sf10 (62.9 s of 210). Equivalent with no
+    // fan-out: each user's excluded set is train ∩ top100 (≤ 100 ids,
+    // built by a broadcast semi-join that only shuffles the matching
+    // train rows), and pred = the rank-ordered top-100 ARRAY minus that
+    // set via one per-row filter — order preserved by construction, users
+    // with nothing seen keep the full array.
+    val topItems = top100Arr.select(explode(col("__arr")).as("it"))
+    val seen = train.join(broadcast(topItems), Seq("it"), "left_semi")
+      .groupBy(col("u")).agg(collect_set(col("it")).as("__excl"))
+    val pred = users.join(seen, Seq("u"), "left")
+      .crossJoin(broadcast(top100Arr))
+      .select(col("u"),
+        when(col("__excl").isNull, col("__arr"))
+          .otherwise(filter(col("__arr"),
+            x => !array_contains(col("__excl"), x))).as("pred"))
     val gt = test.groupBy(col("u"))
       .agg(sort_array(collect_set(col("it"))).as("gt"))
     gt.join(pred, Seq("u"), "left")
@@ -846,21 +859,29 @@ object QueriesEval {
       // A7: popularity top-100 WITHOUT an unpartitioned window (the predGt
       // device above: TakeOrderedAndProject + in-array rank recovery)
       val pop = train.groupBy(col("it")).agg(count(lit(1)).as("c"))
-      val top100 = pop.orderBy(col("c").desc, col("it")).limit(100)
+      val top100Arr = pop.orderBy(col("c").desc, col("it")).limit(100)
         .agg(sort_array(collect_list(struct((-col("c")).as("nc"), col("it"))))
           .as("__t"))
-        .select(posexplode(col("__t")).as(Seq("__p", "__s")))
-        .select(col("__s.it").as("it"), (col("__p") + 1).as("rnk"))
+        .select(transform(col("__t"), x => x.getField("it")).as("__arr"))
       // users from the checkpointed split, not `core` (same set — every
       // core row lands in exactly one split), so nothing re-enters the
       // k-core subtree
       val users = split.select(col("u")).distinct()
-      val pred = users.crossJoin(broadcast(top100))
-        .join(train, Seq("u", "it"), "left_anti")
-        .groupBy(col("u"))
-        .agg(sort_array(collect_list(struct(col("rnk"), col("it")))).as("__o"))
+      // Array-form seen-item exclusion (the predGt r15 device): the
+      // users×100 cross-join + anti-join fan-out was c7's DOMINANT sf10
+      // stage (62.9 s of 210, r15 C7Profile attribution — NOT the fact
+      // join+agg r14 guessed); pred = rank-ordered top-100 array filtered
+      // against each user's train∩top100 set (≤100 ids via broadcast
+      // semi-join), no fan-out, order preserved by construction.
+      val topItems = top100Arr.select(explode(col("__arr")).as("it"))
+      val seen = train.join(broadcast(topItems), Seq("it"), "left_semi")
+        .groupBy(col("u")).agg(collect_set(col("it")).as("__excl"))
+      val pred = users.join(seen, Seq("u"), "left")
+        .crossJoin(broadcast(top100Arr))
         .select(col("u"),
-          transform(col("__o"), x => x.getField("it")).as("pred"))
+          when(col("__excl").isNull, col("__arr"))
+            .otherwise(filter(col("__arr"),
+              x => !array_contains(col("__excl"), x))).as("pred"))
       val gt = test.groupBy(col("u"))
         .agg(sort_array(collect_set(col("it"))).as("gt"))
       // third barrier: the per-user (pred, gt) frame is read twice (metric
