@@ -535,6 +535,42 @@ object QueriesLlm {
               |FROM (SELECT doc_id FROM documents) d
               |LEFT JOIN ids i USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // --- Token-ID DECODE (the inverse half of the trainer handoff):
+    //     decode the id arrays back to text through the shipped vocab —
+    //     id 0/unknown → <unk>, merged-token joiners → spaces. The oracle
+    //     replays learn → encode → vocab → id-assign → decode; equality is
+    //     byte-for-byte text, closing the round trip the gate can see. ---
+    ("t_token_ids_roundtrip", (s, d) => {
+      val docs = SparkEntry.T(s, d, "documents")
+      val table = TextAnalysis.bpeMergesMaterialized(docs, "text", 3)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = TextAnalysis.bpeVocabIds(docs, "text", table, 50)
+      TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", table, 50)
+        .select(col("doc_id"),
+          TextAnalysis.decodeTokenIds(col("token_ids"), vocab)
+            .as("decoded_text"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""$BpeEncodePrefix,
+              |u AS (SELECT unnest(ts) AS tok FROM tok),
+              |v AS (SELECT tok, row_number() OVER
+              |    (ORDER BY count(*) DESC, tok) AS tid
+              |  FROM u GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 50),
+              |e AS (SELECT doc_id, x.s.p AS pos, x.s.tok AS tok FROM tok,
+              |  unnest(list_transform(range(1, len(ts) + 1),
+              |    i -> struct_pack(p := i - 1, tok := ts[i]))) AS x(s)),
+              |m AS (SELECT doc_id, pos,
+              |  CASE WHEN v.tid IS NOT NULL THEN replace(tok, chr(1), ' ')
+              |       ELSE '<unk>' END AS dtok
+              |  FROM e LEFT JOIN v USING (tok)),
+              |dd AS (SELECT doc_id,
+              |  string_agg(dtok, ' ' ORDER BY pos) AS decoded_text
+              |  FROM m GROUP BY doc_id)
+              |SELECT d.doc_id, coalesce(dd.decoded_text, '') AS decoded_text
+              |FROM (SELECT doc_id FROM documents) d
+              |LEFT JOIN dd USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // --- BM25 corpus scoring against a fixed query (Okapi, Lucene idf):
     //     the classic retrieval scorer over the documents table; one
     //     exploded pass pre-filtered to the query terms, df via window

@@ -541,6 +541,46 @@ object TextAnalysis {
         array_join(col("__toks"), " ").as("bpe_text"))
   }
 
+  /** The encoded-token-array column both id-encode halves share: BPE
+    * tokens through `merges` (empty table = plain whitespace tokens). */
+  private def bpeToksCol(textCol: String,
+                         merges: Seq[(String, String)]): Column = {
+    val norm = Dedup.normalizeText(col(textCol))
+    if (merges.isEmpty) filter(split(norm, " "), t => length(t) > 0)
+    else ColumnBridge.column(graft.functions.expr.BpeApplyMerges(
+      ColumnBridge.expression(norm), merges))
+  }
+
+  /** The vocabulary artifact [[bpeEncodeIds]] derives — (token, id) pairs,
+    * ids 1..V in (count desc, token asc) rank order over the ENCODED token
+    * stream, id 0 reserved for OOV. A trainer ships this table next to the
+    * id arrays; [[decodeTokenIds]] inverts with it. Driver-resident by
+    * construction (V rows — the centroid-table bound). */
+  def bpeVocabIds(df: DataFrame, textCol: String,
+                  merges: Seq[(String, String)],
+                  vocabSize: Int): Seq[(String, Int)] = {
+    validateMergeTable(merges, "bpeVocabIds")
+    require(vocabSize > 0, s"bpeVocabIds: vocabSize=$vocabSize")
+    df.select(explode(bpeToksCol(textCol, merges)).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__t")).limit(vocabSize)
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getString(0), i + 1) }.toSeq
+  }
+
+  /** Inverse of [[bpeEncodeIds]] given its [[bpeVocabIds]] table: id
+    * arrays back to text — id 0 (and any id outside the table) decodes to
+    * `unkToken`, merged-token joiners decode back to spaces
+    * ([[bpeDecode]]). One map-literal projection, no shuffle; closes the
+    * trainer-handoff loop (decode∘encode ≡ the vocab-truncated normalized
+    * text — spec-pinned against [[unkRewrite]]). */
+  def decodeTokenIds(ids: Column, vocab: Seq[(String, Int)],
+                     unkToken: String = "<unk>"): Column = {
+    val m = typedLit(vocab.map { case (t, i) => (i, t) }.toMap)
+    bpeDecode(array_join(transform(ids,
+      i => coalesce(element_at(m, i), lit(unkToken))), " "))
+  }
+
   /** Token-ID encode — the trainer handoff format (the analog of the
     * reference's id-encoding before training, `src/data/movielens.py:299-303`:
     * every entity is mapped to a dense int id before tensors are built).
@@ -565,18 +605,9 @@ object TextAnalysis {
                    vocabSize: Int): DataFrame = {
     validateMergeTable(merges, "bpeEncodeIds")
     require(vocabSize > 0, s"bpeEncodeIds: vocabSize=$vocabSize")
-    val norm = Dedup.normalizeText(col(textCol))
-    val toks =
-      if (merges.isEmpty) filter(split(norm, " "), t => length(t) > 0)
-      else ColumnBridge.column(graft.functions.expr.BpeApplyMerges(
-        ColumnBridge.expression(norm), merges))
-    val enc = df.select(col(idCol), toks.as("__toks"))
-    val vocab: Seq[String] = enc.select(explode(col("__toks")).as("__t"))
-      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
-      .orderBy(col("__c").desc, col("__t")).limit(vocabSize)
-      .collect().map(_.getString(0)).toSeq
+    val enc = df.select(col(idCol), bpeToksCol(textCol, merges).as("__toks"))
     val idMap: Map[String, Int] =
-      vocab.zipWithIndex.map { case (t, i) => (t, i + 1) }.toMap
+      bpeVocabIds(df, textCol, merges, vocabSize).toMap
     val m = typedLit(idMap)
     // Two projections on purpose (the bpeEncodeIndexed device): token_ids
     // is referenced twice below and CollapseProject would otherwise inline

@@ -1311,6 +1311,45 @@ class DedupTextSpec extends AnyFunSuite {
     assert(merged === ((1L, 3L, 0L, Seq(1, 1, 2))))
   }
 
+  test("decodeTokenIds: decode∘encode equals the unkRewrite text — plain " +
+    "and merged-table forms (the trainer handoff round trip)") {
+    // plain (merges = Nil): decode of the id arrays must reproduce
+    // unkRewrite's vocab-truncated text byte for byte
+    val df = Seq((1L, "a b c a q z"), (2L, "b b a c")).toDF("doc_id", "text")
+    val v = TextAnalysis.bpeVocabIds(df, "text", Nil, 3)
+    val dec = TextAnalysis.bpeEncodeIds(df, "doc_id", "text", Nil, 3)
+      .select(col("doc_id"),
+        TextAnalysis.decodeTokenIds(col("token_ids"), v).as("t"))
+      .as[(Long, String)].collect().toMap
+    val unk = TextAnalysis.unkRewrite(df, "doc_id", "text", 3)
+      .select(col("doc_id"), col("unk_text"))
+      .as[(Long, String)].collect().toMap
+    assert(dec === unk)
+    // merged form: vocab over the ENCODED stream; decode == unkRewrite of
+    // the bpe_text stream (whitespace tokens there ARE the bpe tokens)
+    // with the U+0001 joiners restored to spaces
+    val rng = new scala.util.Random(2026L)
+    val words = Seq("a", "b", "c", "d", "e")
+    val corpus = (1L to 40L).map(i => (i, (1 to 4 + rng.nextInt(6))
+      .map(_ => words(rng.nextInt(words.size))).mkString(" "))).toDF("doc_id", "text")
+    val table = TextAnalysis.bpeMergesMaterialized(corpus, "text", 2)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val v2 = TextAnalysis.bpeVocabIds(corpus, "text", table, 4)
+    val dec2 = TextAnalysis.bpeEncodeIds(corpus, "doc_id", "text", table, 4)
+      .select(col("doc_id"),
+        TextAnalysis.decodeTokenIds(col("token_ids"), v2).as("t"))
+      .as[(Long, String)].collect().toMap
+    val unk2 = TextAnalysis.unkRewrite(
+      TextAnalysis.bpeEncode(corpus, "doc_id", "text", table)
+        .select(col("doc_id"), col("bpe_text").as("text")),
+      "doc_id", "text", 4)
+      .select(col("doc_id"),
+        translate(col("unk_text"), "\u0001", " ").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(dec2 === unk2)
+  }
+
   test("packSequenceIds: exact slicing across doc boundaries, padding, " +
     "loss mask, doc_starts; groups pack independently; empty arrays drop") {
     val df = Seq(
