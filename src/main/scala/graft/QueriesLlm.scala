@@ -993,6 +993,57 @@ object QueriesLlm {
               |  coalesce(starts_str, '') AS starts_str
               |FROM agg ORDER BY lang, seq_idx""".stripMargin)),
 
+    // --- The SHARDED 100 TB form of id packing, itself oracle-gated (the
+    //     salted-form pattern): packSequenceIds' prefix-sum window
+    //     parallelism equals the group count, so the scale path adds a
+    //     hash-shard column to groupCols — packing is shard-local by
+    //     construction (sequences never cross shards). Shard = doc_id % 4
+    //     here so DuckDB replays it exactly; at 100 TB the shard count is
+    //     sized to the cluster, not 4. ---
+    ("x9c_pack_ids_sharded", (s, d) => {
+      val docs = SparkEntry.T(s, d, "documents")
+      val ids = TextAnalysis.bpeLearnEncodeIds(docs, "doc_id", "text",
+          iterations = 3, vocabSize = 50)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("shard", pmod(col("doc_id"), lit(4)).cast("int"))
+      TextAnalysis.packSequenceIds(ids, "doc_id", "token_ids",
+          seqLen = 64, padId = 0, groupCols = Seq("lang", "shard"))
+        .select(col("lang"), col("shard"), col("seq_idx"), col("n_real"),
+          array_join(transform(col("input_ids"), i => i.cast("string")), " ")
+            .as("ids_str"))
+        .orderBy(col("lang"), col("shard"), col("seq_idx"))
+    },
+      Some(s"""$BpeEncodePrefix,
+              |u AS (SELECT unnest(ts) AS tok FROM tok),
+              |v AS (SELECT tok, row_number() OVER
+              |    (ORDER BY count(*) DESC, tok) AS tid
+              |  FROM u GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 50),
+              |e AS (SELECT doc_id, x.s.p AS pos, x.s.tok AS tok FROM tok,
+              |  unnest(list_transform(range(1, len(ts) + 1),
+              |    i -> struct_pack(p := i - 1, tok := ts[i]))) AS x(s)),
+              |m AS (SELECT doc_id, pos, coalesce(v.tid, 0) AS tid
+              |      FROM e LEFT JOIN v USING (tok)),
+              |dt AS (SELECT doc_id, count(*) AS nt FROM m GROUP BY doc_id),
+              |st AS (SELECT dt.doc_id, docs.lang,
+              |  (docs.doc_id % 4)::INT AS shard,
+              |  CAST(coalesce(sum(nt) OVER (
+              |    PARTITION BY docs.lang, docs.doc_id % 4
+              |    ORDER BY dt.doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |    AS BIGINT) AS strt
+              |  FROM dt JOIN documents docs USING (doc_id)),
+              |g AS (SELECT st.lang, st.shard, st.strt + m.pos AS gpos, m.tid
+              |      FROM m JOIN st USING (doc_id)),
+              |sq AS (SELECT lang, shard, gpos // 64 AS seq_idx,
+              |              (gpos % 64)::INT AS sp, tid FROM g),
+              |agg AS (SELECT lang, shard, seq_idx,
+              |  count(*) AS n_real,
+              |  string_agg(tid::VARCHAR, ' ' ORDER BY sp) AS real_str
+              |  FROM sq GROUP BY lang, shard, seq_idx)
+              |SELECT lang, shard, seq_idx, n_real,
+              |  real_str || repeat(' 0', (64 - n_real)::INT) AS ids_str
+              |FROM agg ORDER BY lang, shard, seq_idx""".stripMargin)),
+
     // --- Language ID by marker profiles (argmax + alphabetical tiebreak) ---
     ("t_lang_id", (s, d) => {
       val df = SparkEntry.T(s, d, "documents")
