@@ -603,12 +603,24 @@ object TextAnalysis {
   def bpeEncodeIds(df: DataFrame, idCol: String, textCol: String,
                    merges: Seq[(String, String)],
                    vocabSize: Int): DataFrame = {
-    validateMergeTable(merges, "bpeEncodeIds")
     require(vocabSize > 0, s"bpeEncodeIds: vocabSize=$vocabSize")
+    bpeEncodeIdsWithVocab(df, idCol, textCol, merges,
+      bpeVocabIds(df, textCol, merges, vocabSize))
+  }
+
+  /** [[bpeEncodeIds]] with a FROZEN tokenizer (merges + vocab learned
+    * offline and shipped) — the form a production ingest actually runs:
+    * real pipelines freeze the tokenizer before new data flows, so the
+    * encode is ONE stateless map-literal projection with no corpus pass
+    * at all. Stateless means streaming-compatible as-is: apply it to a
+    * `readStream` frame and it encodes each micro-batch with zero state
+    * (StreamingSpec pins stream ≡ batch). */
+  def bpeEncodeIdsWithVocab(df: DataFrame, idCol: String, textCol: String,
+                            merges: Seq[(String, String)],
+                            vocab: Seq[(String, Int)]): DataFrame = {
+    validateMergeTable(merges, "bpeEncodeIdsWithVocab")
     val enc = df.select(col(idCol), bpeToksCol(textCol, merges).as("__toks"))
-    val idMap: Map[String, Int] =
-      bpeVocabIds(df, textCol, merges, vocabSize).toMap
-    val m = typedLit(idMap)
+    val m = typedLit(vocab.toMap)
     // Two projections on purpose (the bpeEncodeIndexed device): token_ids
     // is referenced twice below and CollapseProject would otherwise inline
     // the transform into both consumers.

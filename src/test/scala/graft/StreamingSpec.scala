@@ -60,6 +60,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming token-id encode with a frozen tokenizer equals the " +
+    "batch encode (stateless projection — the incremental trainer feed)") {
+    val dir = Files.createTempDirectory("graft-ids-stream").toString
+    val docs = Seq((1L, "a b c a q"), (2L, "b b a z"), (3L, "c a b"))
+      .toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    // tokenizer frozen OFFLINE: merges + vocab learned on the batch corpus
+    val table = graft.ops.TextAnalysis
+      .bpeMergesMaterialized(docs, "text", 1)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = graft.ops.TextAnalysis.bpeVocabIds(docs, "text", table, 3)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val enc = graft.ops.TextAnalysis.bpeEncodeIdsWithVocab(
+      stream, "doc_id", "text", table, vocab)
+    val q = enc.writeStream.outputMode("append")
+      .format("memory").queryName("ids_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ids_out")
+        .as[(Long, Long, Long, Seq[Int])].collect().toSet
+      val batch = graft.ops.TextAnalysis.bpeEncodeIdsWithVocab(
+        spark.read.parquet(dir), "doc_id", "text", table, vocab)
+        .as[(Long, Long, Long, Seq[Int])].collect().toSet
+      assert(got === batch && got.size === 3)
+      // and the frozen-vocab form agrees with the learn-in-place form on
+      // the SAME corpus (the freeze is a no-op when nothing new arrived)
+      val learned = graft.ops.TextAnalysis.bpeEncodeIds(
+        docs, "doc_id", "text", table, 3)
+        .as[(Long, Long, Long, Seq[Int])].collect().toSet
+      assert(got === learned)
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: restart resumes watermark/state, file sink stays exactly-once") {
     import java.nio.file.Files
     val srcDir = Files.createTempDirectory("graft-ckpt-src").toString
