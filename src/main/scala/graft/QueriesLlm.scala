@@ -500,7 +500,11 @@ object QueriesLlm {
 
     // --- TOKEN-ID HANDOFF (VERDICT r14 top-next): the trainer-facing
     //     output format — learn 3 merges, BPE-encode, then assign DENSE
-    //     INT IDS from the deterministic top-50 vocabulary (count desc,
+    //     INT IDS from the deterministic top-20 vocabulary (count desc,
+    //     V = 20 < the corpus's 31+merges token types ON PURPOSE — the
+    //     r11b de-vacuation lesson: at V = 50 every token was in-vocab and
+    //     the OOV→0 branch never fired at the gate; at 20 real <unk> ids
+    //     flow through encode, decode, and both packing rows —
     //     token asc → ids 1..50; OOV → 0) and emit the per-doc id
     //     sequence. The oracle replays the identical learn→encode chain
     //     (BpeEncodePrefix) AND the id assignment (row_number over the
@@ -510,7 +514,7 @@ object QueriesLlm {
     //     schema-pinned in DedupTextSpec). Empty docs keep (0, 0, ''). ---
     ("t_token_ids", (s, d) =>
       TextAnalysis.bpeLearnEncodeIds(SparkEntry.T(s, d, "documents"),
-        "doc_id", "text", iterations = 3, vocabSize = 50)
+        "doc_id", "text", iterations = 3, vocabSize = 20)
         .select(col("doc_id"), col("n_tokens"), col("n_unk"),
           array_join(transform(col("token_ids"), i => i.cast("string")), " ")
             .as("ids_str"))
@@ -519,7 +523,7 @@ object QueriesLlm {
               |u AS (SELECT unnest(ts) AS tok FROM tok),
               |v AS (SELECT tok, row_number() OVER
               |    (ORDER BY count(*) DESC, tok) AS tid
-              |  FROM u GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 50),
+              |  FROM u GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 20),
               |e AS (SELECT doc_id, x.s.p AS pos, x.s.tok AS tok FROM tok,
               |  unnest(list_transform(range(1, len(ts) + 1),
               |    i -> struct_pack(p := i - 1, tok := ts[i]))) AS x(s)),
@@ -545,8 +549,8 @@ object QueriesLlm {
       val table = TextAnalysis.bpeMergesMaterialized(docs, "text", 3)
         .orderBy(col("step")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      val vocab = TextAnalysis.bpeVocabIds(docs, "text", table, 50)
-      TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", table, 50)
+      val vocab = TextAnalysis.bpeVocabIds(docs, "text", table, 20)
+      TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", table, 20)
         .select(col("doc_id"),
           TextAnalysis.decodeTokenIds(col("token_ids"), vocab)
             .as("decoded_text"))
@@ -556,7 +560,7 @@ object QueriesLlm {
               |u AS (SELECT unnest(ts) AS tok FROM tok),
               |v AS (SELECT tok, row_number() OVER
               |    (ORDER BY count(*) DESC, tok) AS tid
-              |  FROM u GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 50),
+              |  FROM u GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 20),
               |e AS (SELECT doc_id, x.s.p AS pos, x.s.tok AS tok FROM tok,
               |  unnest(list_transform(range(1, len(ts) + 1),
               |    i -> struct_pack(p := i - 1, tok := ts[i]))) AS x(s)),
@@ -942,7 +946,7 @@ object QueriesLlm {
     ("x9b_pack_ids", (s, d) => {
       val docs = SparkEntry.T(s, d, "documents")
       val ids = TextAnalysis.bpeLearnEncodeIds(docs, "doc_id", "text",
-          iterations = 3, vocabSize = 50)
+          iterations = 3, vocabSize = 20)
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       TextAnalysis.packSequenceIds(ids, "doc_id", "token_ids",
           seqLen = 64, padId = 0, groupCols = Seq("lang"))
@@ -960,7 +964,7 @@ object QueriesLlm {
               |u AS (SELECT unnest(ts) AS tok FROM tok),
               |v AS (SELECT tok, row_number() OVER
               |    (ORDER BY count(*) DESC, tok) AS tid
-              |  FROM u GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 50),
+              |  FROM u GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 20),
               |e AS (SELECT doc_id, x.s.p AS pos, x.s.tok AS tok FROM tok,
               |  unnest(list_transform(range(1, len(ts) + 1),
               |    i -> struct_pack(p := i - 1, tok := ts[i]))) AS x(s)),
@@ -1003,7 +1007,7 @@ object QueriesLlm {
     ("x9c_pack_ids_sharded", (s, d) => {
       val docs = SparkEntry.T(s, d, "documents")
       val ids = TextAnalysis.bpeLearnEncodeIds(docs, "doc_id", "text",
-          iterations = 3, vocabSize = 50)
+          iterations = 3, vocabSize = 20)
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .withColumn("shard", pmod(col("doc_id"), lit(4)).cast("int"))
       TextAnalysis.packSequenceIds(ids, "doc_id", "token_ids",
@@ -1017,7 +1021,7 @@ object QueriesLlm {
               |u AS (SELECT unnest(ts) AS tok FROM tok),
               |v AS (SELECT tok, row_number() OVER
               |    (ORDER BY count(*) DESC, tok) AS tid
-              |  FROM u GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 50),
+              |  FROM u GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 20),
               |e AS (SELECT doc_id, x.s.p AS pos, x.s.tok AS tok FROM tok,
               |  unnest(list_transform(range(1, len(ts) + 1),
               |    i -> struct_pack(p := i - 1, tok := ts[i]))) AS x(s)),
