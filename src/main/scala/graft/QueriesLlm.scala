@@ -80,11 +80,17 @@ object QueriesLlm {
     * corpus an empty b_i would make a cross join DROP every document
     * (while the engine ends the merge table early and still encodes all
     * docs) — the left join keeps the step a per-doc no-op instead. */
-  private val BpeEncodePrefix: String =
-    s"""WITH d0 AS (SELECT doc_id,
+  private val BpeEncodePrefix: String = bpeEncodePrefixFrom("documents")
+
+  /** [[BpeEncodePrefix]] over an arbitrary source relation, optionally
+    * preceded by extra CTEs (`pre` must end with a comma when non-empty) —
+    * lets composition rows (c8) run the identical learn→encode replay over
+    * a CLEANED corpus CTE instead of raw `documents`. */
+  private def bpeEncodePrefixFrom(src: String, pre: String = ""): String =
+    s"""WITH ${pre}d0 AS (SELECT doc_id,
        |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
        |    ' ' || replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-       |      ' ', '  ') || ' ' AS st FROM documents),
+       |      ' ', '  ') || ' ' AS st FROM $src),
        |t1 AS (SELECT regexp_split_to_array(trim(st), ' +') AS ts FROM d0),
        |p1 AS (SELECT u.s.l AS l, u.s.r AS r FROM t1, unnest(
        |  CASE WHEN len(ts) < 2 THEN [] ELSE list_transform(range(1, len(ts)),
@@ -1047,6 +1053,110 @@ object QueriesLlm {
               |SELECT lang, shard, seq_idx, n_real,
               |  real_str || repeat(' 0', (64 - n_real)::INT) AS ids_str
               |FROM agg ORDER BY lang, shard, seq_idx""".stripMargin)),
+
+    // --- C8 FLAGSHIP: the corpus→trainer handoff END TO END in one
+    //     Catalyst plan (the c2/c6/c7 composition pattern, for the
+    //     tokenizer/ids tranche), chaining the round's new operators:
+    //     span-granular dedup (dedupSpans rewrites 24 docs / removes
+    //     1254 tokens at sf0.01 — exact whole-doc dedup is VACUOUS on
+    //     this table, 500/500 distinct) → quality length cut on the
+    //     CLEANED text (≥ 8 tokens; 14 docs empty fully + shrunk ones
+    //     drop — the cut bites) → learn 3 BPE merges on the SURVIVING
+    //     corpus → encode to dense ids (top-20 vocab, OOV → 0) → pack
+    //     into 64-id training sequences per lang → one funnel-stats row
+    //     per lang (docs kept, sequences, real/pad tokens, pad ppm, unk
+    //     ids). pad_ppm is INTEGER arithmetic (x·10⁶ div) — a float
+    //     fraction rounded at 6 decimals can straddle the .5 boundary
+    //     differently across engines (verify-skill gotcha). The oracle
+    //     replays the full chain over the same cleaned-corpus CTE. ---
+    ("c8_trainer_pipeline", (s, d) => {
+      val docs = SparkEntry.T(s, d, "documents")
+      val cleaned = TextAnalysis.dedupSpans(docs, "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .filter(TextAnalysis.tokenCount(col("text")) >= 8)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val ids = TextAnalysis.bpeLearnEncodeIds(cleaned, "doc_id", "text",
+          iterations = 3, vocabSize = 20)
+        .join(cleaned.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val packed = TextAnalysis.packSequenceIds(ids, "doc_id", "token_ids",
+        seqLen = 64, padId = 0, groupCols = Seq("lang"))
+      val docStats = ids.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_unk")).as("n_unk_ids"))
+      packed.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sequences"),
+          sum(col("n_real")).as("n_tokens_real"),
+          sum(lit(64L) - col("n_real")).as("n_pad"))
+        .join(docStats, Seq("lang"))
+        .select(col("lang"), col("n_docs_kept"), col("n_sequences"),
+          col("n_tokens_real"), col("n_pad"),
+          expr("n_pad * 1000000 div (n_sequences * 64)").as("pad_ppm"),
+          col("n_unk_ids"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""${bpeEncodePrefixFrom("cleaned",
+                s"""t0 AS (SELECT doc_id, lang, $DuckTokens AS ts
+                   |  FROM documents),
+                   |sp0 AS (SELECT doc_id, i - 1 AS si,
+                   |  md5(array_to_string(ts[i:i+7], ' ')) AS h
+                   |  FROM t0, unnest(range(1, len(ts) - 6)) AS r(i)
+                   |  WHERE len(ts) >= 8),
+                   |k0 AS (SELECT doc_id, si, row_number() OVER
+                   |  (PARTITION BY h ORDER BY doc_id, si) = 1 AS first
+                   |  FROM sp0),
+                   |rm0 AS (SELECT DISTINCT doc_id, si + j AS p
+                   |  FROM k0, unnest(range(0, 8)) AS u(j) WHERE NOT first),
+                   |tk0 AS (SELECT doc_id, x.s.p AS p, x.s.tok AS tk FROM t0,
+                   |  unnest(list_transform(range(1, len(ts) + 1),
+                   |    i -> struct_pack(p := i - 1, tok := ts[i]))) AS x(s)),
+                   |cl0 AS (SELECT tk0.doc_id,
+                   |  coalesce(string_agg(tk0.tk, ' ' ORDER BY tk0.p)
+                   |    FILTER (WHERE rm0.p IS NULL), '') AS ctext
+                   |  FROM tk0 LEFT JOIN rm0
+                   |    ON tk0.doc_id = rm0.doc_id AND tk0.p = rm0.p
+                   |  GROUP BY tk0.doc_id),
+                   |cleaned AS (SELECT c.doc_id, dd.lang, c.ctext AS text
+                   |  FROM cl0 c JOIN documents dd USING (doc_id)
+                   |  WHERE len(string_split(trim(regexp_replace(lower(c.ctext),
+                   |    '\\s+', ' ', 'g')), ' ')) >= 8),
+                   |""".stripMargin)},
+              |u AS (SELECT unnest(ts) AS tok FROM tok),
+              |v AS (SELECT tok, row_number() OVER
+              |    (ORDER BY count(*) DESC, tok) AS tid
+              |  FROM u GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 20),
+              |e AS (SELECT doc_id, x.s.p AS pos, x.s.tok AS tok FROM tok,
+              |  unnest(list_transform(range(1, len(ts) + 1),
+              |    i -> struct_pack(p := i - 1, tok := ts[i]))) AS x(s)),
+              |m AS (SELECT doc_id, pos, coalesce(v.tid, 0) AS tid
+              |      FROM e LEFT JOIN v USING (tok)),
+              |dt AS (SELECT doc_id, count(*) AS nt FROM m GROUP BY doc_id),
+              |st AS (SELECT dt.doc_id, c.lang,
+              |  CAST(coalesce(sum(nt) OVER (PARTITION BY c.lang
+              |    ORDER BY dt.doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |    AS BIGINT) AS strt
+              |  FROM dt JOIN cleaned c USING (doc_id)),
+              |g AS (SELECT st.lang, st.strt + m.pos AS gpos
+              |      FROM m JOIN st USING (doc_id)),
+              |sq AS (SELECT lang, gpos // 64 AS seq_idx FROM g),
+              |agg AS (SELECT lang, seq_idx, count(*) AS n_real
+              |        FROM sq GROUP BY 1, 2),
+              |ds AS (SELECT c.lang, count(*) AS n_docs_kept
+              |       FROM cleaned c GROUP BY 1),
+              |du AS (SELECT c.lang,
+              |  CAST(count(*) FILTER (WHERE m.tid = 0) AS BIGINT) AS n_unk_ids
+              |  FROM m JOIN cleaned c USING (doc_id) GROUP BY 1),
+              |ps AS (SELECT lang, count(*) AS n_sequences,
+              |  CAST(sum(n_real) AS BIGINT) AS n_tokens_real,
+              |  CAST(sum(64 - n_real) AS BIGINT) AS n_pad
+              |  FROM agg GROUP BY 1)
+              |SELECT ps.lang, ds.n_docs_kept, ps.n_sequences,
+              |  ps.n_tokens_real, ps.n_pad,
+              |  (ps.n_pad * 1000000) // (ps.n_sequences * 64) AS pad_ppm,
+              |  du.n_unk_ids
+              |FROM ps JOIN ds USING (lang) JOIN du USING (lang)
+              |ORDER BY lang""".stripMargin)),
 
     // --- Language ID by marker profiles (argmax + alphabetical tiebreak) ---
     ("t_lang_id", (s, d) => {
