@@ -1071,11 +1071,18 @@ object QueriesLlm {
     //     replays the full chain over the same cleaned-corpus CTE. ---
     ("c8_trainer_pipeline", (s, d) => {
       val docs = SparkEntry.T(s, d, "documents")
+      // localCheckpoint barrier at the fan-out (the c2/c7 composition
+      // device): `cleaned` feeds the 3 learn steps + the vocab pass + the
+      // encode pass — five actions that would each re-derive the
+      // span-dedup chain without it (measured: 14.9 → 5.8 s at sf0.1,
+      // 33.0 → 13.3 s at sf1, 127.5 → 46.4 s at sf10). The frame is
+      // corpus-sized text, the same class c2 barriers.
       val cleaned = TextAnalysis.dedupSpans(docs, "doc_id", "text", n = 8)
         .select(col("doc_id"), col("clean_text").as("text"))
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .filter(TextAnalysis.tokenCount(col("text")) >= 8)
         .select(col("doc_id"), col("lang"), col("text"))
+        .localCheckpoint()
       val ids = TextAnalysis.bpeLearnEncodeIds(cleaned, "doc_id", "text",
           iterations = 3, vocabSize = 20)
         .join(cleaned.select(col("doc_id"), col("lang")), Seq("doc_id"))
