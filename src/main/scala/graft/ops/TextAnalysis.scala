@@ -661,10 +661,17 @@ object TextAnalysis {
     * — parallelism = number of groups, so at 100 TB the caller adds a
     * hash-shard column to `groupCols` (packing is shard-local by
     * construction, sequences never cross shards) and the window is
-    * embarrassingly parallel. Then ONE token-level shuffle keyed on
-    * (group, seq_idx): every reduce group is ≤ `seqLen` tokens by
-    * construction, so the collect_list is bounded and skew-free no matter
-    * how large any document is. */
+    * embarrassingly parallel. Then ONE shuffle keyed on (group, seq_idx)
+    * of FRAGMENT rows, not token rows: a document contributes one row per
+    * sequence it spans (⌈nt/seqLen⌉+1 worst case), each carrying the
+    * array SLICE that lands in that sequence — the same ids move, but as
+    * packed arrays instead of one row per token (the r15 rewrite: the
+    * token-level form paid per-row shuffle/sort overhead up to seqLen×
+    * the fragment count; measured 35.5 → 23.4 s at sf10 on
+    * x9b_pack_ids, hashes unchanged on all three packing rows). Every
+    * reduce group is ≤ seqLen ids across ≤ seqLen fragments, so the
+    * collect stays bounded and skew-free no matter how large any
+    * document is. */
   def packSequenceIds(df: DataFrame, idCol: String, idsCol: String,
                       seqLen: Int, padId: Int = 0,
                       groupCols: Seq[String] = Nil): DataFrame = {
@@ -674,26 +681,39 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(parts: _*)
       .orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val L = seqLen.toLong
     val base = df
       .select(groupCols.map(col) :+ col(idCol) :+ col(idsCol).as("__ids"): _*)
       .withColumn("__nt", size(col("__ids")).cast("long"))
       .filter(col("__nt") > 0)
       .withColumn("__start", coalesce(sum(col("__nt")).over(w), lit(0L)))
-    val toks = base
-      .select(groupCols.map(col) :+ col("__start") :+
-        posexplode(col("__ids")).as(Seq("__p", "__tid")): _*)
-      .withColumn("__g", col("__start") + col("__p"))
-      .select(groupCols.map(col) :+
-        floor(col("__g") / seqLen).cast("bigint").as("seq_idx") :+
-        (col("__g") % seqLen).cast("int").as("__sp") :+
-        col("__tid") :+ (col("__p") === 0).as("__isstart"): _*)
-    toks.groupBy(groupCols.map(col) :+ col("seq_idx"): _*)
+    // One row per (doc, spanned sequence); __from/__to are the 0-based
+    // half-open index range of the doc's ids that land in that sequence,
+    // __sp the fragment's offset inside the sequence. Fragments tile each
+    // sequence without overlap, so __sp is unique per reduce group and
+    // sorting by it reassembles the exact token order.
+    val frags = base
+      .select(groupCols.map(col) :+ col("__start") :+ col("__nt") :+
+        col("__ids") :+
+        explode(sequence(floor(col("__start") / L),
+          floor((col("__start") + col("__nt") - 1) / L))).as("seq_idx"): _*)
+      .withColumn("__from",
+        greatest(col("seq_idx") * L - col("__start"), lit(0L)))
+      .withColumn("__to",
+        least(col("__nt"), (col("seq_idx") + 1) * L - col("__start")))
+      .select(groupCols.map(col) :+ col("seq_idx").cast("bigint").as("seq_idx") :+
+        (col("__start") + col("__from") - col("seq_idx") * L).cast("int")
+          .as("__sp") :+
+        slice(col("__ids"), (col("__from") + 1).cast("int"),
+          (col("__to") - col("__from")).cast("int")).as("__frag") :+
+        (col("__from") === 0L).as("__isstart"): _*)
+    frags.groupBy(groupCols.map(col) :+ col("seq_idx"): _*)
       .agg(
-        transform(array_sort(collect_list(struct(col("__sp"), col("__tid")))),
-          x => x.getField("__tid")).as("__real"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("__sp"), col("__frag")))),
+          x => x.getField("__frag"))).as("__real"),
         array_sort(collect_list(when(col("__isstart"), col("__sp"))))
           .as("doc_starts"),
-        count(lit(1)).as("n_real"),
         sum(when(col("__isstart"), 1L).otherwise(0L)).as("n_doc_starts"))
       .select(groupCols.map(col) :+ col("seq_idx") :+
         concat(col("__real"), array_repeat(lit(padId),
@@ -701,7 +721,8 @@ object TextAnalysis {
         concat(array_repeat(lit(1), size(col("__real"))),
           array_repeat(lit(0),
             (lit(seqLen) - size(col("__real"))).cast("int"))).as("loss_mask") :+
-        col("n_real") :+ col("n_doc_starts") :+ col("doc_starts"): _*)
+        size(col("__real")).cast("long").as("n_real") :+
+        col("n_doc_starts") :+ col("doc_starts"): _*)
   }
 
   /** One-pass top-k adjacent-pair table over the BASE corpus — the cheap
