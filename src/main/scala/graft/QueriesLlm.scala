@@ -545,6 +545,42 @@ object QueriesLlm {
               |FROM (SELECT doc_id FROM documents) d
               |LEFT JOIN ids i USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // --- Tokenizer FERTILITY per language — the metric a tokenizer is
+    //     judged by before training (tokens emitted per word; chars per
+    //     token): learn 3 merges, encode, aggregate per lang. Ratios ship
+    //     as integer ppm (x·10⁶ div — engine-identical integer math; a
+    //     float ratio rounded at 6 decimals can straddle the .5 boundary
+    //     differently across engines). A fertility regression per lang is
+    //     how a vocab/merge-budget change is caught before a run. ---
+    ("t_fertility", (s, d) => {
+      val docs = SparkEntry.T(s, d, "documents")
+      TextAnalysis.bpeLearnEncode(docs, "doc_id", "text", iterations = 3)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          sum(length(translate(col("bpe_text"), " ", ""))
+            .cast("long")).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+          expr("n_bpe_tokens * 1000000 div n_words").as("fertility_ppm"),
+          expr("n_chars * 1000000 div n_bpe_tokens").as("chars_per_tok_ppm"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""$BpeEncodePrefix,
+              |per AS (SELECT t.doc_id, dd.lang,
+              |  len(list_filter(string_split(t.norm, ' '),
+              |    w -> len(w) > 0)) AS nw,
+              |  len(t.ts) AS nt,
+              |  len(replace(array_to_string(t.ts, ''), ' ', '')) AS nc
+              |  FROM tok t JOIN documents dd USING (doc_id)),
+              |ag AS (SELECT lang, CAST(sum(nw) AS BIGINT) AS n_words,
+              |  CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
+              |  CAST(sum(nc) AS BIGINT) AS n_chars FROM per GROUP BY lang)
+              |SELECT lang, n_words, n_bpe_tokens,
+              |  (n_bpe_tokens * 1000000) // n_words AS fertility_ppm,
+              |  (n_chars * 1000000) // n_bpe_tokens AS chars_per_tok_ppm
+              |FROM ag ORDER BY lang""".stripMargin)),
+
     // --- Token-ID DECODE (the inverse half of the trainer handoff):
     //     decode the id arrays back to text through the shipped vocab —
     //     id 0/unknown → <unk>, merged-token joiners → spaces. The oracle
