@@ -56,16 +56,22 @@ object C7Profile {
         .groupBy(col("u"), col("it")).agg(min(col("sd")).as("ts"))
         .localCheckpoint()
     }
-    val core = timed("k-core chain (3 iters x 2 semi-joins) [count]") {
+    // A/B knobs (VERDICT r15 next #1/#6): SPARK_GRAFT_C7_SPLIT=rank|hist
+    // picks the timeSplit form; SPARK_GRAFT_C7_CORE_CKPT=true barriers the
+    // k-core result so the split stage can't re-derive the chain.
+    val splitForm = sys.env.getOrElse("SPARK_GRAFT_C7_SPLIT", "hist")
+    val coreCkpt = sys.env.get("SPARK_GRAFT_C7_CORE_CKPT").contains("true")
+    val core = timed(s"k-core chain (3 iters x 2 semi-joins) " +
+        (if (coreCkpt) "[ckpt]" else "[count]")) {
       val c = Relational.kCore(inter, "u", "it", 5, 5, 3)
-      c.count()
-      c
+      if (coreCkpt) c.localCheckpoint()
+      else { c.count(); c }
     }
-    val split = timed("timeSplit globalRowNumber [ckpt]") {
-      Relational.timeSplit(
-        core.withColumn("__tb",
-          format_string("%020d%020d", col("u"), col("it"))),
-        "ts", "__tb", 0.8, 0.1)
+    val split = timed(s"timeSplit $splitForm [ckpt]") {
+      val in = core.withColumn("__tb",
+        format_string("%020d%020d", col("u"), col("it")))
+      (if (splitForm == "rank") Relational.timeSplitRank(in, "ts", "__tb", 0.8, 0.1)
+       else Relational.timeSplit(in, "ts", "__tb", 0.8, 0.1))
         .localCheckpoint()
     }
     val predGt = timed("train/test/pop/top100/pred/gt build [ckpt]") {

@@ -83,7 +83,6 @@ object GraftExtensions {
     HeavyHittersAgg(args.head, k)
   }
 
-  /** Register the graft SQL functions on an existing session. */
   /** myers_levenshtein(left, right, bound) — arity checked here because
     * neither injectFunction nor createOrReplaceTempFunction enforces it
     * (ADVICE r14: a wrong arg count must be a clean builder error, not an
@@ -95,6 +94,7 @@ object GraftExtensions {
         s"got ${other.length}")
   }
 
+  /** Register the graft SQL functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vector_dot",

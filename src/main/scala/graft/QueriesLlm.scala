@@ -561,9 +561,15 @@ object QueriesLlm {
           sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
           sum(length(translate(col("bpe_text"), " ", ""))
             .cast("long")).as("n_chars"))
+        // nullif on the divisors (ADVICE r15): a lang whose docs are all
+        // empty is NULL in both engines — Spark `div 0` yields NULL but
+        // DuckDB `// 0` ERRORS, exactly the cross-engine divergence the
+        // integer-ppm device exists to avoid.
         .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
-          expr("n_bpe_tokens * 1000000 div n_words").as("fertility_ppm"),
-          expr("n_chars * 1000000 div n_bpe_tokens").as("chars_per_tok_ppm"))
+          expr("n_bpe_tokens * 1000000 div nullif(n_words, 0)")
+            .as("fertility_ppm"),
+          expr("n_chars * 1000000 div nullif(n_bpe_tokens, 0)")
+            .as("chars_per_tok_ppm"))
         .orderBy(col("lang"))
     },
       Some(s"""$BpeEncodePrefix,
@@ -577,9 +583,74 @@ object QueriesLlm {
               |  CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
               |  CAST(sum(nc) AS BIGINT) AS n_chars FROM per GROUP BY lang)
               |SELECT lang, n_words, n_bpe_tokens,
-              |  (n_bpe_tokens * 1000000) // n_words AS fertility_ppm,
-              |  (n_chars * 1000000) // n_bpe_tokens AS chars_per_tok_ppm
+              |  (n_bpe_tokens * 1000000) // nullif(n_words, 0) AS fertility_ppm,
+              |  (n_chars * 1000000) // nullif(n_bpe_tokens, 0) AS chars_per_tok_ppm
               |FROM ag ORDER BY lang""".stripMargin)),
+
+    // --- Tokenizer fertility, FROZEN form (VERDICT r15 next #8) — the
+    //     production regression check: the tokenizer is learned on one
+    //     slice (even doc_ids, the "offline" corpus), FROZEN, and fertility
+    //     is measured on unseen data (odd doc_ids) through the shipped
+    //     merge table. The encode side is [[TextAnalysis.bpeEncode]]'s
+    //     stateless fold — no corpus pass, streaming-compatible. Oracle:
+    //     DuckDB replays the learn chain on the train slice to recover the
+    //     3 merges, then applies them in order to the eval slice. ---
+    ("t_fertility_frozen", (s, d) => {
+      val docs = SparkEntry.T(s, d, "documents")
+      val train = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val eval = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val table = TextAnalysis.bpeMergesMaterialized(train, "text", 3)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(eval, "doc_id", "text", table)
+        .join(eval.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          sum(length(translate(col("bpe_text"), " ", ""))
+            .cast("long")).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+          expr("n_bpe_tokens * 1000000 div nullif(n_words, 0)")
+            .as("fertility_ppm"),
+          expr("n_chars * 1000000 div nullif(n_bpe_tokens, 0)")
+            .as("chars_per_tok_ppm"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""${bpeEncodePrefixFrom("tr",
+                "tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),")},
+              |e0 AS (SELECT doc_id, lang,
+              |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+              |  ' ' || replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+              |    ' ', '  ') || ' ' AS st
+              |  FROM documents WHERE doc_id % 2 = 1),
+              |e1 AS (SELECT doc_id, lang, norm, CASE WHEN b1.l IS NULL THEN st ELSE
+              |  replace(st, ' ' || b1.l || '  ' || b1.r || ' ',
+              |    ' ' || b1.l || chr(1) || b1.r || ' ') END AS st
+              |  FROM e0 LEFT JOIN b1 ON TRUE),
+              |e2 AS (SELECT doc_id, lang, norm, CASE WHEN b2.l IS NULL THEN st ELSE
+              |  replace(st, ' ' || b2.l || '  ' || b2.r || ' ',
+              |    ' ' || b2.l || chr(1) || b2.r || ' ') END AS st
+              |  FROM e1 LEFT JOIN b2 ON TRUE),
+              |e3 AS (SELECT doc_id, lang, norm, CASE WHEN b3.l IS NULL THEN st ELSE
+              |  replace(st, ' ' || b3.l || '  ' || b3.r || ' ',
+              |    ' ' || b3.l || chr(1) || b3.r || ' ') END AS st
+              |  FROM e2 LEFT JOIN b3 ON TRUE),
+              |etok AS (SELECT doc_id, lang, norm,
+              |  list_filter(regexp_split_to_array(trim(st), ' +'),
+              |    t -> len(t) > 0) AS ts FROM e3),
+              |eper AS (SELECT lang,
+              |  len(list_filter(string_split(norm, ' '),
+              |    w -> len(w) > 0)) AS nw,
+              |  len(ts) AS nt,
+              |  len(replace(array_to_string(ts, ''), ' ', '')) AS nc
+              |  FROM etok),
+              |eag AS (SELECT lang, CAST(sum(nw) AS BIGINT) AS n_words,
+              |  CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
+              |  CAST(sum(nc) AS BIGINT) AS n_chars FROM eper GROUP BY lang)
+              |SELECT lang, n_words, n_bpe_tokens,
+              |  (n_bpe_tokens * 1000000) // nullif(n_words, 0) AS fertility_ppm,
+              |  (n_chars * 1000000) // nullif(n_bpe_tokens, 0) AS chars_per_tok_ppm
+              |FROM eag ORDER BY lang""".stripMargin)),
 
     // --- Token-ID DECODE (the inverse half of the trainer handoff):
     //     decode the id arrays back to text through the shipped vocab —
@@ -1089,6 +1160,63 @@ object QueriesLlm {
               |SELECT lang, shard, seq_idx, n_real,
               |  real_str || repeat(' 0', (64 - n_real)::INT) AS ids_str
               |FROM agg ORDER BY lang, shard, seq_idx""".stripMargin)),
+
+    // --- Deterministic GLOBAL SEQUENCE SHUFFLE (VERDICT r15 next #7, the
+    //     last trainer-handoff nicety): packed sequences must be globally
+    //     shuffled before training — adjacent sequences from one document
+    //     would otherwise land in one batch. RNG shuffles are partition-
+    //     order-dependent; this is the md5-order device (x13/x15): rank by
+    //     md5(lang||'-'||seq_idx) via the PARALLEL globalRowNumber, emit a
+    //     stable dense `shuffle_pos`. Oracle replays x9b's whole pack
+    //     chain, then the same md5 rank — (shuffle_pos, input_ids) hash
+    //     end to end. ---
+    ("x9d_shuffle_packed", (s, d) => {
+      val docs = SparkEntry.T(s, d, "documents")
+      val ids = TextAnalysis.bpeLearnEncodeIds(docs, "doc_id", "text",
+          iterations = 3, vocabSize = 20)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val packed = TextAnalysis.packSequenceIds(ids, "doc_id", "token_ids",
+        seqLen = 64, padId = 0, groupCols = Seq("lang"))
+      Relational.deterministicShuffle(packed,
+          concat(col("lang"), lit("-"), col("seq_idx").cast("string")))
+        .select(col("shuffle_pos"), col("lang"), col("seq_idx"),
+          array_join(transform(col("input_ids"), i => i.cast("string")), " ")
+            .as("ids_str"))
+        .orderBy(col("shuffle_pos"))
+    },
+      Some(s"""$BpeEncodePrefix,
+              |u AS (SELECT unnest(ts) AS tok FROM tok),
+              |v AS (SELECT tok, row_number() OVER
+              |    (ORDER BY count(*) DESC, tok) AS tid
+              |  FROM u GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 20),
+              |e AS (SELECT doc_id, x.s.p AS pos, x.s.tok AS tok FROM tok,
+              |  unnest(list_transform(range(1, len(ts) + 1),
+              |    i -> struct_pack(p := i - 1, tok := ts[i]))) AS x(s)),
+              |m AS (SELECT doc_id, pos, coalesce(v.tid, 0) AS tid
+              |      FROM e LEFT JOIN v USING (tok)),
+              |dt AS (SELECT doc_id, count(*) AS nt FROM m GROUP BY doc_id),
+              |st AS (SELECT dt.doc_id, docs.lang,
+              |  CAST(coalesce(sum(nt) OVER (PARTITION BY docs.lang
+              |    ORDER BY dt.doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |    AS BIGINT) AS strt
+              |  FROM dt JOIN documents docs USING (doc_id)),
+              |g AS (SELECT st.lang, st.strt + m.pos AS gpos, m.tid
+              |      FROM m JOIN st USING (doc_id)),
+              |sq AS (SELECT lang, gpos // 64 AS seq_idx,
+              |              (gpos % 64)::INT AS sp, tid FROM g),
+              |agg AS (SELECT lang, seq_idx,
+              |  count(*) AS n_real,
+              |  string_agg(tid::VARCHAR, ' ' ORDER BY sp) AS real_str
+              |  FROM sq GROUP BY lang, seq_idx),
+              |pk AS (SELECT lang, seq_idx,
+              |  real_str || repeat(' 0', (64 - n_real)::INT) AS ids_str
+              |  FROM agg)
+              |SELECT row_number() OVER (ORDER BY
+              |    md5(lang || '-' || seq_idx::VARCHAR),
+              |    lang || '-' || seq_idx::VARCHAR) AS shuffle_pos,
+              |  lang, seq_idx, ids_str
+              |FROM pk ORDER BY shuffle_pos""".stripMargin)),
 
     // --- C8 FLAGSHIP: the corpus→trainer handoff END TO END in one
     //     Catalyst plan (the c2/c6/c7 composition pattern, for the

@@ -76,7 +76,12 @@ object MyersKernel {
     // patterns keep the map; ASCII-pattern/non-ASCII-text lookups just
     // miss to zeros.
     val nb = (m + 63) >>> 6
-    var allAscii = true
+    // Fast-path cap (ADVICE r15): the flat table is 128·nb longs (~1 KB
+    // per 64 pattern chars) regardless of the pattern's alphabet, so an
+    // arbitrary-SQL megabyte pattern would allocate more than the map it
+    // replaces. Corpus-sized texts (the verify hot path) stay far under
+    // the cap; longer patterns fall back to the alphabet-sized map.
+    var allAscii = nb <= 128
     var i = 0
     while (i < m && allAscii) { allAscii = pat(i) < 128; i += 1 }
     val asciiPeq: Array[Long] = if (allAscii) new Array[Long](128 * nb)

@@ -46,16 +46,94 @@ object Relational {
 
   /** W2: global ordered fractional split (ref `src/data/movielens.py:162-202`):
     * sort by time, first `trainFrac` → train, next `valFrac` → val, rest test.
-    * Exact form, now scale-safe too: ranks come from [[globalRowNumber]]
-    * (range-partitioned parallel ranking — no single-partition window),
-    * and the total count is a one-row scalar attached by broadcast cross
-    * join (the suite's standard scalar-attach shape) instead of a global
-    * `count() over ()`. `tiebreakCol` makes the ordering total so results
-    * are deterministic. [[timeSplitApprox]] remains the one-scan variant
-    * when boundary-exact membership isn't required.
+    *
+    * Exact form WITHOUT ranking the corpus (the r16 rewrite): a global
+    * row_number only ever feeds two boundary predicates (80%/90%), so the
+    * boundary can be found on a (ts → count) HISTOGRAM instead of the
+    * fact table. The plan:
+    *
+    *   1. histogram: `groupBy(ts).count()` — map-combined, shuffles
+    *      DISTINCT timestamps (narrow 2-field rows), never the facts;
+    *   2. exact cumulative counts over the histogram in ts order via
+    *      [[globalCumSum]] (the parallel two-phase prefix-sum device);
+    *   3. the (at most two) BOUNDARY ts groups — those whose cumulative
+    *      range straddles `n·trainFrac` or `n·(trainFrac+valFrac)` — get
+    *      their rows ranked by `tiebreakCol` WITHIN the group (a per-ts
+    *      window over only those rows) and labeled by exact global rank
+    *      `cum_prev + intra_rank`, reproducing the rank form bit-for-bit;
+    *   4. every other row is labeled by a pure range predicate on ts
+    *      against two broadcast scalars (last fully-train ts, last
+    *      fully-val ts) — no shuffle of the fact table AT ALL.
+    *
+    * vs the previous [[timeSplitRank]] body (kept for the differential
+    * spec): that form range-exchanges and window-sorts every fact row —
+    * c7's dominant sf10 stage at 55.9 s; this form shuffles only the
+    * histogram. When ts cardinality ~ rows (unique timestamps) the
+    * histogram is rows-sized but still narrow and aggregation-only, and
+    * the facts still never move. Null ts groups sort first (Spark asc
+    * null ordering, matching the rank form) and are force-routed through
+    * the exact boundary path so their labels stay rank-exact.
+    *
+    * `tiebreakCol` must make (ts, tiebreak) a total order for boundary
+    * labels to be well-defined — the same contract as the rank form. The
+    * boundary window puts one ts group on one task: fine unless a single
+    * timestamp holds a cluster-breaking share of the corpus, in which
+    * case [[timeSplitApprox]] is the escape hatch.
     */
   def timeSplit(df: DataFrame, tsCol: String, tiebreakCol: String,
                 trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    val ts = col(tsCol)
+    val hist = df.groupBy(ts.as("__g_ts")).agg(count(lit(1)).as("__g_c"))
+    val cum0 = globalCumSum(hist, Seq(col("__g_ts")), "__g_c", "__g_cum")
+    val tot = cum0.agg(sum(col("__g_c")).as("__g_n"))
+    val cum = cum0.crossJoin(broadcast(tot))
+      .withColumn("__g_k1", col("__g_n") * trainFrac)
+      .withColumn("__g_k2", col("__g_n") * (trainFrac + valFrac))
+      .withColumn("__g_prev", col("__g_cum") - col("__g_c"))
+    // Boundary groups: cumulative range (prev, cum] straddles a threshold
+    // strictly (cum == k exactly ⇒ the group is fully on one side). Null
+    // ts is always routed here so its rows get exact rank labels.
+    val boundary = cum.filter(
+        (col("__g_prev") < col("__g_k1") && col("__g_cum") > col("__g_k1")) ||
+        (col("__g_prev") < col("__g_k2") && col("__g_cum") > col("__g_k2")) ||
+        col("__g_ts").isNull)
+      .select(col("__g_ts"), col("__g_prev"), col("__g_k1"), col("__g_k2"))
+    // Range-predicate scalars for everything else: the last ts whose group
+    // is entirely ≤ each threshold. max() skips nulls — harmless, null
+    // groups never take this path.
+    val marks = cum.agg(
+      max(when(col("__g_cum") <= col("__g_k1"), col("__g_ts"))).as("__g_t1"),
+      max(when(col("__g_cum") <= col("__g_k2"), col("__g_ts"))).as("__g_t2"))
+    val wb = Window.partitionBy(ts).orderBy(col(tiebreakCol))
+    val outCols = df.columns.map(col) :+ col("split")
+    val bRows = df.join(broadcast(boundary), ts <=> col("__g_ts"))
+      .withColumn("__g_rn",
+        row_number().over(wb).cast("long") + col("__g_prev"))
+      .withColumn("split",
+        when(col("__g_rn") <= col("__g_k1"), "train")
+          .when(col("__g_rn") <= col("__g_k2"), "val")
+          .otherwise("test"))
+      .select(outCols: _*)
+    val nRows = df.join(broadcast(boundary.select(col("__g_ts"))),
+        ts <=> col("__g_ts"), "left_anti")
+      .crossJoin(broadcast(marks))
+      .withColumn("split",
+        when(ts <= col("__g_t1"), "train")
+          .when(ts <= col("__g_t2"), "val")
+          .otherwise("test"))
+      .select(outCols: _*)
+    bRows.unionByName(nRows)
+  }
+
+  /** The pre-r16 [[timeSplit]] body: exact split via a full-corpus
+    * parallel rank ([[globalRowNumber]]) plus a broadcast total. Kept as
+    * the differential-testing twin — SplitDifferentialSpec pins
+    * `timeSplit` ≡ `timeSplitRank` row-for-row on random multisets with
+    * boundary-straddling ties — and as the fallback when a single ts
+    * group is too large for the histogram form's per-group boundary
+    * window. */
+  def timeSplitRank(df: DataFrame, tsCol: String, tiebreakCol: String,
+                    trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
     val total = df.select(count(lit(1)).as("__n"))
     globalRowNumber(df, Seq(col(tsCol), col(tiebreakCol)), rnCol = "__rn")
       .crossJoin(broadcast(total))
@@ -165,6 +243,49 @@ object Relational {
           "the range exchange was not reused identically across subtrees")
     }
     ranked
+  }
+
+  /** Exact global running SUM of `valueCol` in `sortCols` order WITHOUT a
+    * single-partition window — [[globalRowNumber]]'s device generalized
+    * from row counting to value accumulation (row_number is the
+    * valueCol=1 special case). Same three steps: range-partition on the
+    * sort order, per-partition running sum with a PARTITIONED window,
+    * add each partition's global start offset (a #partitions-row frame —
+    * config-bounded). `cumCol` is INCLUSIVE of the current row.
+    *
+    * Same contract and the same ReuseExchange CONSTRAINT as
+    * [[globalRowNumber]] (see its scaladoc): `sortCols` must be a total
+    * order, and no persist/localCheckpoint may be inserted between this
+    * call and the action. `spark.graft.rankGuard=true` buys the runtime
+    * invariant check (`max(cum) == sum(value)`) here too. */
+  def globalCumSum(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+                   cumCol: String): DataFrame = {
+    val parted = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    // #partitions-row prefix sum; constant column-derived partition key
+    // for the same WindowExec-warning reason documented in globalRowNumber.
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__s"))
+      .withColumn("__offset",
+        coalesce(sum(col("__s")).over(
+          Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val summed = parted.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(cumCol, sum(col(valueCol)).over(wLocal) + col("__offset"))
+      .drop("__pid", "__offset")
+    val guard = df.sparkSession.conf
+      .getOption("spark.graft.rankGuard").contains("true")
+    if (guard) {
+      val Row(mx, tot) = summed
+        .agg(max(col(cumCol)), sum(col(valueCol))).head()
+      require(tot == null || mx == tot,
+        s"globalCumSum invariant violated: max($cumCol)=$mx total=$tot — " +
+          "the range exchange was not reused identically across subtrees")
+    }
+    summed
   }
 
   /** W1 (+J4): leave-last-N-per-user split (ref `src/data/movielens.py:204-236`):
@@ -417,6 +538,52 @@ object Relational {
     }
   }
 
+  /** R12 core: item-item co-occurrence pair counts within baskets — the
+    * classic market-basket candidate generator. Input is one row per
+    * (basket, item) — callers dedupe upstream if the fact table repeats
+    * pairs. Emits (it1, it2, c) with it1 < it2, one row per unordered
+    * item pair, c = number of baskets containing both.
+    *
+    * Density guard (safe-by-default, the [[bandJoin]] convention): the
+    * per-basket self-join is C(basket, 2) — bounded on order-shaped data
+    * (TPC-H baskets ≤ 7 items) but quadratic on HUB baskets (crawl
+    * sessions, power users: one 100K-item basket is a 5·10⁹-pair key).
+    * Basket sizes are pre-measured from a map-combined histogram
+    * (baskets-sized, not pairs-sized); any basket above `maxBasketSize`
+    * fails the job LOUDLY with the measured size BEFORE the fan-out
+    * materializes, via an assert tripping on the first candidate row.
+    * Callers choosing the blast radius pass a higher cap or 0 (off);
+    * callers wanting best-effort instead pre-cap deterministically with
+    * [[capPerGroup]] (the x6 device) and keep the guard as a backstop. */
+  def coOccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
+                        maxBasketSize: Long = 1000L): DataFrame = {
+    val a = df.select(col(basketCol).as("__bk"), col(itemCol).as("it1"))
+    val b = df.select(col(basketCol).as("__bk"), col(itemCol).as("it2"))
+    val pairs = a.join(b, Seq("__bk")).filter(col("it1") < col("it2"))
+    val guarded =
+      if (maxBasketSize <= 0) pairs
+      else {
+        val worst = df.groupBy(col(basketCol).as("__bk"))
+          .agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > maxBasketSize)
+          .orderBy(col("__c").desc).limit(1)
+          .select(concat(
+            lit("coOccurrencePairs density guard: basket "), col("__bk"),
+            lit(" holds "), col("__c"),
+            lit(s" items > maxBasketSize=$maxBasketSize — the per-basket " +
+              "self-join is C(n,2) pairs and a hub basket detonates it. " +
+              "Pre-cap baskets deterministically with capPerGroup, or " +
+              "pass a higher cap / maxBasketSize=0 to accept the blast " +
+              "radius.")).as("__guard"))
+        // 0-row guard frame normally; limit(1)-gated broadcast build side
+        // (structurally bounded for the plan audit), like bandJoin's.
+        pairs.join(broadcast(worst), lit(true), "left")
+          .filter(assert_true(col("__guard").isNull, col("__guard")).isNull)
+          .drop("__guard")
+      }
+    guarded.groupBy(col("it1"), col("it2")).agg(count(lit(1)).as("c"))
+  }
+
   /** Output- AND WORK-bounded band join: for every row, its `k` nearest
     * neighbors by |v − v'| among the rows within `delta` — the variant
     * of [[bandJoin]] a careless caller can't detonate. A band join at
@@ -551,6 +718,21 @@ object Relational {
       substring(md5(key.cast("string")), 1, 8) <
         format_string("%08x", thLong))
   }
+
+  /** Deterministic global training-order shuffle (the last trainer-handoff
+    * step, VERDICT r15 next #7): packed sequences must be globally
+    * shuffled before training, and an RNG shuffle is partition-order-
+    * dependent and irreproducible across engines/runs. This orders by
+    * md5 of a caller-built key (the [[hashSplit]]/[[weightedSample]]
+    * device) and assigns a dense 1..n `posCol` via the PARALLEL
+    * [[globalRowNumber]] rank — content-pure: the same corpus yields the
+    * same order on any engine with md5, regardless of partitioning. The
+    * key must be unique and non-null per row; it rides along as the rank
+    * tiebreak so the order stays total even under a hash collision. */
+  def deterministicShuffle(df: DataFrame, key: Column,
+                           posCol: String = "shuffle_pos"): DataFrame =
+    globalRowNumber(df.withColumn("__shk", md5(key.cast("string"))),
+      Seq(col("__shk"), key), rnCol = posCol).drop("__shk")
 
   /** Deterministic UPsampling by a per-row repeat weight `w >= 0` — the
     * epochs-per-source mixing primitive (Pile/LLaMA-style mixes run

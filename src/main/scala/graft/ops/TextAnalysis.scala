@@ -556,6 +556,31 @@ object TextAnalysis {
     * stream, id 0 reserved for OOV. A trainer ships this table next to the
     * id arrays; [[decodeTokenIds]] inverts with it. Driver-resident by
     * construction (V rows — the centroid-table bound). */
+  /** Fail-loud contract on a FROZEN vocab table (the [[validateMergeTable]]
+    * convention, ADVICE r15): a hand-shipped table with duplicate tokens
+    * or duplicate/non-positive ids would silently lose entries in the
+    * `.toMap` fold and encode/decode WRONG — malformed artifacts must be
+    * a builder error, not a wrong answer. Id 0 is reserved for OOV. */
+  private[graft] def validateVocabTable(vocab: Seq[(String, Int)],
+                                        caller: String): Unit = {
+    val dupTok = vocab.groupBy(_._1).collectFirst {
+      case (t, vs) if vs.size > 1 => t
+    }
+    require(dupTok.isEmpty,
+      s"$caller: duplicate token '${dupTok.getOrElse("")}' in vocab table " +
+        "— .toMap would silently keep one id and drop the rest")
+    val dupId = vocab.groupBy(_._2).collectFirst {
+      case (i, vs) if vs.size > 1 => i
+    }
+    require(dupId.isEmpty,
+      s"$caller: duplicate id ${dupId.getOrElse(-1)} in vocab table " +
+        "— decode would silently pick one token")
+    val badId = vocab.collectFirst { case (t, i) if i <= 0 => (t, i) }
+    require(badId.isEmpty,
+      s"$caller: non-positive id ${badId.map(_._2).getOrElse(0)} for token " +
+        s"'${badId.map(_._1).getOrElse("")}' — id 0 is reserved for OOV")
+  }
+
   def bpeVocabIds(df: DataFrame, textCol: String,
                   merges: Seq[(String, String)],
                   vocabSize: Int): Seq[(String, Int)] = {
@@ -576,6 +601,7 @@ object TextAnalysis {
     * text — spec-pinned against [[unkRewrite]]). */
   def decodeTokenIds(ids: Column, vocab: Seq[(String, Int)],
                      unkToken: String = "<unk>"): Column = {
+    validateVocabTable(vocab, "decodeTokenIds")
     val m = typedLit(vocab.map { case (t, i) => (i, t) }.toMap)
     bpeDecode(array_join(transform(ids,
       i => coalesce(element_at(m, i), lit(unkToken))), " "))
@@ -619,6 +645,7 @@ object TextAnalysis {
                             merges: Seq[(String, String)],
                             vocab: Seq[(String, Int)]): DataFrame = {
     validateMergeTable(merges, "bpeEncodeIdsWithVocab")
+    validateVocabTable(vocab, "bpeEncodeIdsWithVocab")
     val enc = df.select(col(idCol), bpeToksCol(textCol, merges).as("__toks"))
     val m = typedLit(vocab.toMap)
     // Two projections on purpose (the bpeEncodeIndexed device): token_ids
@@ -676,14 +703,42 @@ object TextAnalysis {
                       seqLen: Int, padId: Int = 0,
                       groupCols: Seq[String] = Nil): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    val parts: Seq[Column] =
-      if (groupCols.isEmpty) Seq(lit(1)) else groupCols.map(col)
+    // Empty groupCols would plan the prefix sum as a SINGLE-PARTITION
+    // window — the one shape the library's globalRowNumber device exists
+    // to prevent (VERDICT r15 #4). Fail loudly instead of planning it:
+    // shard first (x9c_pack_ids_sharded's pattern —
+    // `withColumn("shard", pmod(col(id), lit(n)))`, packing is
+    // shard-local by construction) or pass an explicit constant column
+    // to opt into single-group packing on deliberately small data.
+    require(groupCols.nonEmpty,
+      "packSequenceIds: empty groupCols plans a single-partition window. " +
+        "Add a shard column (e.g. withColumn(\"shard\", pmod(col(\"" +
+        idCol + "\"), lit(nShards))) — the x9c_pack_ids_sharded pattern) " +
+        "or an explicit constant group column for small single-group runs.")
+    val parts: Seq[Column] = groupCols.map(col)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(parts: _*)
       .orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val L = seqLen.toLong
+    // Deterministic-replay contract: the pack order within a group is
+    // `idCol` ASC, so a duplicate id within a group makes the prefix sum
+    // and the sequence contents run-order-dependent (ADVICE r15). Guarded
+    // with the suite's plan-level fail-loud device — a limit(1)-gated
+    // 0-row broadcast frame + assert on the first data row, no extra job.
+    val dupe = df
+      .groupBy(groupCols.map(col) :+ col(idCol): _*)
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .limit(1)
+      .select(concat(lit("packSequenceIds: duplicate " + idCol + " "),
+        col(idCol),
+        lit(" within a group — pack order (idCol ASC per group) must be " +
+          "a total order for deterministic replay; dedupe or disambiguate " +
+          "the id upstream.")).as("__guard"))
     val base = df
       .select(groupCols.map(col) :+ col(idCol) :+ col(idsCol).as("__ids"): _*)
+      .join(broadcast(dupe), lit(true), "left")
+      .filter(assert_true(col("__guard").isNull, col("__guard")).isNull)
+      .drop("__guard")
       .withColumn("__nt", size(col("__ids")).cast("long"))
       .filter(col("__nt") > 0)
       .withColumn("__start", coalesce(sum(col("__nt")).over(w), lit(0L)))

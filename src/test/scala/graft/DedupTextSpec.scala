@@ -806,6 +806,12 @@ class DedupTextSpec extends AnyFunSuite {
     assert(MyersKernel.distance("", "abc") === 3)
     assert(MyersKernel.distance("same", "same") === 0)
     assert(MyersKernel.distance("aaaa", "bbbb") === 4)
+    // past the ASCII fast-path cap (nb > 128 ⇒ pattern > 8192 chars): the
+    // map fallback must return the same distance (ADVICE r15 cap)
+    val hugeA = "ab" * 5000
+    val hugeB = "ab" * 4999 + "ba"
+    assert(MyersKernel.distance(hugeA, hugeB) === 2)
+    assert(MyersKernel.distance(hugeA, hugeA) === 0)
     // SQL surface via GraftExtensions.register
     GraftExtensions.register(spark)
     val sqlGot = spark.sql(
@@ -1378,6 +1384,62 @@ class DedupTextSpec extends AnyFunSuite {
       assert(ids.size === 4 && mask.size === 4)
       assert(mask.map(_.toLong).sum === nReal)
     }
+  }
+
+  test("packSequenceIds: empty groupCols is a loud builder error pointing " +
+    "at the shard pattern; a duplicate id within a group fails at runtime") {
+    val df = Seq(("g1", 1L, Seq(10, 11))).toDF("g", "doc_id", "ids")
+    // empty default would plan a single-partition window — must not plan
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.packSequenceIds(df, "doc_id", "ids", seqLen = 4)
+    }
+    assert(ex.getMessage.contains("single-partition window") &&
+      ex.getMessage.contains("shard"))
+    // duplicate id within a group: pack order is no longer a total order —
+    // the deterministic-replay contract breaks, so the job fails loudly
+    val dup = Seq(("g1", 1L, Seq(10)), ("g1", 1L, Seq(11)),
+      ("g1", 2L, Seq(12))).toDF("g", "doc_id", "ids")
+    val ex2 = intercept[Exception] {
+      TextAnalysis.packSequenceIds(dup, "doc_id", "ids", seqLen = 4,
+        groupCols = Seq("g")).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex2).mkString("\n").contains("duplicate doc_id"))
+    // the same ids under distinct ids pack fine (guard is not a false trip)
+    val ok = Seq(("g1", 1L, Seq(10)), ("g1", 2L, Seq(11)))
+      .toDF("g", "doc_id", "ids")
+    assert(TextAnalysis.packSequenceIds(ok, "doc_id", "ids", seqLen = 4,
+      groupCols = Seq("g")).count() === 1L)
+  }
+
+  test("validateVocabTable: duplicate tokens, duplicate ids, and " +
+    "non-positive ids in a frozen vocab are loud builder errors") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    // well-formed table works in both directions
+    TextAnalysis.bpeEncodeIdsWithVocab(df, "doc_id", "text", Nil,
+      Seq(("a", 1), ("b", 2))).collect()
+    df.select(TextAnalysis.decodeTokenIds(
+      typedLit(Seq(1, 2)), Seq(("a", 1), ("b", 2)))).collect()
+    // duplicate token: .toMap would silently keep one id
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncodeIdsWithVocab(df, "doc_id", "text", Nil,
+        Seq(("a", 1), ("a", 2)))
+    }
+    assert(e1.getMessage.contains("duplicate token"))
+    // duplicate id: decode would silently pick one token
+    val e2 = intercept[IllegalArgumentException] {
+      df.select(TextAnalysis.decodeTokenIds(
+        typedLit(Seq(1)), Seq(("a", 1), ("b", 1))))
+    }
+    assert(e2.getMessage.contains("duplicate id"))
+    // id 0 is reserved for OOV
+    val e3 = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncodeIdsWithVocab(df, "doc_id", "text", Nil,
+        Seq(("a", 0)))
+    }
+    assert(e3.getMessage.contains("reserved for OOV"))
   }
 
   test("bpeDecode: decode(encode(x)) == normalizeText(x) on fuzz corpora " +

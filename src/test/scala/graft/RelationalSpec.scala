@@ -313,6 +313,36 @@ class RelationalSpec extends AnyFunSuite {
       maxPairsPerBucket = 50000L).count() === 44850L)
   }
 
+  test("coOccurrencePairs: pair counts, hub-basket guard fails loudly, opt-out runs") {
+    // small baskets: {1,2,3} twice, {2,3} once → (1,2):2 (1,3):2 (2,3):3
+    val li = Seq((10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L), (12L, 2L), (12L, 3L))
+      .toDF("o", "it")
+    val got = Relational.coOccurrencePairs(li, "o", "it")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 3L)))
+    // hub basket: one 200-item basket against a 100-item cap must fail
+    // LOUDLY with the measured size before the C(200,2) fan-out runs
+    val hub = (1L to 200L).map(i => (99L, i)).toDF("o", "it")
+    val ex = intercept[Exception] {
+      Relational.coOccurrencePairs(hub, "o", "it", maxBasketSize = 100L)
+        .count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val all = messages(ex).mkString("\n")
+    assert(all.contains("density guard") && all.contains("200") &&
+      all.contains("capPerGroup"),
+      s"unexpected guard failure text:\n$all")
+    // explicit opt-out accepts the blast radius: C(200,2) distinct pairs
+    assert(Relational.coOccurrencePairs(hub, "o", "it", maxBasketSize = 0)
+      .count() === 19900L)
+    // a cap at/above the basket size passes untouched
+    assert(Relational.coOccurrencePairs(hub, "o", "it", maxBasketSize = 200L)
+      .count() === 19900L)
+  }
+
   test("bandJoinNearestK: per-row k nearest within delta, output bounded") {
     val df = (1L to 400L)
       .map(i => (i, ((i * 2654435761L) % 1000L) / 10.0)).toDF("id", "v")
