@@ -57,13 +57,35 @@ object C7Profile {
         .localCheckpoint()
     }
     // A/B knobs (VERDICT r15 next #1/#6): SPARK_GRAFT_C7_SPLIT=rank|hist
-    // picks the timeSplit form; SPARK_GRAFT_C7_CORE_CKPT=true barriers the
-    // k-core result so the split stage can't re-derive the chain.
+    // picks the timeSplit form; SPARK_GRAFT_C7_CORE_CKPT=false drops the
+    // registry's post-k-core barrier (r16 default matches the registry:
+    // barrier ON — the histogram split reads its input in 3 subtrees);
+    // SPARK_GRAFT_C7_KCORE=iter barriers INSIDE the k-core loop after
+    // every iteration (the r15 next #6 question) instead of only at the
+    // end.
     val splitForm = sys.env.getOrElse("SPARK_GRAFT_C7_SPLIT", "hist")
-    val coreCkpt = sys.env.get("SPARK_GRAFT_C7_CORE_CKPT").contains("true")
-    val core = timed(s"k-core chain (3 iters x 2 semi-joins) " +
+    val coreCkpt =
+      !sys.env.get("SPARK_GRAFT_C7_CORE_CKPT").contains("false")
+    val kcoreForm = sys.env.getOrElse("SPARK_GRAFT_C7_KCORE", "plain")
+    val core = timed(s"k-core chain ($kcoreForm) " +
         (if (coreCkpt) "[ckpt]" else "[count]")) {
-      val c = Relational.kCore(inter, "u", "it", 5, 5, 3)
+      val c =
+        if (kcoreForm == "iter") {
+          // kCore's loop with a barrier after each iteration: each `cur`
+          // feeds two degree aggs + two semi-joins; the question is
+          // whether cutting AQE re-derivation across iterations beats
+          // the extra materializations.
+          var cur = inter
+          for (_ <- 1 to 3) {
+            val okU = cur.groupBy(col("u")).count()
+              .filter(col("count") >= 5).select(col("u"))
+            cur = cur.join(okU, Seq("u"), "left_semi")
+            val okI = cur.groupBy(col("it")).count()
+              .filter(col("count") >= 5).select(col("it"))
+            cur = cur.join(okI, Seq("it"), "left_semi").localCheckpoint()
+          }
+          cur
+        } else Relational.kCore(inter, "u", "it", 5, 5, 3)
       if (coreCkpt) c.localCheckpoint()
       else { c.count(); c }
     }

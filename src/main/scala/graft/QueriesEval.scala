@@ -841,7 +841,16 @@ object QueriesEval {
         .filter(col("label") === 1)
         .groupBy(col("u"), col("it")).agg(min(col("sd")).as("ts"))
         .localCheckpoint()
+      // Barrier the k-core result (r16, the c8 fan-out device): the r16
+      // histogram timeSplit reads its input in THREE subtrees (histogram,
+      // boundary rows, non-boundary rows) — un-barriered, each one
+      // re-derives the 12-shuffle k-core chain and the split stage costs
+      // as much as the old full-corpus rank (sf10 A/B matrix: split stage
+      // 127.3 s hist/no-barrier vs 15.5–37.2 s hist+barrier; rank+barrier
+      // measured 35.7–115.8 s on the same box windows). The frame is
+      // catalog-pair-sized, far below the corpus.
       val core = Relational.kCore(inter, "u", "it", 5, 5, 3)
+        .localCheckpoint()
       // (u, it) is unique after the agg above, so the zero-padded
       // concat tiebreak makes the global time order total (W2 contract);
       // the oracle orders by (ts, u, it) — the same total order
