@@ -728,11 +728,18 @@ object Relational {
     * [[globalRowNumber]] rank — content-pure: the same corpus yields the
     * same order on any engine with md5, regardless of partitioning. The
     * key must be unique and non-null per row; it rides along as the rank
-    * tiebreak so the order stays total even under a hash collision. */
+    * tiebreak so the order stays total even under a hash collision. A
+    * null key is a loud eval-time error (the [[hashSplit]] convention):
+    * md5(null) is null, and null-keyed rows would tie on both sort
+    * columns — a silently nondeterministic order. */
   def deterministicShuffle(df: DataFrame, key: Column,
-                           posCol: String = "shuffle_pos"): DataFrame =
-    globalRowNumber(df.withColumn("__shk", md5(key.cast("string"))),
+                           posCol: String = "shuffle_pos"): DataFrame = {
+    val safeKey = when(key.isNull,
+        raise_error(lit("deterministicShuffle: null shuffle key")))
+      .otherwise(key.cast("string"))
+    globalRowNumber(df.withColumn("__shk", md5(safeKey)),
       Seq(col("__shk"), key), rnCol = posCol).drop("__shk")
+  }
 
   /** Deterministic UPsampling by a per-row repeat weight `w >= 0` — the
     * epochs-per-source mixing primitive (Pile/LLaMA-style mixes run

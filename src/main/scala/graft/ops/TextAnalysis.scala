@@ -209,8 +209,13 @@ object TextAnalysis {
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     seqLen: Int, groupCols: Seq[String] = Nil): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    val parts: Seq[Column] =
-      if (groupCols.isEmpty) Seq(lit(1)) else groupCols.map(col)
+    // Same contract as packSequenceIds (r16): an empty group list would
+    // plan the prefix sum as a single-partition window.
+    require(groupCols.nonEmpty,
+      "packSequences: empty groupCols plans a single-partition window. " +
+        "Add a shard column (packing is shard-local by construction) or " +
+        "an explicit constant group column for small single-group runs.")
+    val parts: Seq[Column] = groupCols.map(col)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(parts: _*)
       .orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

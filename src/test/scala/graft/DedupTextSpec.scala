@@ -600,7 +600,13 @@ class DedupTextSpec extends AnyFunSuite {
     // token counts: 2,3,2,4 — starts 0,2,5,7 — bins at L=5: 0,0,1,1
     val df = Seq((1L, "a b"), (2L, "c d e"), (3L, "f g"), (4L, "h i j k"))
       .toDF("doc_id", "text")
-    val got = TextAnalysis.packSequences(df, "doc_id", "text", 5)
+    // r16: empty groupCols is a loud error (single-partition window);
+    // deliberate single-group packing passes an explicit constant column
+    intercept[IllegalArgumentException] {
+      TextAnalysis.packSequences(df, "doc_id", "text", 5)
+    }
+    val got = TextAnalysis.packSequences(df.withColumn("g", lit("all")),
+        "doc_id", "text", 5, groupCols = Seq("g"))
       .select("bin", "n_docs", "total_tokens", "first_doc", "last_doc")
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got === Seq((0L, 2L, 5L, 1L, 2L), (1L, 2L, 6L, 3L, 4L)))

@@ -78,6 +78,36 @@ class SplitDifferentialSpec extends AnyFunSuite {
     assert(Relational.timeSplitRank(df, "ts", "id", 0.8, 0.1).count() === 0L)
   }
 
+  test("deterministicShuffle: dense 1..n positions, reproducible across " +
+    "partitionings, ordered by md5 of the key; null key is a loud error") {
+    val df = (1L to 97L).map(i => (i, s"doc$i")).toDF("id", "name")
+    val a = Relational.deterministicShuffle(df, col("id"))
+      .select(col("id"), col("shuffle_pos")).as[(Long, Long)]
+      .collect().toMap
+    assert(a.values.toSeq.sorted === (1L to 97L))
+    // same content, different partitioning → identical positions
+    val b = Relational.deterministicShuffle(df.repartition(7), col("id"))
+      .select(col("id"), col("shuffle_pos")).as[(Long, Long)]
+      .collect().toMap
+    assert(a === b)
+    // matches the plain-Scala md5 order (content-pure contract)
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String = mdig.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = (1L to 97L).sortBy(i => (hex(i.toString), i.toString))
+      .zipWithIndex.map { case (id, p) => (id, p + 1L) }.toMap
+    assert(a === want)
+    val ex = intercept[Exception] {
+      Relational.deterministicShuffle(
+        Seq((Option.empty[Long], "x")).toDF("id", "name"), col("id"))
+        .count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).mkString("\n").contains("null shuffle key"))
+  }
+
   test("globalCumSum: exact inclusive running totals on random multisets") {
     (1 to 3).foreach { batch =>
       val rows = rowsGen
