@@ -1376,4 +1376,110 @@ object TextAnalysis {
         .as("n_emails"),
       regexp_count(col("__text"), lit("[0-9]+")).as("n_digit_runs"))
   }
+
+  /** Gopher/MassiveText repetition CHARACTER fractions (Rae et al. 2021,
+    * appendix A1.1 — the thresholds the paper actually filters on; the
+    * reference's quality gate thresholds scalar ratios the same way,
+    * `src/data/validation.py` style). Two families, both per document,
+    * both as integer parts-per-million for cross-engine arithmetic
+    * parity:
+    *
+    *  - `top{n}gram_ppm` (paper rows "top n-gram character fraction",
+    *    n ∈ `topNs`): characters covered by ALL occurrences of the
+    *    single most frequent word n-gram, over total characters.
+    *    Occurrences of the top gram may overlap, so the numerator is the
+    *    plain `count · len(gram)` product the paper uses — degenerate
+    *    looping text can exceed 1e6 by design. Ties on count break to
+    *    the lexicographically greatest gram (a deterministic argmax in
+    *    both engines: `max(struct(count, gram))`).
+    *  - `dup{n}gram_ppm` (paper rows "duplicate n-gram character
+    *    fraction", n ∈ `dupNs`): characters covered by at least one
+    *    occurrence of some n-gram that appears ≥2 times in the document
+    *    — the POSITIONAL UNION ("taking care not to count characters
+    *    that occur in overlapping n-grams more than once"), not a sum of
+    *    products: occurrence intervals [cstart, cstart+len) are merged
+    *    with a running-max sweep in char coordinates.
+    *
+    * Character coordinates are over the normalized space-joined token
+    * text (`tokens`' lower/collapse/trim), so `total_chars` =
+    * Σ len(tok) + (ntok − 1) separators and a gram's span length is
+    * exactly `length(gram)`.
+    *
+    * Plan shape (100 TB posture): ONE tokenize + posexplode of the
+    * corpus, then per-document windows — the prefix char offset and the
+    * `lead` chain that assembles every requested n's grams come from the
+    * SAME (doc, pos) sort, so all gram families share one exchange; the
+    * exploded frame is barriered (localCheckpoint) so the per-n
+    * aggregates don't re-derive it. Each family is then a
+    * (doc, gram)-keyed linear aggregation — keys include the document
+    * id, so hub documents don't concentrate (the quadratic-free
+    * contrast: `textFeatureMatrix`'s in-row O(types·len) fold is per-row
+    * but this operator's counts must see all occurrences, so they
+    * shuffle once). Docs shorter than n tokens emit no n-grams and
+    * report 0 (NOT the full-doc pseudo-gram [[Dedup.wordShingles]]
+    * returns for its banding use case — a 3-token doc is not "100%
+    * covered by its top 4-gram").
+    *
+    * The synthetic corpus has no intra-document ≥5-gram repeats, so the
+    * oracle row gates n ∈ {2,3}; the paper's 5..10 settings are plain
+    * parameters. */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String,
+                       topNs: Seq[Int] = Seq(2, 3, 4),
+                       dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+    require(topNs.nonEmpty || dupNs.nonEmpty,
+      "gopherRepetition: need at least one n-gram size")
+    require((topNs ++ dupNs).forall(_ >= 2),
+      s"gopherRepetition: n-gram sizes must be >= 2 (unigram 'repetition' " +
+        s"is type-token ratio — documentStats.ttr), got top=$topNs dup=$dupNs")
+    val maxN = (topNs ++ dupNs).max
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val wPrefix = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val tok0 = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val withLeads = (1 until maxN).foldLeft(
+      tok0.withColumn("__cstart", coalesce(
+        sum((length(col("__tok")) + 1).cast("long")).over(wPrefix), lit(0L)))
+    )((d, k) => d.withColumn(s"__t$k", lead(col("__tok"), k).over(w)))
+      .localCheckpoint(false)
+    def gram(n: Int): Column =
+      concat_ws(" ", (col("__tok") +: (1 until n).map(k => col(s"__t$k"))): _*)
+    // chars covered by every occurrence of the most frequent n-gram
+    def topAgg(n: Int): DataFrame =
+      withLeads.filter(col(s"__t${n - 1}").isNotNull)
+        .groupBy(col(idCol), gram(n).as("__g"))
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy(col(idCol))
+        .agg(max(struct(col("__cnt"), col("__g"))).as("__m"))
+        .select(col(idCol),
+          (col("__m").getField("__cnt") *
+            length(col("__m").getField("__g")).cast("long") * 1000000L)
+            .as(s"__topnum$n"))
+    // positional union of chars covered by duplicated n-grams
+    def dupAgg(n: Int): DataFrame =
+      withLeads.filter(col(s"__t${n - 1}").isNotNull)
+        .select(col(idCol), col("__pos"), col("__cstart"), gram(n).as("__g"))
+        .withColumn("__cend", col("__cstart") + length(col("__g")).cast("long"))
+        .withColumn("__cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(idCol), col("__g"))))
+        .filter(col("__cnt") > 1)
+        .withColumn("__prev", coalesce(max(col("__cend")).over(wPrefix), lit(0L)))
+        .select(col(idCol), greatest(lit(0L),
+          col("__cend") - greatest(col("__cstart"), col("__prev"))).as("__c"))
+        .groupBy(col(idCol))
+        .agg((sum(col("__c")) * 1000000L).as(s"__dupnum$n"))
+    val tot = withLeads.groupBy(col(idCol))
+      .agg(greatest(
+        sum((length(col("__tok")) + 1).cast("long")) - 1L, lit(0L))
+        .as("total_chars"))
+    val joined = (topNs.map(topAgg) ++ dupNs.map(dupAgg))
+      .foldLeft(tot)((a, b) => a.join(b, Seq(idCol), "left"))
+    def ppm(num: String, out: String): Column =
+      coalesce(expr(s"$num div nullif(total_chars, 0)"), lit(0L)).as(out)
+    joined.select(col(idCol) +: col("total_chars") +:
+      (topNs.map(n => ppm(s"__topnum$n", s"top${n}gram_ppm")) ++
+        dupNs.map(n => ppm(s"__dupnum$n", s"dup${n}gram_ppm"))): _*)
+  }
 }

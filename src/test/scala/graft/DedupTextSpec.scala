@@ -1549,4 +1549,28 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got(1L) === ((1L, 2L, 2L, txt)))
     assert(got(2L) === ((2L, 1L, 1L, "x1 x2 x3")))
   }
+
+  test("gopherRepetition: char-fraction goldens — overlap union counted " +
+    "once, top-gram product may exceed 1e6, short/empty docs are 0") {
+    val df = Seq(
+      (1L, "a b a b c"), // "a b" ×2 non-overlapping; no 3-gram dups
+      (2L, "x x x x"),   // "x x" ×3 overlapping — union = whole doc
+      (3L, "q"),         // shorter than any n: no grams, not "100% covered"
+      (4L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRepetition(df, "doc_id", "text",
+      topNs = Seq(2, 3), dupNs = Seq(2, 3)).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // (doc_id, total_chars, top2gram_ppm, top3gram_ppm, dup2gram_ppm, dup3gram_ppm)
+    assert(r(0) === ((1L, 9L, 666666L, 555555L, 666666L, 0L)))
+    // top2: cnt 3 × len 3 over 7 chars = 1285714 ppm (>1e6 by design);
+    // dup2 union [0,3)∪[2,5)∪[4,7) = 7 of 7 chars = exactly 1e6
+    assert(r(1) === ((2L, 7L, 1285714L, 1428571L, 1000000L, 1000000L)))
+    assert(r(2) === ((3L, 1L, 0L, 0L, 0L, 0L)))
+    assert(r(3) === ((4L, 0L, 0L, 0L, 0L, 0L)))
+    // partitioning-independence: per-doc windows, no order sensitivity
+    val rp = TextAnalysis.gopherRepetition(df.repartition(7), "doc_id",
+      "text", topNs = Seq(2, 3), dupNs = Seq(2, 3)).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rp.toSeq === r.toSeq)
+  }
 }
