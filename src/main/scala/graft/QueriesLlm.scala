@@ -862,6 +862,45 @@ object QueriesLlm {
           round(col("__mae"), 6).as("mean_abs_err"))
     }, None),
 
+    // --- Product-quantization recall self-check (r13_int8_recall's
+    //     shape, two compression decades further): exact cosine top-5 vs
+    //     (a) raw PQ/ADC top-5 and (b) ADC + exact re-rank (the faiss
+    //     refine pattern) on the SAME codebook — items carry m small
+    //     codes instead of dim floats (dim·4/m = 16× here; int8 is 4×),
+    //     each query pays one LUT build then m lookups per candidate.
+    //     Both recalls are measured IN-QUERY every round like the ANN
+    //     rows (sweep in COVERAGE: adc 0.20→0.76, refined up to 0.98);
+    //     VectorSpec pins the ksub→∞ limit (every subvector a centroid ⇒
+    //     ADC ≡ exact ⇒ recall 1). ---
+    ("r14_pq_recall", (s, d) => {
+      val e = SparkEntry.T(s, d, "embeddings")
+      val cb = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 16, ksub = 64, refineIters = 2)
+      val exact = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
+        "vec_id", "vec_id", "embedding", 5, "cosine", excludeSelf = true)
+        .select(col("query_id"), col("item_id")).localCheckpoint()
+      def hitsOf(approx: DataFrame) =
+        exact.join(approx.select(col("query_id"), col("item_id")),
+          Seq("query_id", "item_id"), "left_semi")
+          .agg(count(lit(1)).as("n"))
+      val adc = hitsOf(Similarity.pqTopK(e.filter(col("vec_id") < 50), e,
+        "vec_id", "vec_id", "embedding", 5, cb, excludeSelf = true))
+        .select(col("n").as("n_adc"))
+      val ref = hitsOf(Similarity.pqTopKRefined(
+        e.filter(col("vec_id") < 50), e,
+        "vec_id", "vec_id", "embedding", 5, cb, refineFactor = 10,
+        excludeSelf = true))
+        .select(col("n").as("n_refined"))
+      val tot = exact.agg(count(lit(1)).as("n_exact"))
+      adc.crossJoin(ref).crossJoin(tot).select(
+        lit(cb.m).as("m"), lit(cb.ksub).as("ksub"), col("n_exact"),
+        round(col("n_adc").cast("double") / col("n_exact"), 4)
+          .as("recall_adc"),
+        round(col("n_refined").cast("double") / col("n_exact"), 4)
+          .as("recall_refined"),
+        round(lit(cb.dim * 4.0 / cb.m), 2).as("compression_x"))
+    }, None),
+
     // --- Corpus heavy hitters: global top-50 terms. TakeOrdered top-k
     //     (no full sort); the rank is recovered by sorting the ≤50
     //     survivors inside ONE array and posexploding — no unpartitioned

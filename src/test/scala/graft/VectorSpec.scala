@@ -580,4 +580,85 @@ class VectorSpec extends AnyFunSuite {
       col("embedding").cast("array<float>").as("embedding"))) ===
       got(clean))
   }
+
+  private def seededVecs(n: Int, dim: Int, seed: Long): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat() - 0.5f)))
+  }
+
+  test("pqEncode: codes are m ints in [0, ksub); deterministic under repartition") {
+    val df = seededVecs(40, 16, 7L).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding", m = 4, ksub = 8,
+      refineIters = 1)
+    assert(cb.dsub === 4 && cb.ksub === 8)
+    val codes = Similarity.pqEncode(df, "embedding", cb)
+      .select("vec_id", "pq_codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.size === 40)
+    codes.values.foreach { c =>
+      assert(c.length === 4)
+      assert(c.forall(x => x >= 0 && x < 8))
+    }
+    val codesRep = Similarity.pqEncode(df.repartition(7), "embedding", cb)
+      .select("vec_id", "pq_codes").as[(Long, Seq[Int])].collect().toMap
+    assert(codesRep === codes)
+  }
+
+  test("pq exactness limit: ksub = n makes every subvector a centroid — " +
+    "ADC ranking equals exact, scores agree to fp tolerance") {
+    val data = seededVecs(20, 8, 11L)
+    val items = data.toDF("vec_id", "embedding")
+    val queries = data.take(3).toDF("vec_id", "embedding")
+    // refineIters = 0: the hash-pick keeps every row's subvector verbatim
+    val cb = Similarity.pqTrain(items, "vec_id", "embedding",
+      m = 4, ksub = 20, refineIters = 0)
+    val exact = Similarity.bruteForceTopK(queries, items, "vec_id",
+      "vec_id", "embedding", 5, "cosine")
+      .select("query_id", "rank", "item_id", "score")
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val adc = Similarity.pqTopK(queries, items, "vec_id", "vec_id",
+      "embedding", 5, cb)
+      .select("query_id", "rank", "item_id", "score")
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(adc.keySet === exact.keySet)
+    exact.foreach { case (k, (item, score)) =>
+      assert(adc(k)._1 === item, s"rank slot $k")
+      // perfect reconstruction: 1 - ||q-x||^2/2 == cos(q,x) on unit vecs
+      assert(math.abs(adc(k)._2 - score) < 1e-6, s"score at $k")
+    }
+  }
+
+  test("pqTopKRefined: exact scores on survivors; recall >= raw ADC on the " +
+    "driver embeddings; refineFactor covering the catalog recovers exact") {
+    val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = e.filter(col("vec_id") < 10)
+    val cb = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, ksub = 16,
+      refineIters = 1)
+    val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "vec_id",
+      "embedding", 5, "cosine", excludeSelf = true)
+      .select("query_id", "item_id", "score")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    def hitRate(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "item_id")
+        .as[(Long, Long)].collect().toSet
+      exact.keySet.count(got.contains).toDouble / exact.size
+    }
+    val adc = Similarity.pqTopK(qs, e, "vec_id", "vec_id", "embedding", 5,
+      cb, excludeSelf = true)
+    val refined = Similarity.pqTopKRefined(qs, e, "vec_id", "vec_id",
+      "embedding", 5, cb, refineFactor = 4, excludeSelf = true)
+    assert(hitRate(refined) >= hitRate(adc) - 1e-9)
+    // survivors carry EXACT scores (the refine contract)
+    refined.select("query_id", "item_id", "score")
+      .as[(Long, Long, Double)].collect().foreach { case (q, i, s) =>
+        exact.get((q, i)).foreach(es => assert(math.abs(s - es) < 1e-9))
+      }
+    // R >= catalog size: the shortlist is everything -> exact top-k back
+    val n = e.count().toInt
+    val full = Similarity.pqTopKRefined(qs, e, "vec_id", "vec_id",
+      "embedding", 5, cb, refineFactor = n / 5 + 1, excludeSelf = true)
+    assert(hitRate(full) === 1.0)
+  }
 }
