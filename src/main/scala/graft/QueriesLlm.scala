@@ -1330,6 +1330,40 @@ object QueriesLlm {
               |  lang, seq_idx, ids_str
               |FROM pk ORDER BY shuffle_pos""".stripMargin)),
 
+    // --- NO-SPLIT packing (the SFT-style handoff packSequenceIds cannot
+    //     express: whole documents per bin, Krell et al. 2021 histogram
+    //     BFD solved driver-side on the (lang, len) histogram, realized
+    //     by md5 rank + a broadcast slot table — packDocsNoSplit). The
+    //     bin ASSIGNMENT is a driver solve, so no SQL oracle (rows-only
+    //     gate); DedupTextSpec carries the differential-vs-per-doc-BFD
+    //     and exact-once/capacity/determinism invariants, and the row
+    //     itself emits per-bin tensors + the fill stats a trainer
+    //     monitors (pad waste is THE no-split efficiency number). ---
+    ("x9e_pack_nosplit", (s, d) => {
+      val docs = SparkEntry.T(s, d, "documents")
+      val ids = TextAnalysis.bpeLearnEncodeIds(docs, "doc_id", "text",
+          iterations = 3, vocabSize = 20)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        // corpus docs exceed one sequence: pre-chunk to whole units ≤ 48
+        // (the chunkDocs contract packDocsNoSplit's overflow error names)
+        .select(col("doc_id"), col("lang"),
+          posexplode(TextAnalysis.chunkIdArray(col("token_ids"), 48))
+            .as(Seq("chunk_idx", "chunk_ids")))
+        .select(concat(col("doc_id").cast("string"), lit("#"),
+          col("chunk_idx").cast("string")).as("unit_id"),
+          col("lang"), col("chunk_ids"))
+      TextAnalysis.packDocsNoSplit(ids, "unit_id", "chunk_ids",
+          seqLen = 64, padId = 0, groupCols = Seq("lang"))
+        .select(col("lang"), col("bin_id"), col("n_real"), col("n_docs"),
+          expr("(64 - n_real) * 1000000 div 64").as("pad_ppm"),
+          array_join(transform(col("input_ids"), i => i.cast("string")), " ")
+            .as("ids_str"),
+          array_join(transform(col("doc_starts"), i => i.cast("string")), " ")
+            .as("starts_str"),
+          array_join(col("doc_ids"), " ").as("units_str"))
+        .orderBy(col("lang"), col("bin_id"))
+    }, None),
+
     // --- C8 FLAGSHIP: the corpus→trainer handoff END TO END in one
     //     Catalyst plan (the c2/c6/c7 composition pattern, for the
     //     tokenizer/ids tranche), chaining the round's new operators:

@@ -785,6 +785,237 @@ object TextAnalysis {
         col("n_doc_starts") :+ col("doc_starts"): _*)
   }
 
+  /** Split an id array into whole chunks of ≤ `chunk` ids — the pre-chunk
+    * step [[packDocsNoSplit]]'s overflow error prescribes (chunkDocs'
+    * arithmetic, over an already-encoded id array instead of text).
+    * Always ≥ 1 chunk: an empty input yields one empty chunk (which the
+    * packer's len>0 filter then drops, the packSequenceIds contract). */
+  def chunkIdArray(ids: Column, chunk: Int): Column = {
+    require(chunk > 0, s"chunkIdArray: chunk=$chunk")
+    val n = org.apache.spark.sql.functions.size(ids)
+    val lastIdx = greatest(
+      floor((n - 1).cast("double") / chunk).cast("int"), lit(0))
+    transform(sequence(lit(0), lastIdx),
+      i => slice(ids, (i * chunk + 1).cast("int"), lit(chunk)))
+  }
+
+  /** Count-space best-fit-decreasing over a LENGTH HISTOGRAM — the
+    * histogram-packing idea of Krell et al. 2021 ("Efficient Sequence
+    * Packing without Cross-contamination"): the solver never sees
+    * documents, only (length → count), so driver work is O(lengths ·
+    * bin-types) with Long counts — independent of corpus size. Returns
+    * the FINAL bin compositions ((len → docs-per-bin) sorted len desc,
+    * canonical order) with bin counts; sum of every composition ≤ `cap`.
+    *
+    * The batch moves are exact per-document BFD: the chosen composition
+    * has the MINIMUM remaining ≥ len, stuffing one instance keeps it the
+    * minimum until it no longer fits (remaining < len), and its sibling
+    * instances (identical remaining) are then precisely the next-best —
+    * so filling `perInst = ⌊remaining/len⌋` docs into each instance in
+    * turn replays the one-at-a-time algorithm. Pinned by the
+    * differential spec against a naive per-doc simulation. */
+  private[graft] def bfdHistogramPack(hist: Seq[(Int, Long)], cap: Int)
+      : Seq[(List[(Int, Long)], Long)] = {
+    type Comp = List[(Int, Long)]
+    def rem(c: Comp): Long =
+      cap.toLong - c.iterator.map { case (l, k) => l.toLong * k }.sum
+    def orderKey(c: Comp): String =
+      c.map { case (l, k) => f"$l%08d:$k%016d" }.mkString(",")
+    def add(c: Comp, len: Int, q: Long): Comp =
+      if (c.exists(_._1 == len))
+        c.map { case (l, k) => if (l == len) (l, k + q) else (l, k) }
+      else (c :+ (len, q)).sortBy(-_._1)
+    val types = scala.collection.mutable.Map[Comp, Long]()
+    def inc(c: Comp, n: Long): Unit = {
+      val v = types.getOrElse(c, 0L) + n
+      require(v >= 0L, s"bfdHistogramPack: negative type count for $c")
+      if (v == 0L) types.remove(c) else types(c) = v
+    }
+    hist.sortBy { case (l, _) => -l }.foreach { case (len, n0) =>
+      require(len >= 1 && len <= cap,
+        s"bfdHistogramPack: length $len outside (0, $cap]")
+      var n = n0
+      while (n > 0) {
+        val fits = types.iterator
+          .filter { case (c, k) => k > 0 && rem(c) >= len }.toSeq
+        if (fits.isEmpty) {
+          // fresh bins: BFD stuffs each until the next doc no longer fits
+          val q = math.min(n, cap.toLong / len)
+          val full = n / q
+          if (full > 0) { inc(List((len, q)), full); n -= full * q }
+          if (n > 0) { inc(List((len, n)), 1L); n = 0 }
+        } else {
+          val (best, avail) =
+            fits.minBy { case (c, _) => (rem(c), orderKey(c)) }
+          val perInst = math.min(rem(best) / len, n)
+          val instFull = math.min(n / perInst, avail)
+          if (instFull > 0) {
+            inc(best, -instFull)
+            inc(add(best, len, perInst), instFull)
+            n -= instFull * perInst
+          }
+          if (n > 0 && avail - instFull > 0) {
+            // one partial instance takes the tail (n < perInst here)
+            inc(best, -1L)
+            inc(add(best, len, n), 1L)
+            n = 0
+          }
+        }
+      }
+    }
+    types.toSeq.sortBy { case (c, _) => orderKey(c) }
+  }
+
+  /** Fixed-capacity training-sequence packing WITHOUT document splitting —
+    * the SFT-style handoff [[packSequenceIds]] cannot express (its
+    * concat-split form cuts documents at sequence boundaries; instruction
+    * tuning and any per-document-loss training need whole documents per
+    * bin). Bin assignment is the Krell et al. 2021 histogram method:
+    * BFD solved ON THE (group, length) HISTOGRAM at the driver
+    * ([[bfdHistogramPack]] — bounded by `maxHistRows`, loud failure
+    * beyond), then realized distributively: docs are ranked within their
+    * (group, length) class by md5-of-id (content-pure, deterministic —
+    * equal-length docs are interchangeable for capacity so the class
+    * order is free), and a broadcast (group, len, type) slot table maps
+    * each rank to (bin, offset) with pure arithmetic — no per-document
+    * driver state, no sequential scan. One shuffle ranks the docs, one
+    * reduce keyed (group, bin) assembles sequences; parallelism =
+    * length-classes and bins, not groups.
+    *
+    * Docs longer than `seqLen` are a loud error (pre-chunk with
+    * [[chunkDocs]] or switch to [[packSequenceIds]]); zero-length id
+    * arrays contribute nothing (the packSequenceIds contract). Output:
+    * one row per (group, bin_id) with `input_ids` (padded to seqLen),
+    * `loss_mask`, `doc_starts`, `doc_ids` (offset order), n_real,
+    * n_docs. */
+  def packDocsNoSplit(df: DataFrame, idCol: String, idsCol: String,
+                      seqLen: Int, padId: Int = 0,
+                      groupCols: Seq[String] = Nil,
+                      maxHistRows: Int = 100000): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(groupCols.nonEmpty,
+      "packDocsNoSplit: empty groupCols makes the histogram collect and " +
+        "the rank windows a single global partition. Add a shard column " +
+        "(the x9c_pack_ids_sharded pattern) or an explicit constant " +
+        "group column for small single-group runs.")
+    val spark = df.sparkSession
+    val parts: Seq[Column] = groupCols.map(col)
+    val nG = groupCols.length
+    // duplicate-id guard — the packSequenceIds deterministic-replay device
+    val dupe = df
+      .groupBy(groupCols.map(col) :+ col(idCol): _*)
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .limit(1)
+      .select(concat(lit("packDocsNoSplit: duplicate " + idCol + " "),
+        col(idCol),
+        lit(" within a group — the md5 rank must be a total order for " +
+          "deterministic replay; dedupe or disambiguate upstream."))
+        .as("__guard"))
+    val base = df
+      .select(parts :+ col(idCol) :+ col(idsCol).as("__ids"): _*)
+      .join(broadcast(dupe), lit(true), "left")
+      .filter(assert_true(col("__guard").isNull, col("__guard")).isNull)
+      .drop("__guard")
+      .withColumn("__len", org.apache.spark.sql.functions.size(col("__ids")))
+      .filter(col("__len") > 0)
+    val histRows = base.groupBy(parts :+ col("__len"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .limit(maxHistRows + 1).collect()
+    require(histRows.length <= maxHistRows,
+      s"packDocsNoSplit: (group, len) histogram exceeds $maxHistRows " +
+        "rows — the driver solve is bounded by it; shard more coarsely " +
+        "or raise maxHistRows.")
+    val over = histRows.filter(_.getInt(nG) > seqLen)
+    require(over.isEmpty, {
+      val worst = if (over.isEmpty) 0 else over.map(_.getInt(nG)).max
+      s"packDocsNoSplit: documents longer than seqLen=$seqLen exist " +
+        s"(max $worst) and cannot pack without splitting — pre-chunk " +
+        "(chunkDocs) or use packSequenceIds."
+    })
+    // per-group BFD solve → broadcastable slot table:
+    // (group…, len, cumStart, nSlots, docsPerBin, binBase, offsetBase)
+    val mappingRows = histRows
+      .groupBy(r => (0 until nG).map(r.get(_)))
+      .toSeq.sortBy(_._1.mkString(""))
+      .flatMap { case (gvals, rows) =>
+        val hist = rows.map(r => (r.getInt(nG), r.getLong(nG + 1))).toSeq
+        val solved = bfdHistogramPack(hist, seqLen)
+        var binBase = 0L
+        val cumByLen = scala.collection.mutable.Map[Int, Long]()
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row]
+        solved.foreach { case (comp, cnt) =>
+          var off = 0L
+          comp.foreach { case (len, k) =>
+            val cum = cumByLen.getOrElse(len, 0L)
+            // Seq[Any], NOT Seq(len, cum…): a mixed Int/Long Seq literal
+            // infers Seq[Long] and silently widens len — the IntegerType
+            // slot then holds a boxed Long and the local-relation filter
+            // CCEs at plan time.
+            out += org.apache.spark.sql.Row.fromSeq(
+              gvals ++ Seq[Any](len, cum, cnt * k, k, binBase, off))
+            cumByLen(len) = cum + cnt * k
+            off += len.toLong * k
+          }
+          binBase += cnt
+        }
+        out
+      }
+    val mapSchema = org.apache.spark.sql.types.StructType(
+      base.schema.fields.take(nG) ++ Seq(
+        org.apache.spark.sql.types.StructField("__len",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__cum",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__nslots",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__binbase",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__offbase",
+          org.apache.spark.sql.types.LongType)))
+    import scala.jdk.CollectionConverters._
+    val mapping = spark.createDataFrame(mappingRows.asJava, mapSchema)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(parts :+ col("__len"): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val joined = base
+      .withColumn("__o", row_number().over(wRank).cast("long") - 1)
+      .join(broadcast(mapping), groupCols :+ "__len")
+      .filter(col("__o") >= col("__cum") &&
+        col("__o") < col("__cum") + col("__nslots"))
+      .withColumn("__rel", col("__o") - col("__cum"))
+      .withColumn("bin_id", col("__binbase") + expr("__rel div __k"))
+      .withColumn("__sp",
+        (col("__offbase") + pmod(col("__rel"), col("__k")) * col("__len"))
+          .cast("int"))
+    joined.groupBy(parts :+ col("bin_id"): _*)
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("__sp"), col("__ids")))),
+          x => x.getField("__ids"))).as("__real"),
+        array_sort(collect_list(col("__sp"))).as("doc_starts"),
+        transform(
+          array_sort(collect_list(struct(col("__sp"),
+            col(idCol).as("__did")))),
+          x => x.getField("__did")).as("doc_ids"),
+        count(lit(1)).as("n_docs"))
+      .select(parts :+ col("bin_id") :+
+        concat(col("__real"), array_repeat(lit(padId),
+          (lit(seqLen) - org.apache.spark.sql.functions.size(col("__real")))
+            .cast("int"))).as("input_ids") :+
+        concat(
+          array_repeat(lit(1),
+            org.apache.spark.sql.functions.size(col("__real"))),
+          array_repeat(lit(0),
+            (lit(seqLen) - org.apache.spark.sql.functions.size(col("__real")))
+              .cast("int"))).as("loss_mask") :+
+        org.apache.spark.sql.functions.size(col("__real")).cast("long")
+          .as("n_real") :+
+        col("n_docs") :+ col("doc_starts") :+ col("doc_ids"): _*)
+  }
+
   /** One-pass top-k adjacent-pair table over the BASE corpus — the cheap
     * valid-table source for encode-path scale tests and for phrase-style
     * vocabularies that don't need the trainer's re-count-after-each-merge

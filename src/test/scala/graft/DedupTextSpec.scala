@@ -1550,6 +1550,110 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got(2L) === ((2L, 1L, 1L, "x1 x2 x3")))
   }
 
+  private def naiveBfd(lens: Seq[Int], cap: Int): Seq[Int] = {
+    // per-document best-fit-decreasing; returns sorted bin fills. The
+    // multiset of fills is invariant to which of several equal-remaining
+    // bins receives a doc, so it is the right differential target for the
+    // count-space solver (whose tie-break differs).
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Int]
+    lens.sorted(Ordering.Int.reverse).foreach { l =>
+      val fit = bins.zipWithIndex.filter { case (s, _) => cap - s >= l }
+      if (fit.isEmpty) bins += l
+      else {
+        val (_, i) = fit.minBy { case (s, _) => cap - s }
+        bins(i) += l
+      }
+    }
+    bins.sorted.toSeq
+  }
+
+  test("bfdHistogramPack: conservation + capacity on random histograms; " +
+    "bin-fill multiset equals per-document BFD") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 20) {
+      val cap = 32 + rnd.nextInt(97)
+      val lens = Seq.fill(3 + rnd.nextInt(60))(1 + rnd.nextInt(cap))
+      val hist = lens.groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val solved = TextAnalysis.bfdHistogramPack(hist, cap)
+      // capacity + conservation
+      solved.foreach { case (comp, cnt) =>
+        assert(cnt > 0)
+        assert(comp.map { case (l, k) => l * k }.sum <= cap, s"trial $trial")
+      }
+      val placed = solved.flatMap { case (comp, cnt) =>
+        comp.map { case (l, k) => l -> cnt * k }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(placed === hist.toMap, s"trial $trial: docs not conserved")
+      // differential vs per-doc BFD: same bin-fill multiset
+      val fillsSolver = solved.flatMap { case (comp, cnt) =>
+        val fill = comp.map { case (l, k) => l * k }.sum.toInt
+        Seq.fill(cnt.toInt)(fill)
+      }.sorted
+      assert(fillsSolver === naiveBfd(lens, cap), s"trial $trial")
+    }
+  }
+
+  test("packDocsNoSplit: whole docs, exact-once placement, contiguous " +
+    "offsets, capacity, determinism; overflow and empty-group guards") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 60).map { i =>
+      val lang = if (i % 3 == 0) "en" else "de"
+      val n = 1 + rnd.nextInt(16)
+      (i.toLong, lang, Seq.fill(n)(rnd.nextInt(100)))
+    }.toDF("doc_id", "lang", "token_ids")
+    val packed = TextAnalysis.packDocsNoSplit(docs, "doc_id", "token_ids",
+      seqLen = 16, padId = -1, groupCols = Seq("lang"))
+      .collect().map { r =>
+        (r.getString(0), r.getLong(1), r.getSeq[Int](2), r.getSeq[Int](3),
+          r.getLong(4), r.getLong(5), r.getSeq[Int](6), r.getSeq[Long](7))
+      }
+    // (lang, bin_id, input_ids, loss_mask, n_real, n_docs, doc_starts, doc_ids)
+    val inputDocs = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getSeq[Int](2))).toSeq
+    // every doc exactly once, in the right group
+    val placedIds = packed.flatMap { case (lang, _, _, _, _, _, _, ids) =>
+      ids.map(_ -> lang)
+    }
+    assert(placedIds.length === inputDocs.length)
+    assert(placedIds.toMap === inputDocs.map(d => d._1 -> d._2).toMap)
+    val byId = inputDocs.map(d => d._1 -> d._3).toMap
+    packed.foreach { case (lang, bin, ids, mask, nReal, nDocs, starts, dids) =>
+      assert(ids.length === 16 && mask.length === 16, s"$lang/$bin")
+      assert(nReal <= 16 && nDocs === dids.length.toLong)
+      assert(mask.count(_ == 1) === nReal)
+      // contiguous canonical layout: starts are prefix sums of doc lens,
+      // and the concatenated ids are exactly the docs in offset order
+      val lens = dids.map(byId(_).length)
+      val expStarts = lens.scanLeft(0)(_ + _).dropRight(1)
+      assert(starts.toSeq === expStarts, s"$lang/$bin")
+      assert(nReal === lens.sum.toLong)
+      assert(ids.take(nReal.toInt) === dids.flatMap(byId(_)))
+      assert(ids.drop(nReal.toInt).forall(_ === -1))
+    }
+    // determinism under repartition
+    val packed2 = TextAnalysis.packDocsNoSplit(docs.repartition(7),
+      "doc_id", "token_ids", seqLen = 16, padId = -1,
+      groupCols = Seq("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Int](2), r.getSeq[Long](7))).sortBy(t => (t._1, t._2))
+    assert(packed2.toSeq === packed.map(p => (p._1, p._2, p._3, p._8))
+      .sortBy(t => (t._1, t._2)).toSeq)
+    // doc longer than seqLen → loud driver error
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.packDocsNoSplit(
+        Seq((1L, "en", Seq.fill(20)(1))).toDF("doc_id", "lang", "token_ids"),
+        "doc_id", "token_ids", seqLen = 16, groupCols = Seq("lang"))
+    }
+    assert(err.getMessage.contains("cannot pack without splitting"))
+    // empty groupCols → loud builder error
+    val err2 = intercept[IllegalArgumentException] {
+      TextAnalysis.packDocsNoSplit(docs, "doc_id", "token_ids",
+        seqLen = 16, groupCols = Nil)
+    }
+    assert(err2.getMessage.contains("shard"))
+  }
+
   test("gopherRepetition: char-fraction goldens — overlap union counted " +
     "once, top-gram product may exceed 1e6, short/empty docs are 0") {
     val df = Seq(
