@@ -901,6 +901,48 @@ object QueriesLlm {
         round(lit(cb.dim * 4.0 / cb.m), 2).as("compression_x"))
     }, None),
 
+    // --- IVF∘PQ recall (the faiss `IVFx,PQy` composition — the serving
+    //     form at catalog scale): BOTH loss terms measured against the
+    //     same exact baseline — cluster pruning (nprobe/nlist of the
+    //     catalog scored) × quantization (ADC on m codes), plus the
+    //     exact re-rank tail that recovers most of the quantization
+    //     loss. VectorSpec pins the limits (nprobe=nlist ⇒ pure PQ;
+    //     + refine covering the catalog ⇒ exact). ---
+    ("r14b_ivfpq_recall", (s, d) => {
+      val e = SparkEntry.T(s, d, "embeddings")
+      val cb = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 16, ksub = 64, refineIters = 2)
+      val exact = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
+        "vec_id", "vec_id", "embedding", 5, "cosine", excludeSelf = true)
+        .select(col("query_id"), col("item_id")).localCheckpoint()
+      def hitsOf(approx: DataFrame) =
+        exact.join(approx.select(col("query_id"), col("item_id")),
+          Seq("query_id", "item_id"), "left_semi")
+          .agg(count(lit(1)).as("n"))
+      val tot = exact.agg(count(lit(1)).as("n_exact"))
+      // two operating points: the pruning term is the dominant loss on
+      // geometry-free synthetic embeddings (true neighbors spread across
+      // clusters), so the row carries the nprobe knob's effect every round
+      Seq(4, 8).map { nprobe =>
+        val ivfpq = hitsOf(Similarity.clusterPrunedTopKPq(
+          e.filter(col("vec_id") < 50), e, "vec_id", "vec_id", "embedding",
+          5, cb, nlist = 16, nprobe = nprobe, excludeSelf = true))
+          .select(col("n").as("n_ivfpq"))
+        val refined = hitsOf(Similarity.clusterPrunedTopKPq(
+          e.filter(col("vec_id") < 50), e, "vec_id", "vec_id", "embedding",
+          5, cb, nlist = 16, nprobe = nprobe, refineFactor = 10,
+          excludeSelf = true))
+          .select(col("n").as("n_refined"))
+        ivfpq.crossJoin(refined).crossJoin(tot).select(
+          lit(cb.m).as("m"), lit(cb.ksub).as("ksub"),
+          lit(16).as("nlist"), lit(nprobe).as("nprobe"), col("n_exact"),
+          round(col("n_ivfpq").cast("double") / col("n_exact"), 4)
+            .as("recall_ivfpq"),
+          round(col("n_refined").cast("double") / col("n_exact"), 4)
+            .as("recall_refined"))
+      }.reduce(_ unionAll _).orderBy(col("nprobe"))
+    }, None),
+
     // --- Corpus heavy hitters: global top-50 terms. TakeOrdered top-k
     //     (no full sort); the rank is recovered by sorting the ≤50
     //     survivors inside ONE array and posexploding — no unpartitioned

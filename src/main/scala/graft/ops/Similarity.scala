@@ -947,13 +947,7 @@ object Similarity {
       if (cb.metric == "cosine")
         normalized(df, vecCol, tmp)
       else df.withColumn(tmp, col(vecCol))
-    val ids = Array.tabulate(cb.ksub)(_.toLong)
-    val codes = array((0 until cb.m).map { j =>
-      element_at(ColumnBridge.column(graft.functions.expr.NearestCentroids(
-        ColumnBridge.expression(slice(col(tmp), j * cb.dsub + 1, cb.dsub)),
-        ids, cb.cents(j), 1)), 1).cast("int")
-    }: _*)
-    withV.withColumn(outCol, codes).drop(tmp)
+    pqEncodeNoNorm(withV, tmp, cb, outCol).drop(tmp)
   }
 
   /** Per-query ADC lookup table (asymmetric distance computation): a flat
@@ -993,9 +987,8 @@ object Similarity {
     * [[bruteForceTopK]] — the BROADCAST side is the query batch
     * (requests × (lut: m·ksub doubles)), the stream side scans codes-only
     * item rows (4·dsub× smaller than the float vectors the exact form
-    * streams); at catalog scale compose with IVF pruning
-    * ([[clusterPrunedTopK]]'s centroid equi-join) instead of scanning —
-    * the c5-family registry row gates that composition. */
+    * streams); at catalog scale compose with IVF pruning —
+    * [[clusterPrunedTopKPq]], recall-gated by `r14b_ivfpq_recall`. */
   def pqTopK(queries: DataFrame, items: DataFrame, queryId: String,
              itemId: String, vecCol: String, k: Int, cb: PqCodebook,
              excludeSelf: Boolean = false): DataFrame = {
@@ -1034,6 +1027,97 @@ object Similarity {
     * frame. `score` is the exact metric score (cosine/neg-L2), so
     * downstream consumers see [[bruteForceTopK]] semantics on the
     * survivors. */
+  /** IVF∘PQ — the faiss `IVFx,PQy` composition and the catalog-scale
+    * serving form of [[pqTopK]]: cluster pruning bounds WHICH items are
+    * scored (the [[clusterPrunedTopK]] centroid_id equi-join — scored
+    * pairs shrink by ~nprobe/nlist) while PQ bounds WHAT each scored
+    * item costs (m-code ADC lookups over a dim·4/m-compressed payload).
+    * `refineFactor` > 0 adds the exact re-rank tail ([[pqTopKRefined]]):
+    * the ADC shortlist's survivors are re-scored with full vectors, so
+    * `score` is then exact. Two broadcast joins keep the per-query LUT
+    * out of the candidate stream: the (query, centroid) probe frame and
+    * the (query, lut) frame broadcast separately — candidates reference
+    * the LUT from the hash table instead of materializing m·ksub doubles
+    * per pair. Recall gated per round by `r14b_ivfpq_recall`; both loss
+    * terms (pruning, quantization) are measured against the same exact
+    * baseline there. */
+  def clusterPrunedTopKPq(queries: DataFrame, items: DataFrame,
+                          queryId: String, itemId: String, vecCol: String,
+                          k: Int, cb: PqCodebook, nlist: Int = 64,
+                          nprobe: Int = 8, seed: Long = 42,
+                          refineIters: Int = 0, refineFactor: Int = 0,
+                          excludeSelf: Boolean = false): DataFrame = {
+    require(refineFactor >= 0, s"clusterPrunedTopKPq: refineFactor")
+    def prep(df: DataFrame, idC: String, outId: String, outVec: String) =
+      if (cb.metric == "cosine")
+        normalized(df.select(col(idC).as(outId), col(vecCol).as(outVec)),
+          outVec, outVec)
+      else df.select(col(idC).as(outId), col(vecCol).as(outVec))
+    val it0 = prep(items, itemId, "item_id", "__iv")
+    val seeds = pickCentroids(it0, "item_id", "__iv", nlist, seed)
+    val centroids =
+      if (refineIters > 0) refineCentroids(it0, "__iv", seeds, refineIters)
+      else seeds
+    val itemsC = assignClusters(
+      pqEncodeNoNorm(it0, "__iv", cb, "__codes"), "__iv", centroids)
+      .select(col("item_id"), col("centroid_id"), col("__codes"))
+    val q0 = prep(queries, queryId, "query_id", "__qv")
+    val qProbe = {
+      val scored = q0.crossJoin(broadcast(centroids))
+        .withColumn("__d", l2Distance(col("__qv"), col("centroid_vec")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("__d"), col("centroid_id"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= nprobe)
+        .select(col("query_id"), col("centroid_id"))
+    }
+    val qLut = q0.withColumn("__lut", pqLut(col("__qv"), cb))
+      .select(col("query_id"), col("__lut"))
+    val cand0 = itemsC.join(broadcast(qProbe), Seq("centroid_id"))
+      .join(broadcast(qLut), Seq("query_id"))
+    val cand =
+      if (excludeSelf) cand0.filter(col("query_id") =!= col("item_id"))
+      else cand0
+    val adc = cand
+      .withColumn("__d", pqAdcDist(col("__lut"), col("__codes"), cb.ksub))
+      .withColumn("score",
+        if (cb.metric == "cosine") lit(1.0) - col("__d") / 2.0
+        else -col("__d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("item_id"))
+    if (refineFactor == 0)
+      adc.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("item_id"), col("score"))
+    else {
+      val short = adc.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k * refineFactor)
+        .select(col("query_id"), col("item_id"))
+      val rescored = it0.join(
+        broadcast(short.join(q0, Seq("query_id"))), Seq("item_id"))
+        .withColumn("score",
+          if (cb.metric == "cosine") vecDotNative(col("__qv"), col("__iv"))
+          else -l2Distance(col("__qv"), col("__iv")))
+      rescored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("item_id"), col("score"))
+    }
+  }
+
+  /** [[pqEncode]] minus the normalization — for callers that already hold
+    * the metric-normalized vector column (the IVF∘PQ path normalizes once
+    * and feeds both centroid assignment and encoding). */
+  private def pqEncodeNoNorm(df: DataFrame, vecCol: String, cb: PqCodebook,
+                             outCol: String): DataFrame = {
+    val ids = Array.tabulate(cb.ksub)(_.toLong)
+    val codes = array((0 until cb.m).map { j =>
+      element_at(ColumnBridge.column(graft.functions.expr.NearestCentroids(
+        ColumnBridge.expression(slice(col(vecCol), j * cb.dsub + 1, cb.dsub)),
+        ids, cb.cents(j), 1)), 1).cast("int")
+    }: _*)
+    df.withColumn(outCol, codes)
+  }
+
   def pqTopKRefined(queries: DataFrame, items: DataFrame, queryId: String,
                     itemId: String, vecCol: String, k: Int, cb: PqCodebook,
                     refineFactor: Int = 4,

@@ -661,4 +661,28 @@ class VectorSpec extends AnyFunSuite {
       "embedding", 5, cb, refineFactor = n / 5 + 1, excludeSelf = true)
     assert(hitRate(full) === 1.0)
   }
+
+  test("clusterPrunedTopKPq limits: nprobe = nlist is pure PQ (equals " +
+    "pqTopK); adding a catalog-covering refine recovers exact top-k") {
+    val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = e.filter(col("vec_id") < 8)
+    val cb = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, ksub = 16,
+      refineIters = 1)
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "item_id")
+        .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val pure = ranks(Similarity.pqTopK(qs, e, "vec_id", "vec_id",
+      "embedding", 5, cb, excludeSelf = true))
+    val unpruned = ranks(Similarity.clusterPrunedTopKPq(qs, e, "vec_id",
+      "vec_id", "embedding", 5, cb, nlist = 6, nprobe = 6,
+      excludeSelf = true))
+    assert(unpruned === pure)
+    val n = e.count().toInt
+    val exact = ranks(Similarity.bruteForceTopK(qs, e, "vec_id", "vec_id",
+      "embedding", 5, "cosine", excludeSelf = true))
+    val recovered = ranks(Similarity.clusterPrunedTopKPq(qs, e, "vec_id",
+      "vec_id", "embedding", 5, cb, nlist = 6, nprobe = 6,
+      refineFactor = n / 5 + 1, excludeSelf = true))
+    assert(recovered === exact)
+  }
 }
