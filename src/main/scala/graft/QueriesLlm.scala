@@ -35,6 +35,69 @@ object QueriesLlm {
   private val DuckTokens =
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 
+  /** The full gopherRepetition replay (shared by `t_gopher_rep` and the
+    * threshold-application row `t_gopher_filter`): one token unnest,
+    * lead-built grams, per-doc prefix char offsets, top-gram products
+    * and positional-union dup coverage as integer ppm. */
+  private lazy val GopherRepSql: String =
+    s"""WITH t AS (SELECT doc_id, $DuckTokens AS ts FROM documents),
+       |tok AS (SELECT doc_id, gs.pos - 1 AS pos, ts[gs.pos] AS tok
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS pos) gs),
+       |tokc AS (SELECT doc_id, pos, tok,
+       |  coalesce(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cstart,
+       |  lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+       |  lead(tok, 3) OVER w AS t3
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |tot AS (SELECT doc_id,
+       |  CAST(greatest(sum(length(tok) + 1) - 1, 0) AS BIGINT) AS total_chars
+       |  FROM tok GROUP BY 1),
+       |cnt2 AS (SELECT doc_id, tok || ' ' || t1 AS g, count(*) AS cnt
+       |  FROM tokc WHERE t1 IS NOT NULL GROUP BY 1, 2),
+       |top2 AS (SELECT doc_id, max(struct_pack(cnt := cnt, g := g)) AS m
+       |  FROM cnt2 GROUP BY 1),
+       |cnt3 AS (SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS g, count(*) AS cnt
+       |  FROM tokc WHERE t2 IS NOT NULL GROUP BY 1, 2),
+       |top3 AS (SELECT doc_id, max(struct_pack(cnt := cnt, g := g)) AS m
+       |  FROM cnt3 GROUP BY 1),
+       |cnt4 AS (SELECT doc_id, tok || ' ' || t1 || ' ' || t2 || ' ' || t3 AS g, count(*) AS cnt
+       |  FROM tokc WHERE t3 IS NOT NULL GROUP BY 1, 2),
+       |top4 AS (SELECT doc_id, max(struct_pack(cnt := cnt, g := g)) AS m
+       |  FROM cnt4 GROUP BY 1),
+       |d2 AS (SELECT doc_id, pos, cstart,
+       |  cstart + length(tok || ' ' || t1) AS cend,
+       |  count(*) OVER (PARTITION BY doc_id, tok || ' ' || t1) AS cnt
+       |  FROM tokc WHERE t1 IS NOT NULL),
+       |d2c AS (SELECT doc_id, greatest(0, cend - greatest(cstart,
+       |    coalesce(max(cend) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS c
+       |  FROM (SELECT * FROM d2 WHERE cnt > 1)),
+       |dup2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dupnum
+       |  FROM d2c GROUP BY 1),
+       |d3 AS (SELECT doc_id, pos, cstart,
+       |  cstart + length(tok || ' ' || t1 || ' ' || t2) AS cend,
+       |  count(*) OVER (PARTITION BY doc_id, tok || ' ' || t1 || ' ' || t2) AS cnt
+       |  FROM tokc WHERE t2 IS NOT NULL),
+       |d3c AS (SELECT doc_id, greatest(0, cend - greatest(cstart,
+       |    coalesce(max(cend) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS c
+       |  FROM (SELECT * FROM d3 WHERE cnt > 1)),
+       |dup3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dupnum
+       |  FROM d3c GROUP BY 1)
+       |SELECT t.doc_id, tot.total_chars,
+       |  coalesce((top2.m.cnt * length(top2.m.g) * 1000000)
+       |    // nullif(total_chars, 0), 0) AS top2gram_ppm,
+       |  coalesce((top3.m.cnt * length(top3.m.g) * 1000000)
+       |    // nullif(total_chars, 0), 0) AS top3gram_ppm,
+       |  coalesce((top4.m.cnt * length(top4.m.g) * 1000000)
+       |    // nullif(total_chars, 0), 0) AS top4gram_ppm,
+       |  coalesce((dup2.dupnum * 1000000) // nullif(total_chars, 0), 0) AS dup2gram_ppm,
+       |  coalesce((dup3.dupnum * 1000000) // nullif(total_chars, 0), 0) AS dup3gram_ppm
+       |FROM t JOIN tot USING (doc_id)
+       |LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+       |LEFT JOIN top4 USING (doc_id) LEFT JOIN dup2 USING (doc_id)
+       |LEFT JOIN dup3 USING (doc_id)""".stripMargin
+
   /** Cumulative split fraction → 8-hex-digit threshold, the same rendering
     * `Relational.hashSplit` uses — keeps the DuckDB oracle pinned to the
     * identical first-32-bits-of-md5 comparison. */

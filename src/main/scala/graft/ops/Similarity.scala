@@ -38,6 +38,24 @@ object Similarity {
   private val printedFloorConfigs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Double]()
 
+  /** Stage-local materialization barrier: routes the frame through a
+    * Generate (explode of a one-element array) so every column is
+    * EVALUATED once per row at the barrier instead of deferred into the
+    * consumer's loop. Whole-stage codegen defers project outputs to
+    * their use sites; under a (broadcast) nested-loop or multi-match
+    * hash join that turns an O(rows) stream-side projection into
+    * O(rows × matches) — measured on pqTopK: the m native encode
+    * projections re-ran per PAIR, 17.9 s for 50×2 K pairs vs 0.6 s
+    * barriered. Unlike localCheckpoint this is pure-plan, streams, and
+    * holds nothing in memory — usable on CATALOG-sized sides. Caveat:
+    * a Generate blocks filter/column pushdown across it, so barrier
+    * only terminal, already-narrow projections. */
+  private[graft] def evalBarrier(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    df.select(explode(array(struct(cols.map(col): _*))).as("__eb"))
+      .select(cols.map(c => col(s"__eb.$c").as(c)): _*)
+  }
+
   /** R3: exact top-k neighbors for every query vector.
     * `queries`/`items`: (idCol, vecCol) frames. Output:
     * (query_id, rank, item_id, score). Ties broken by item id ascending
@@ -57,7 +75,10 @@ object Similarity {
         normalized(df.select(col(idC).as(outId), col(vecCol).as(outVec)),
           outVec, outVec)
       else df.select(col(idC).as(outId), col(vecCol).as(outVec))
-    val q = prep(queries, queryId, "query_id", "__qv")
+    // barrier the STREAM side: its normalize projection would otherwise
+    // re-evaluate per PAIR inside the nested-loop consume (see
+    // evalBarrier; the broadcast build side materializes at the exchange)
+    val q = evalBarrier(prep(queries, queryId, "query_id", "__qv"))
     val it = prep(items, itemId, "item_id", "__iv")
     val scoreCol = metric match {
       case "cosine" => vecDotNative(col("__qv"), col("__iv"))
@@ -887,17 +908,25 @@ object Similarity {
     }
   }
 
-  /** Train a PQ codebook: per subspace, [[pickCentroids]]-seeded (seed
-    * varies by subspace) + `refineIters` Lloyd rounds over the SLICED
-    * vectors — each subspace's k-means is the same linear
-    * assign→mean→reassign loop `refineCentroids` runs for IVF, on a
-    * dsub-wide frame. `trainSampleN` > 0 trains on a deterministic
-    * hash-ordered sample (the faiss practice — codebooks converge on a
-    * fraction of the corpus; the sample is seeded-hash-picked so the
-    * codebook is reproducible), which at 100 TB is the difference
-    * between m·iters passes over a sample and over the corpus. The
-    * input scan + normalization is localCheckpointed once and shared by
-    * all m subspace trainings. */
+  /** Train a PQ codebook — ALL m subspaces in one plan: the vectors are
+    * exploded once into (subspace, subvector) rows, seeds are the first
+    * ksub subvectors per subspace in seeded-hash order (pickCentroids'
+    * device, salt varies by subspace, realized as ONE ranked window
+    * instead of m sort-limits), and each Lloyd round is one
+    * broadcast-argmin + one (subspace, centroid, dim)-keyed mean over
+    * the whole exploded frame. The per-subspace form paid m·(1+2·iters)
+    * separate job chains (~80 jobs at m=16 — measured 32.6 s of pure
+    * job overhead on a 2 K-vector corpus); this form is
+    * seeds + refineIters checkpoints regardless of m.
+    *
+    * Scale contract: the Lloyd argmin joins the exploded sample against
+    * the broadcast (subspace, centroid) table — n·m·ksub candidate rows,
+    * the blow-up the native [[assignClusters]] kernel avoids for
+    * CATALOG-side assignment. Training is therefore meant to run on
+    * `trainSampleN` rows at scale (the faiss practice — codebooks
+    * converge on a fraction of the corpus; the sample is
+    * seeded-hash-picked so the codebook is reproducible); ENCODING the
+    * full catalog stays the native no-join projection ([[pqEncode]]). */
   def pqTrain(items: DataFrame, itemId: String, vecCol: String,
               m: Int, ksub: Int, metric: String = "cosine",
               seed: Long = 42, refineIters: Int = 2,
@@ -919,19 +948,60 @@ object Similarity {
       org.apache.spark.sql.functions.size(col("__v"))).head.getInt(0)
     require(dim % m == 0, s"pqTrain: dim=$dim not divisible by m=$m")
     val dsub = dim / m
-    val cents = (0 until m).map { j =>
-      val sliced = cached.select(col("__id"),
-        slice(col("__v"), j * dsub + 1, dsub).as("__sv"))
-      val seeds = pickCentroids(sliced, "__id", "__sv", ksub, seed + j)
-      val refined =
-        if (refineIters > 0) refineCentroids(sliced, "__sv", seeds, refineIters)
-        else seeds
-      collectCentroids(refined)._2
+    def toD(v: Seq[Any]): Array[Double] = v.map {
+      case f: java.lang.Float => f.toDouble
+      case n: Number => n.doubleValue()
     }.toArray
-    // fewer rows than ksub → fewer centroids (same count in every
-    // subspace: pickCentroids limits the same corpus per j)
-    val kEff = cents.map(_.length).min
-    PqCodebook(dim, m, kEff, metric, cents.map(_.take(kEff)))
+    // seeds: first ksub per subspace in (hash(id, seed + j), id) order —
+    // pickCentroids' pick, one windowed pass over the exploded
+    // subvectors, collected (m·ksub rows — the centroid-table bound)
+    val wSeed = Window.partitionBy(col("__j"))
+      .orderBy(xxhash64(col("__id"), col("__j") + lit(seed)), col("__id"))
+    val seedRows = cached.select(col("__id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col("__v"), (j * dsub + 1).cast("int"), lit(dsub))))
+        .as(Seq("__j", "__sv")))
+      .withColumn("__c", row_number().over(wSeed) - 1)
+      .filter(col("__c") < ksub)
+      .select(col("__j"), col("__c"), col("__sv")).collect()
+    val byJ = seedRows.groupBy(_.getInt(0))
+    val kEff = byJ.values.map(_.length).min
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      byJ(j).sortBy(_.getInt(1)).take(kEff)
+        .map(r => toD(r.getSeq[Any](2))))
+    // Lloyd rounds with DRIVER-side centroid state: assignment is the
+    // native no-join projection (the pqEncode kernel chain) and the
+    // per-(subspace, code, dim) means are ONE map-combined aggregation
+    // collected at m·ksub·dsub cells per round — no n·ksub candidate
+    // materialization, no window shuffle (the join+argmin form shuffled
+    // n·m candidate-array rows per round; measured 5.5 s warm on a
+    // 2 K-vector corpus vs ~1 s for this form).
+    for (_ <- 1 to refineIters) {
+      val ids = Array.tabulate(kEff)(_.toLong)
+      val perJ = (0 until m).map { j =>
+        cached.select(
+          lit(j).as("__j"),
+          element_at(ColumnBridge.column(
+            graft.functions.expr.NearestCentroids(
+              ColumnBridge.expression(slice(col("__v"),
+                j * dsub + 1, dsub)), ids, cents(j), 1)), 1)
+            .cast("int").as("__c"),
+          posexplode(slice(col("__v"), j * dsub + 1, dsub))
+            .as(Seq("__t", "__x")))
+      }.reduce(_ unionAll _)
+      val meanRows = perJ
+        .groupBy(col("__j"), col("__c"), col("__t"))
+        .agg(avg(col("__x").cast("double")).as("__m"))
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      meanRows.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
+        case ((j, c), rs) =>
+          if (c >= 0 && c < kEff)
+            rs.foreach(r => next(j)(c)(r.getInt(2)) = r.getDouble(3))
+      }
+      cents = next // empty (j, c) cells keep their previous centroid
+    }
+    PqCodebook(dim, m, kEff, metric, cents)
   }
 
   /** Encode vectors to `m` PQ codes (ints in [0, ksub)): per subspace,
@@ -997,9 +1067,13 @@ object Similarity {
         normalized(queries.select(col(queryId).as("query_id"),
           col(vecCol).as("__qv")), "__qv", "__qv")
       else queries.select(col(queryId).as("query_id"), col(vecCol).as("__qv"))
+    // the broadcast build side materializes the LUT at the exchange; the
+    // STREAM side's encode projections need the evalBarrier or they
+    // re-evaluate per PAIR in the nested-loop consume (measured: 17.9 s
+    // for 50×2 K pairs vs 0.6 s barriered, m=16/ksub=64)
     val q = q0.withColumn("__lut", pqLut(col("__qv"), cb)).drop("__qv")
-    val it = pqEncode(items.select(col(itemId).as("item_id"),
-      col(vecCol).as("__iv")), "__iv", cb, "__codes").drop("__iv")
+    val it = evalBarrier(pqEncode(items.select(col(itemId).as("item_id"),
+      col(vecCol).as("__iv")), "__iv", cb, "__codes").drop("__iv"))
     val pairs = broadcast(q).join(it,
       if (excludeSelf) col("query_id") =!= col("item_id") else lit(true))
     val scored = pairs
@@ -1058,9 +1132,12 @@ object Similarity {
     val centroids =
       if (refineIters > 0) refineCentroids(it0, "__iv", seeds, refineIters)
       else seeds
-    val itemsC = assignClusters(
+    // evalBarrier: the encode+assign projections sit on the STREAM side
+    // of a multi-match hash join (an item's centroid matches every
+    // probing query) — deferred eval would re-run them per match
+    val itemsC = evalBarrier(assignClusters(
       pqEncodeNoNorm(it0, "__iv", cb, "__codes"), "__iv", centroids)
-      .select(col("item_id"), col("centroid_id"), col("__codes"))
+      .select(col("item_id"), col("centroid_id"), col("__codes")))
     val q0 = prep(queries, queryId, "query_id", "__qv")
     val qProbe = {
       val scored = q0.crossJoin(broadcast(centroids))
@@ -1093,7 +1170,7 @@ object Similarity {
       val short = adc.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k * refineFactor)
         .select(col("query_id"), col("item_id"))
-      val rescored = it0.join(
+      val rescored = evalBarrier(it0).join(
         broadcast(short.join(q0, Seq("query_id"))), Seq("item_id"))
         .withColumn("score",
           if (cb.metric == "cosine") vecDotNative(col("__qv"), col("__iv"))
@@ -1132,7 +1209,9 @@ object Similarity {
           outVec, outVec)
       else df.select(col(idC).as(outId), col(vecCol).as(outVec))
     val q = prep(queries, queryId, "query_id", "__qv")
-    val it = prep(items, itemId, "item_id", "__iv")
+    // evalBarrier: the normalize projection streams against a
+    // multi-match broadcast probe — deferred eval re-runs it per match
+    val it = evalBarrier(prep(items, itemId, "item_id", "__iv"))
     // candidates (requests·R rows) + their query vectors are the
     // broadcast build; the item scan streams and only candidate rows
     // survive the probe — full vectors never shuffle.

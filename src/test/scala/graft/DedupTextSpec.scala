@@ -1654,6 +1654,62 @@ class DedupTextSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("shard"))
   }
 
+  test("gopherRepetition: fuzz differential vs a naive in-memory reference " +
+    "on random small-vocab docs (collision-heavy)") {
+    def refMetrics(text: String, topNs: Seq[Int], dupNs: Seq[Int])
+        : (Long, Seq[Long], Seq[Long]) = {
+      val toks = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ", -1)
+      val total = math.max(toks.map(_.length + 1).sum - 1, 0).toLong
+      def grams(n: Int): Seq[(String, Long)] = // (gram, cstart)
+        if (toks.length < n) Seq.empty
+        else {
+          val starts = toks.scanLeft(0L)((acc, t) => acc + t.length + 1)
+          (0 to toks.length - n).map(p =>
+            (toks.slice(p, p + n).mkString(" "), starts(p)))
+        }
+      def ppm(num: Long): Long = if (total == 0) 0L else num * 1000000L / total
+      val tops = topNs.map { n =>
+        val g = grams(n)
+        if (g.isEmpty) 0L
+        else {
+          val (gram, cnt) = g.groupBy(_._1).view.mapValues(_.size.toLong)
+            .toSeq.maxBy { case (s, c) => (c, s) }
+          ppm(cnt * gram.length)
+        }
+      }
+      val dups = dupNs.map { n =>
+        val g = grams(n)
+        val counts = g.groupBy(_._1).view.mapValues(_.size).toMap
+        val dup = g.filter(o => counts(o._1) > 1).sortBy(_._2)
+        var covered = 0L
+        var prevEnd = 0L
+        dup.foreach { case (gram, cs) =>
+          val ce = cs + gram.length
+          covered += math.max(0L, ce - math.max(cs, prevEnd))
+          prevEnd = math.max(prevEnd, ce)
+        }
+        ppm(covered)
+      }
+      (total, tops, dups)
+    }
+    val rnd = new scala.util.Random(123)
+    val vocab = Seq("a", "bb", "ccc", "dd", "e") // tiny: forces collisions
+    val docs = (0 until 50).map { i =>
+      val n = rnd.nextInt(30)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = TextAnalysis.gopherRepetition(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      topNs = Seq(2, 3), dupNs = Seq(2, 4)).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    docs.foreach { case (id, text) =>
+      val (total, tops, dups) = refMetrics(text, Seq(2, 3), Seq(2, 4))
+      val row = got(id.toInt)
+      assert(row === ((id, total, tops(0), tops(1), dups(0), dups(1))),
+        s"doc $id text='$text'")
+    }
+  }
+
   test("gopherRepetition: char-fraction goldens — overlap union counted " +
     "once, top-gram product may exceed 1e6, short/empty docs are 0") {
     val df = Seq(
