@@ -814,63 +814,32 @@ object QueriesLlm {
       TextAnalysis.gopherRepetition(SparkEntry.T(s, d, "documents"),
         "doc_id", "text", topNs = Seq(2, 3, 4), dupNs = Seq(2, 3))
         .orderBy(col("doc_id")),
-      Some(s"""WITH t AS (SELECT doc_id, $DuckTokens AS ts FROM documents),
-              |tok AS (SELECT doc_id, gs.pos - 1 AS pos, ts[gs.pos] AS tok
-              |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS pos) gs),
-              |tokc AS (SELECT doc_id, pos, tok,
-              |  coalesce(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY pos
-              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cstart,
-              |  lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
-              |  lead(tok, 3) OVER w AS t3
-              |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-              |tot AS (SELECT doc_id,
-              |  CAST(greatest(sum(length(tok) + 1) - 1, 0) AS BIGINT) AS total_chars
-              |  FROM tok GROUP BY 1),
-              |cnt2 AS (SELECT doc_id, tok || ' ' || t1 AS g, count(*) AS cnt
-              |  FROM tokc WHERE t1 IS NOT NULL GROUP BY 1, 2),
-              |top2 AS (SELECT doc_id, max(struct_pack(cnt := cnt, g := g)) AS m
-              |  FROM cnt2 GROUP BY 1),
-              |cnt3 AS (SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS g, count(*) AS cnt
-              |  FROM tokc WHERE t2 IS NOT NULL GROUP BY 1, 2),
-              |top3 AS (SELECT doc_id, max(struct_pack(cnt := cnt, g := g)) AS m
-              |  FROM cnt3 GROUP BY 1),
-              |cnt4 AS (SELECT doc_id, tok || ' ' || t1 || ' ' || t2 || ' ' || t3 AS g, count(*) AS cnt
-              |  FROM tokc WHERE t3 IS NOT NULL GROUP BY 1, 2),
-              |top4 AS (SELECT doc_id, max(struct_pack(cnt := cnt, g := g)) AS m
-              |  FROM cnt4 GROUP BY 1),
-              |d2 AS (SELECT doc_id, pos, cstart,
-              |  cstart + length(tok || ' ' || t1) AS cend,
-              |  count(*) OVER (PARTITION BY doc_id, tok || ' ' || t1) AS cnt
-              |  FROM tokc WHERE t1 IS NOT NULL),
-              |d2c AS (SELECT doc_id, greatest(0, cend - greatest(cstart,
-              |    coalesce(max(cend) OVER (PARTITION BY doc_id ORDER BY pos
-              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS c
-              |  FROM (SELECT * FROM d2 WHERE cnt > 1)),
-              |dup2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dupnum
-              |  FROM d2c GROUP BY 1),
-              |d3 AS (SELECT doc_id, pos, cstart,
-              |  cstart + length(tok || ' ' || t1 || ' ' || t2) AS cend,
-              |  count(*) OVER (PARTITION BY doc_id, tok || ' ' || t1 || ' ' || t2) AS cnt
-              |  FROM tokc WHERE t2 IS NOT NULL),
-              |d3c AS (SELECT doc_id, greatest(0, cend - greatest(cstart,
-              |    coalesce(max(cend) OVER (PARTITION BY doc_id ORDER BY pos
-              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS c
-              |  FROM (SELECT * FROM d3 WHERE cnt > 1)),
-              |dup3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dupnum
-              |  FROM d3c GROUP BY 1)
-              |SELECT t.doc_id, tot.total_chars,
-              |  coalesce((top2.m.cnt * length(top2.m.g) * 1000000)
-              |    // nullif(total_chars, 0), 0) AS top2gram_ppm,
-              |  coalesce((top3.m.cnt * length(top3.m.g) * 1000000)
-              |    // nullif(total_chars, 0), 0) AS top3gram_ppm,
-              |  coalesce((top4.m.cnt * length(top4.m.g) * 1000000)
-              |    // nullif(total_chars, 0), 0) AS top4gram_ppm,
-              |  coalesce((dup2.dupnum * 1000000) // nullif(total_chars, 0), 0) AS dup2gram_ppm,
-              |  coalesce((dup3.dupnum * 1000000) // nullif(total_chars, 0), 0) AS dup3gram_ppm
-              |FROM t JOIN tot USING (doc_id)
-              |LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
-              |LEFT JOIN top4 USING (doc_id) LEFT JOIN dup2 USING (doc_id)
-              |LEFT JOIN dup3 USING (doc_id)
+      Some(s"$GopherRepSql\nORDER BY doc_id")),
+
+    // --- Gopher filter APPLICATION: the MassiveText quality gate over
+    //     the repetition char fractions — the paper's own thresholds for
+    //     the top-n-gram family (0.20/0.18/0.16 as ppm), plus a
+    //     corpus-adapted dup-2-gram union cap (the paper's dup-5..10
+    //     thresholds are vacuous on this corpus — no intra-doc ≥5-gram
+    //     repeats). Every predicate bites at sf0.01 (cuts 9/31/75/10
+    //     docs; 416/500 survive). Oracle replays the full metric chain
+    //     and the WHERE. ---
+    ("t_gopher_filter", (s, d) =>
+      TextAnalysis.gopherRepetition(SparkEntry.T(s, d, "documents"),
+        "doc_id", "text", topNs = Seq(2, 3, 4), dupNs = Seq(2, 3))
+        .filter(col("top2gram_ppm") <= 200000 &&
+          col("top3gram_ppm") <= 180000 &&
+          col("top4gram_ppm") <= 160000 &&
+          col("dup2gram_ppm") <= 300000)
+        .select(col("doc_id"), col("top2gram_ppm"), col("top3gram_ppm"),
+          col("top4gram_ppm"), col("dup2gram_ppm"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH g AS ($GopherRepSql)
+              |SELECT doc_id, top2gram_ppm, top3gram_ppm, top4gram_ppm,
+              |  dup2gram_ppm
+              |FROM g
+              |WHERE top2gram_ppm <= 200000 AND top3gram_ppm <= 180000
+              |  AND top4gram_ppm <= 160000 AND dup2gram_ppm <= 300000
               |ORDER BY doc_id""".stripMargin)),
 
     // --- Token containment (Broder): asymmetric near-dup score
