@@ -1089,7 +1089,7 @@ object QueriesEval {
         .select(col("item_id"), col("__iv"))
       val w = Window.partitionBy(col("u"))
         .orderBy(col("score").desc, col("item_id"))
-      val exact = cn.crossJoin(broadcast(qn))
+      val exact = Similarity.evalBarrier(cn).crossJoin(broadcast(qn))
         .withColumn("score", V.vecDotNative(col("__qv"), col("__iv")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= k)
@@ -1182,7 +1182,7 @@ object QueriesEval {
         .select(col("item_id"), col("__iv"))
       val w = Window.partitionBy(col("u"))
         .orderBy(col("score").desc, col("item_id"))
-      val exact = cn.crossJoin(broadcast(qn))
+      val exact = Similarity.evalBarrier(cn).crossJoin(broadcast(qn))
         .withColumn("score", V.vecDotNative(col("__qv"), col("__iv")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= k)

@@ -310,8 +310,11 @@ object Similarity {
     // at 1M items and a maxResultSize abort at 10M. The probe frame is
     // requests x nprobe rows (request-batch-sized by construction), the
     // right build side at ANY catalog scale.
+    // evalBarrier on the stream side: the normalize + native centroid
+    // assignment would otherwise defer into the hash-probe consume and
+    // re-evaluate per matching probe row (see evalBarrier scaladoc)
     val pairs = broadcast(normalized(qProbe, "__qv", "__qn").drop("__qv"))
-      .join(normalized(itemsC, "__iv", "__in").drop("__iv"),
+      .join(evalBarrier(normalized(itemsC, "__iv", "__in").drop("__iv")),
         Seq("centroid_id"))
     val scored0 = pairs.withColumn("score", vecDotNative(col("__qn"), col("__in")))
     // Like bruteForceTopK's excludeSelf: when queries ⊆ items on shared
