@@ -52,6 +52,8 @@ object Similarity {
     * only terminal, already-narrow projections. */
   private[graft] def evalBarrier(df: DataFrame): DataFrame = {
     val cols = df.columns
+    require(!cols.contains("__eb"),
+      "evalBarrier: input already has a __eb column")
     df.select(explode(array(struct(cols.map(col): _*))).as("__eb"))
       .select(cols.map(c => col(s"__eb.$c").as(c)): _*)
   }

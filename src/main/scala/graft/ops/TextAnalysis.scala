@@ -1659,6 +1659,10 @@ object TextAnalysis {
                        dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
     require(topNs.nonEmpty || dupNs.nonEmpty,
       "gopherRepetition: need at least one n-gram size")
+    // duplicate n within a family would emit duplicate output columns
+    // (top{n}gram_ppm twice) and break the assembly joins downstream
+    require(topNs.distinct == topNs && dupNs.distinct == dupNs,
+      s"gopherRepetition: duplicate n-gram sizes (top=$topNs dup=$dupNs)")
     require((topNs ++ dupNs).forall(_ >= 2),
       s"gopherRepetition: n-gram sizes must be >= 2 (unigram 'repetition' " +
         s"is type-token ratio — documentStats.ttr), got top=$topNs dup=$dupNs")
