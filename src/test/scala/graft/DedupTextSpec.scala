@@ -1654,6 +1654,31 @@ class DedupTextSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("shard"))
   }
 
+  test("packDocsNoSplit: multi-column groupCols — bins never cross " +
+    "(lang, shard) groups, placement still exact-once") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 80).map { i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de", i % 3,
+        Seq.fill(1 + rnd.nextInt(10))(rnd.nextInt(50)))
+    }.toDF("doc_id", "lang", "shard", "token_ids")
+    val packed = TextAnalysis.packDocsNoSplit(docs, "doc_id", "token_ids",
+      seqLen = 12, groupCols = Seq("lang", "shard"))
+      .select("lang", "shard", "bin_id", "n_real", "doc_ids")
+      .as[(String, Int, Long, Long, Seq[Long])].collect()
+    val homeOf = docs.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    val placed = packed.flatMap { case (lang, shard, _, _, ids) =>
+      ids.map(id => id -> ((lang, shard)))
+    }
+    assert(placed.length === 80)
+    placed.foreach { case (id, grp) => assert(homeOf(id) === grp, s"doc $id") }
+    packed.foreach { case (_, _, _, nReal, _) => assert(nReal <= 12) }
+    // bin ids are a dense 0..k-1 namespace WITHIN each group
+    packed.groupBy(p => (p._1, p._2)).foreach { case (g, bins) =>
+      assert(bins.map(_._3).sorted.toSeq === (0L until bins.length).toSeq, s"$g")
+    }
+  }
+
   test("gopherRepetition: fuzz differential vs a naive in-memory reference " +
     "on random small-vocab docs (collision-heavy)") {
     def refMetrics(text: String, topNs: Seq[Int], dupNs: Seq[Int])
