@@ -41,6 +41,75 @@ object Explain {
     "r14b_ivfpq_recall" ->
       "exact baseline uses the bruteForceTopK small-catalog contract; IVF-PQ retrieval itself is the centroid_id equi-join (the c5 shape) with the nlist-bounded centroid cross (the ann_cluster_recall contract) and request-sized probe/LUT broadcasts")
 
+  /** Mis-placed evalBarrier detector: the barrier is a one-element
+    * Explode(CreateArray(struct)) Generate, and a Generate blocks
+    * predicate pushdown — a FilterExec sitting directly above one
+    * (through Projects) with a SELECTIVE predicate not also applied
+    * below it means a filter that SHOULD have been pushed past the
+    * barrier got stuck, i.e. the barrier was placed before the frame
+    * was terminal/narrow (the evalBarrier scaladoc contract). Two
+    * benign shapes are excluded: (a) pure-IsNotNull conjunctions —
+    * joins above the barrier PROPAGATE IsNotNull constraints onto
+    * their inputs, which land right above the Generate by
+    * construction; (b) a predicate whose identifier-erased shape also
+    * appears in a Filter below the Generate — constraint propagation
+    * RE-INFERRING an already-pushed predicate at a join (redundant,
+    * not lost). Tested with positive + negative controls in
+    * ScaleAndGuardsSpec. */
+  private[graft] def hasStrandedBarrierFilter(
+      plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    def isBarrierGenerate(
+        pl: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      pl match {
+        case g: org.apache.spark.sql.execution.GenerateExec =>
+          g.boundGenerator match {
+            case e: org.apache.spark.sql.catalyst.expressions.Explode =>
+              e.child match {
+                case ca: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+                  ca.children.length == 1
+                case _ => false
+              }
+            case _ => false
+          }
+        case _ => false
+      }
+    @annotation.tailrec
+    def throughProjects(
+        pl: org.apache.spark.sql.execution.SparkPlan):
+        org.apache.spark.sql.execution.SparkPlan = pl match {
+      case pr: org.apache.spark.sql.execution.ProjectExec =>
+        throughProjects(pr.child)
+      case x => x
+    }
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression):
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+    def shape(e: org.apache.spark.sql.catalyst.expressions.Expression):
+        String =
+      e.sql.replaceAll("`", "")
+        .replaceAll("[A-Za-z_][A-Za-z0-9_.]*", "_")
+        .replaceAll("_(\\._)+", "_")
+        .replaceAll("#\\d+", "").replaceAll("\\s+", "")
+    plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if isBarrierGenerate(throughProjects(f.child)) =>
+        val gen = throughProjects(f.child)
+        val below = gen.collect {
+          case bf: org.apache.spark.sql.execution.FilterExec =>
+            conjuncts(bf.condition).map(shape)
+        }.flatten.toSet
+        conjuncts(f.condition).exists {
+          case _: org.apache.spark.sql.catalyst.expressions.IsNotNull =>
+            false
+          case c => !below.contains(shape(c))
+        }
+    }.exists(identity)
+  }
+
   def main(args: Array[String]): Unit = {
     val audit = args.contains("--audit")
     val rest = args.filterNot(_ == "--audit")
@@ -58,6 +127,7 @@ object Explain {
       var bnljOpenAck = List.empty[String]
       var bnljOpenUnack = List.empty[String]
       var globalWin = List.empty[String]
+      var barrierMisplaced = List.empty[String]
       var failed = List.empty[String]
       var pushed = 0
       var wgl = 0
@@ -106,6 +176,7 @@ object Explain {
                 if w.partitionSpec.isEmpty => w
           }.nonEmpty
           if (hasGlobalWindow) globalWin ::= n
+          if (hasStrandedBarrierFilter(qe.sparkPlan)) barrierMisplaced ::= n
           pushed += "PushedFilters: \\[[^\\]]".r.findAllIn(p).length
           wgl += "WindowGroupLimit".r.findAllIn(p).length
         } catch { case e: Throwable => failed ::= s"$n (${e.getMessage})" }
@@ -115,6 +186,7 @@ object Explain {
         s"bnlj_open_ack=${bnljOpenAck.size} " +
         s"bnlj_open_unack=${bnljOpenUnack.size} " +
         s"global_windows=${globalWin.size} " +
+        s"barrier_misplaced=${barrierMisplaced.size} " +
         s"pushed_filters=$pushed window_group_limit=$wgl " +
         s"plan_failures=${failed.size}")
       if (cartesian.nonEmpty) println(s"[audit] CARTESIAN: ${cartesian.sorted.mkString(", ")}")
@@ -126,8 +198,9 @@ object Explain {
       }
       if (bnljOpenUnack.nonEmpty) println(s"[audit] BNLJ-OPEN-UNACKNOWLEDGED (data-sized cross risk — must be none): ${bnljOpenUnack.sorted.mkString(", ")}")
       if (globalWin.nonEmpty) println(s"[audit] GLOBAL WINDOWS (single-partition rank — should be none): ${globalWin.sorted.mkString(", ")}")
+      if (barrierMisplaced.nonEmpty) println(s"[audit] BARRIER-MISPLACED (Filter stuck above a one-element-Generate eval barrier — pushdown blocked; move the barrier after the filter): ${barrierMisplaced.sorted.mkString(", ")}")
       if (failed.nonEmpty) println(s"[audit] FAILED: ${failed.sorted.mkString(", ")}")
-      if (cartesian.nonEmpty || bnljOpenUnack.nonEmpty || globalWin.nonEmpty || failed.nonEmpty) {
+      if (cartesian.nonEmpty || bnljOpenUnack.nonEmpty || globalWin.nonEmpty || barrierMisplaced.nonEmpty || failed.nonEmpty) {
         spark.stop(); sys.exit(1) // audit FAILS on any structural violation
       }
     } else {

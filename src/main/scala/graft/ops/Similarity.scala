@@ -54,8 +54,13 @@ object Similarity {
     val cols = df.columns
     require(!cols.contains("__eb"),
       "evalBarrier: input already has a __eb column")
+    require(cols.distinct.length == cols.length,
+      "evalBarrier: duplicate column names — the struct round-trip " +
+        "cannot resolve them unambiguously")
+    // backtick-quote the field path: a bare col("__eb.a.b") parses '.'
+    // as nested-field traversal, so dotted column names would mis-resolve
     df.select(explode(array(struct(cols.map(col): _*))).as("__eb"))
-      .select(cols.map(c => col(s"__eb.$c").as(c)): _*)
+      .select(cols.map(c => col(s"__eb.`$c`").as(c)): _*)
   }
 
   /** R3: exact top-k neighbors for every query vector.
@@ -1093,19 +1098,6 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("item_id"), col("score"))
   }
 
-  /** PQ/ADC with exact re-ranking (the faiss `refine`/`RFlat` pattern):
-    * ADC shortlists `refineFactor · k` candidates per query from the
-    * codes-only scan, then ONLY those candidates are re-scored with
-    * their full float vectors and the exact top-k returned. Recall is
-    * now "did the true top-k survive into the ADC top-R" — far laxer
-    * than ADC ordering the top-k itself (measured on the driver
-    * embeddings: m=8/ksub=16 ADC-only 0.20 recall@5 → 0.69 at
-    * refineFactor=10; m=16/ksub=64 0.56 → 0.98) — while the full-vector
-    * reads drop from the whole catalog to requests·R rows: the scan
-    * stays 4·dsub× compressed, the exact math runs on a request-sized
-    * frame. `score` is the exact metric score (cosine/neg-L2), so
-    * downstream consumers see [[bruteForceTopK]] semantics on the
-    * survivors. */
   /** IVF∘PQ — the faiss `IVFx,PQy` composition and the catalog-scale
     * serving form of [[pqTopK]]: cluster pruning bounds WHICH items are
     * scored (the [[clusterPrunedTopK]] centroid_id equi-join — scored
@@ -1200,6 +1192,19 @@ object Similarity {
     df.withColumn(outCol, codes)
   }
 
+  /** PQ/ADC with exact re-ranking (the faiss `refine`/`RFlat` pattern):
+    * ADC shortlists `refineFactor · k` candidates per query from the
+    * codes-only scan, then ONLY those candidates are re-scored with
+    * their full float vectors and the exact top-k returned. Recall is
+    * now "did the true top-k survive into the ADC top-R" — far laxer
+    * than ADC ordering the top-k itself (measured on the driver
+    * embeddings: m=8/ksub=16 ADC-only 0.20 recall@5 → 0.69 at
+    * refineFactor=10; m=16/ksub=64 0.56 → 0.98) — while the full-vector
+    * reads drop from the whole catalog to requests·R rows: the scan
+    * stays 4·dsub× compressed, the exact math runs on a request-sized
+    * frame. `score` is the exact metric score (cosine/neg-L2), so
+    * downstream consumers see [[bruteForceTopK]] semantics on the
+    * survivors. */
   def pqTopKRefined(queries: DataFrame, items: DataFrame, queryId: String,
                     itemId: String, vecCol: String, k: Int, cb: PqCodebook,
                     refineFactor: Int = 4,

@@ -916,6 +916,15 @@ object TextAnalysis {
       .join(broadcast(dupe), lit(true), "left")
       .filter(assert_true(col("__guard").isNull, col("__guard")).isNull)
       .drop("__guard")
+      // NULL-group guard: the histogram/rank treat NULL as its own group
+      // but the slot-table equi-join never matches NULL keys — those docs
+      // would VANISH, silently breaking exact-once. Loud, like the
+      // duplicate-id guard above (row-level, no extra pass).
+      .filter(assert_true(
+        groupCols.map(c => col(c).isNotNull).reduce(_ && _),
+        lit("packDocsNoSplit: NULL group value — the slot-table equi-" +
+          "join drops NULL keys; fill or filter group columns upstream."))
+        .isNull)
       .withColumn("__len", org.apache.spark.sql.functions.size(col("__ids")))
       .filter(col("__len") > 0)
     val histRows = base.groupBy(parts :+ col("__len"): _*)

@@ -103,4 +103,30 @@ class ScaleAndGuardsSpec extends AnyFunSuite {
     assert(got.exists(r => r._1 == 2L && r._3 == 20L && r._4 > 2.0),
       s"user 2's day-10 spike should be flagged, got ${got.toSeq}")
   }
+
+  test("audit: stranded-filter-above-barrier detector — positive and negative controls") {
+    val df = spark.range(100).select(col("id"),
+      (col("id") * 2).as("v"))
+    // POSITIVE control: barrier placed BELOW a selective filter — the
+    // Generate blocks pushdown, stranding `v < 10` above it. The
+    // detector must fire (this is the pathology the audit guards).
+    val bad = ops.Similarity.evalBarrier(df).filter(col("v") < 10)
+    assert(Explain.hasStrandedBarrierFilter(bad.queryExecution.sparkPlan),
+      "detector missed a filter stranded above the barrier:\n" +
+        bad.queryExecution.sparkPlan.toString)
+    // NEGATIVE control 1: filter applied before the barrier (the
+    // documented contract — barrier only terminal projections).
+    val good = ops.Similarity.evalBarrier(df.filter(col("v") < 10))
+    assert(!Explain.hasStrandedBarrierFilter(good.queryExecution.sparkPlan),
+      "detector false-positived on a correctly-placed barrier")
+    // NEGATIVE control 2: the constraint-propagation shape — a join
+    // above the barrier re-infers the already-applied predicate (and
+    // its IsNotNull) onto the barriered side; redundant, not stranded.
+    val other = spark.range(5).select(col("id").as("k"))
+    val joined = ops.Similarity.evalBarrier(df.filter(col("id") < 5))
+      .join(other.filter(col("k") < 5), col("id") === col("k"))
+    assert(!Explain.hasStrandedBarrierFilter(joined.queryExecution.sparkPlan),
+      "detector false-positived on re-inferred join constraints:\n" +
+        joined.queryExecution.sparkPlan.toString)
+  }
 }
