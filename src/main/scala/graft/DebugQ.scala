@@ -16,8 +16,9 @@ object DebugQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (args.contains("--show")) df.show(100, truncate = false)
+      else df.write.format("noop").mode("overwrite").save()
       println(s"[debugq] $name OK")
     } catch {
       case e: Throwable => e.printStackTrace()

@@ -39,7 +39,9 @@ object Explain {
     "r14_pq_recall" ->
       "exact baseline uses the bruteForceTopK small-catalog contract; pqTopK/pqTopKRefined broadcast the REQUEST batch (vec_id<50 — request-sized by construction) and stream the codes-only catalog (dim*4/m smaller than the float scan); at catalog scale the composition is IVF centroid pruning, per the pqTopK scaladoc",
     "r14b_ivfpq_recall" ->
-      "exact baseline uses the bruteForceTopK small-catalog contract; IVF-PQ retrieval itself is the centroid_id equi-join (the c5 shape) with the nlist-bounded centroid cross (the ann_cluster_recall contract) and request-sized probe/LUT broadcasts")
+      "exact baseline uses the bruteForceTopK small-catalog contract; IVF-PQ retrieval itself is the centroid_id equi-join (the c5 shape) with the nlist-bounded centroid cross (the ann_cluster_recall contract) and request-sized probe/LUT broadcasts",
+    "r14c_ivfpq_residual" ->
+      "same contracts as r14b_ivfpq_recall: exact baseline = bruteForceTopK small-catalog; residual retrieval = centroid_id equi-join with the nlist-row LOCAL centroid frame crossed against the request batch (frame rebuilt from the frozen driver-side index, nlist-bounded by construction)")
 
   /** Mis-placed evalBarrier detector: the barrier is a one-element
     * Explode(CreateArray(struct)) Generate, and a Generate blocks

@@ -975,6 +975,48 @@ object QueriesLlm {
       }.reduce(_ unionAll _).orderBy(col("nprobe"))
     }, None),
 
+    // --- Residual IVF∘PQ recall (faiss `IVFx,PQy` PARITY — faiss encodes
+    //     RESIDUALS vec − coarse centroid, so the m·ksub codebook budget
+    //     only has to span within-cell displacement, not the whole
+    //     space): same operating points as r14b_ivfpq_recall (nlist=16,
+    //     nprobe ∈ {4,8}, m=16, ksub=64), and coarseIters=0 keeps the
+    //     coarse table IDENTICAL to the raw arm's pickCentroids(seed=42)
+    //     pick — any recall delta vs r14b's rows is pure quantization,
+    //     the pruning loss term is shared. VectorSpec pins the limits
+    //     (ksub ≥ catalog ⇒ residual ADC exact ⇒ recall 1; refine tail ⇒
+    //     exact scores). ---
+    ("r14c_ivfpq_residual", (s, d) => {
+      val e = SparkEntry.T(s, d, "embeddings")
+      val idx = Similarity.ivfPqTrain(e, "vec_id", "embedding",
+        m = 16, ksub = 64, nlist = 16)
+      val exact = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
+        "vec_id", "vec_id", "embedding", 5, "cosine", excludeSelf = true)
+        .select(col("query_id"), col("item_id")).localCheckpoint()
+      def hitsOf(approx: DataFrame) =
+        exact.join(approx.select(col("query_id"), col("item_id")),
+          Seq("query_id", "item_id"), "left_semi")
+          .agg(count(lit(1)).as("n"))
+      val tot = exact.agg(count(lit(1)).as("n_exact"))
+      Seq(4, 8).map { nprobe =>
+        val adc = hitsOf(Similarity.clusterPrunedTopKPqResidual(
+          e.filter(col("vec_id") < 50), e, "vec_id", "vec_id", "embedding",
+          5, idx, nprobe = nprobe, excludeSelf = true))
+          .select(col("n").as("n_res"))
+        val refined = hitsOf(Similarity.clusterPrunedTopKPqResidual(
+          e.filter(col("vec_id") < 50), e, "vec_id", "vec_id", "embedding",
+          5, idx, nprobe = nprobe, refineFactor = 10, excludeSelf = true))
+          .select(col("n").as("n_refined"))
+        adc.crossJoin(refined).crossJoin(tot).select(
+          lit(idx.cb.m).as("m"), lit(idx.cb.ksub).as("ksub"),
+          lit(idx.nlist).as("nlist"), lit(nprobe).as("nprobe"),
+          col("n_exact"),
+          round(col("n_res").cast("double") / col("n_exact"), 4)
+            .as("recall_res_adc"),
+          round(col("n_refined").cast("double") / col("n_exact"), 4)
+            .as("recall_res_refined"))
+      }.reduce(_ unionAll _).orderBy(col("nprobe"))
+    }, None),
+
     // --- Corpus heavy hitters: global top-50 terms. TakeOrdered top-k
     //     (no full sort); the rank is recovered by sorting the ≤50
     //     survivors inside ONE array and posexploding — no unpartitioned

@@ -1236,4 +1236,268 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("item_id"), col("score"))
   }
+
+  // =====================================================================
+  // Residual-encoded IVF∘PQ (faiss `IVFx,PQy` parity — faiss encodes
+  // RESIDUALS vec − coarse_centroid, not raw vectors, which is why its
+  // ADC recall holds up at small m: within a probed cell the residual
+  // variance is what's left AFTER the coarse quantizer, so the same
+  // m·ksub codebook budget resolves much finer distances. The reference's
+  // index factory family is exactly this — `src/serving/retrieval.py:
+  // 88-120` builds `IVFx,PQy` strings whose faiss realization is
+  // residual-encoded.)
+  // =====================================================================
+
+  /** Trained residual IVF∘PQ index: the FROZEN coarse centroid table
+    * (driver-side — nlist·dim doubles, the collectCentroids bound) plus a
+    * PQ codebook trained on residuals (vec − assigned centroid). Freezing
+    * the centroids in the index (rather than re-deriving them at search
+    * time) is what makes residual encode/decode coherent: the SAME table
+    * quantizes coarse cells at train, encode and probe time — the
+    * frozen-tokenizer contract applied to ANN. `metric` is the OUTER
+    * contract ("cosine" = inputs L2-normalized before any of this, then
+    * L2 on unit vectors ranks as cosine); the embedded codebook is always
+    * trained with metric "l2" on residuals, which are NOT re-normalized
+    * (a residual is a displacement, not a direction). `centroid_id` is
+    * the 0-based row index into `centVecs`. */
+  final case class IvfPqIndex(metric: String, dim: Int,
+                              centVecs: Array[Array[Double]],
+                              cb: PqCodebook) {
+    require(metric == "cosine" || metric == "l2",
+      s"IvfPqIndex: metric=$metric")
+    require(centVecs.nonEmpty && centVecs.forall(_.length == dim),
+      s"IvfPqIndex: centroid dims must all equal $dim")
+    require(cb.dim == dim,
+      s"IvfPqIndex: codebook dim ${cb.dim} != $dim")
+    require(cb.metric == "l2",
+      "IvfPqIndex: residual codebooks are always l2-trained")
+    val nlist: Int = centVecs.length
+    /** Row-major centroid_id·dim + t layout for the residual literals. */
+    private[graft] lazy val centFlat: Array[Double] = {
+      val out = new Array[Double](nlist * dim)
+      var i = 0
+      while (i < nlist) {
+        System.arraycopy(centVecs(i), 0, out, i * dim, dim)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Rebuild a (centroid_id, centroid_vec) frame from driver arrays —
+    * nlist rows, so search never re-derives centroids (and never re-runs
+    * the seeding plan); ids are the 0-based array positions. */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+                            centVecs: Array[Array[Double]]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      centVecs.indices.map(i => org.apache.spark.sql.Row(
+        i.toLong, centVecs(i).toSeq)).asJava
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("centroid_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid_vec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = false))))
+  }
+
+  /** Train a residual IVF∘PQ index: coarse centroids exactly as the
+    * non-residual IVF path picks them ([[pickCentroids]] seeds, optional
+    * [[refineCentroids]] Lloyd rounds — `coarseIters` 0 keeps them
+    * IDENTICAL to [[clusterPrunedTopKPq]]'s at the same (nlist, seed),
+    * so a raw-vs-residual recall comparison isolates the quantization
+    * term), then [[pqTrain]] on the residual frame (vec − assigned
+    * centroid, metric "l2", never re-normalized).
+    *
+    * Scale shape: the residual projection is a per-row zip_with against
+    * the BROADCAST-LITERAL centroid table slice — no join, no shuffle on
+    * the catalog; training itself runs on `trainSampleN` rows at scale
+    * (the pqTrain sampling contract). */
+  def ivfPqTrain(items: DataFrame, itemId: String, vecCol: String,
+                 m: Int, ksub: Int, nlist: Int, metric: String = "cosine",
+                 seed: Long = 42, coarseIters: Int = 0, pqIters: Int = 2,
+                 trainSampleN: Int = 0): IvfPqIndex = {
+    require(metric == "cosine" || metric == "l2", s"ivfPqTrain: $metric")
+    val it0 =
+      if (metric == "cosine")
+        normalized(items.select(col(itemId).as("__id"),
+          col(vecCol).as("__v")), "__v", "__v")
+      else items.select(col(itemId).as("__id"), col(vecCol).as("__v"))
+    val seeds = pickCentroids(it0, "__id", "__v", nlist, seed)
+    val cents =
+      if (coarseIters > 0) refineCentroids(it0, "__v", seeds, coarseIters)
+      else seeds
+    val rows = cents
+      .select(col("centroid_id").cast("long"), col("centroid_vec"))
+      .collect().sortBy(_.getLong(0))
+    require(rows.indices.forall(i => rows(i).getLong(0) == i.toLong),
+      "ivfPqTrain: centroid ids must be the contiguous 0-based range")
+    val centVecs = rows.map(_.getSeq[Any](1).map {
+      case f: java.lang.Float => f.toDouble
+      case n: Number => n.doubleValue()
+    }.toArray)
+    val dim = centVecs.head.length
+    val flat = {
+      val out = new Array[Double](centVecs.length * dim)
+      centVecs.indices.foreach(i =>
+        System.arraycopy(centVecs(i), 0, out, i * dim, dim))
+      out
+    }
+    val coarseLit = typedLit(flat.toSeq)
+    // residual frame over the frozen table (literal lookup by id — the
+    // centroids are already driver-side, a join would re-shuffle nothing
+    // but still plan an exchange)
+    val resid = assignClusters(it0, "__v",
+      centroidFrame(it0.sparkSession, centVecs))
+      .select(col("__id"),
+        zip_with(col("__v"),
+          slice(coarseLit,
+            (col("centroid_id").cast("long") * dim + 1).cast("int"),
+            lit(dim)),
+          (a, b) => a.cast("double") - b).as("__rv"))
+    val cb = pqTrain(resid, "__id", "__rv", m, ksub, metric = "l2",
+      seed = seed, refineIters = pqIters, trainSampleN = trainSampleN)
+    IvfPqIndex(metric, dim, centVecs, cb)
+  }
+
+  /** Per-subspace residual PQ codes — the encode projection of the
+    * residual path: subspace j's code is the nearest sub-centroid of
+    * (vec[j·dsub..] − coarse[cid·dim + j·dsub..]), residual computed
+    * SLICE-WISE so the arithmetic stays m·dsub = dim ops per row (a
+    * whole-vector residual column re-sliced m times would pay m·dim).
+    * `cidCol` MUST be a materialized attribute (evaluate the assignment
+    * in a prior barriered projection) — projection collapse would
+    * otherwise inline the assignment kernel into every subspace. */
+  private def pqEncodeResidualCol(vecCol: Column, cidCol: Column,
+                                  idx: IvfPqIndex): Column = {
+    val cb = idx.cb
+    val ids = Array.tabulate(cb.ksub)(_.toLong)
+    val coarseLit = typedLit(idx.centFlat.toSeq)
+    array((0 until cb.m).map { j =>
+      val sub = zip_with(
+        slice(vecCol, j * cb.dsub + 1, cb.dsub),
+        slice(coarseLit,
+          (cidCol.cast("long") * idx.dim + j * cb.dsub + 1).cast("int"),
+          lit(cb.dsub)),
+        (a, b) => a.cast("double") - b)
+      element_at(ColumnBridge.column(graft.functions.expr.NearestCentroids(
+        ColumnBridge.expression(sub), ids, cb.cents(j), 1)), 1).cast("int")
+    }: _*)
+  }
+
+  /** Per-(query, probed centroid) residual ADC lookup table: slot
+    * j·ksub + c is ||(q − coarse_cid)_j − subcent(j)(c)||². THE residual-
+    * PQ law: the LUT is per PROBE PAIR, not per query — the same query
+    * has a different residual in every probed cell. The coarse component
+    * is folded in as a literal lookup (element_at on the frozen flat
+    * table), so no residual vector is materialized. `qVec`/`cidCol` MUST
+    * be attributes (the pqLut HOF re-evaluation contract). */
+  private def pqLutResidual(qVec: Column, cidCol: Column,
+                            idx: IvfPqIndex): Column = {
+    val cb = idx.cb
+    val cbLit = typedLit(cb.flat.toSeq)
+    val coarseLit = typedLit(idx.centFlat.toSeq)
+    transform(sequence(lit(0), lit(cb.m * cb.ksub - 1)), i => {
+      val j = floor(i.cast("double") / cb.ksub).cast("int")
+      aggregate(sequence(lit(0), lit(cb.dsub - 1)), lit(0.0), (acc, t) => {
+        val pos = j * cb.dsub + t + 1
+        val q = element_at(qVec, pos).cast("double") -
+          element_at(coarseLit,
+            (cidCol.cast("long") * idx.dim + pos.cast("long")).cast("int"))
+        val c = element_at(cbLit, i * cb.dsub + t + 1)
+        acc + (q - c) * (q - c)
+      })
+    })
+  }
+
+  /** R4, residual IVF∘PQ form (faiss `IVFx,PQy` semantics): cluster
+    * pruning bounds WHICH items are scored (centroid_id equi-join), PQ
+    * over RESIDUALS bounds WHAT each scored item costs — and because the
+    * codebook only has to span the within-cell displacement (not the
+    * whole space), ADC distances are far closer to exact than
+    * [[clusterPrunedTopKPq]]'s raw-vector codes at identical
+    * (nlist, nprobe, m, ksub). Output contract matches
+    * [[bruteForceTopK]].
+    *
+    * Plan shape: items are assigned (native kernel), residual-encoded
+    * slice-wise, and eval-barriered BEFORE the multi-match probe join;
+    * the broadcast build side is the (query, probed centroid, LUT) frame
+    * — requests·nprobe rows of m·ksub doubles (the per-probe LUT is the
+    * price of residual encoding; at requests=50, nprobe=8, m=16,
+    * ksub=64 that is 3 MB). One broadcast hash join on centroid_id then
+    * streams the codes-only catalog; ADC is m lookups per candidate.
+    * `refineFactor` > 0 re-scores the ADC shortlist with full vectors
+    * (the [[pqTopKRefined]] tail — `score` becomes exact).
+    *
+    * For cosine, ADC approximates ||q − x||² directly (q − x =
+    * (q − c) − (x − c) within the probed cell), so score = 1 − d²/2 on
+    * unit vectors, same as the raw-PQ path. */
+  def clusterPrunedTopKPqResidual(queries: DataFrame, items: DataFrame,
+                                  queryId: String, itemId: String,
+                                  vecCol: String, k: Int, idx: IvfPqIndex,
+                                  nprobe: Int = 8, refineFactor: Int = 0,
+                                  excludeSelf: Boolean = false): DataFrame = {
+    require(nprobe >= 1, s"clusterPrunedTopKPqResidual: nprobe=$nprobe")
+    require(refineFactor >= 0,
+      s"clusterPrunedTopKPqResidual: refineFactor=$refineFactor")
+    val cb = idx.cb
+    val spark = queries.sparkSession
+    def prep(df: DataFrame, idC: String, outId: String, outVec: String) =
+      if (idx.metric == "cosine")
+        normalized(df.select(col(idC).as(outId), col(vecCol).as(outVec)),
+          outVec, outVec)
+      else df.select(col(idC).as(outId), col(vecCol).as(outVec))
+    val cents = centroidFrame(spark, idx.centVecs)
+    val it0 = prep(items, itemId, "item_id", "__iv")
+    // barrier 1: assignment kernel evaluated once per item (projection
+    // collapse would otherwise inline it into all m encode slices);
+    // barrier 2: codes evaluated once before the multi-match probe join
+    val itemsA = evalBarrier(assignClusters(it0, "__iv", cents))
+    val itemsC = evalBarrier(itemsA
+      .select(col("item_id"), col("centroid_id"),
+        pqEncodeResidualCol(col("__iv"), col("centroid_id"), idx)
+          .as("__codes")))
+    val q0 = prep(queries, queryId, "query_id", "__qv")
+    val qProbe = {
+      val scored = q0.crossJoin(broadcast(cents))
+        .withColumn("__d", l2Distance(col("__qv"), col("centroid_vec")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("__d"), col("centroid_id"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= nprobe)
+        .select(col("query_id"), col("centroid_id"), col("__qv"))
+    }
+    // per-probe LUT on the request-sized frame; materializes at the
+    // broadcast exchange
+    val qLut = qProbe.select(col("query_id"), col("centroid_id"),
+      pqLutResidual(col("__qv"), col("centroid_id"), idx).as("__lut"))
+    val cand0 = itemsC.join(broadcast(qLut), Seq("centroid_id"))
+    val cand =
+      if (excludeSelf) cand0.filter(col("query_id") =!= col("item_id"))
+      else cand0
+    val adc = cand
+      .withColumn("__d", pqAdcDist(col("__lut"), col("__codes"), cb.ksub))
+      .withColumn("score",
+        if (idx.metric == "cosine") lit(1.0) - col("__d") / 2.0
+        else -col("__d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("item_id"))
+    if (refineFactor == 0)
+      adc.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("item_id"), col("score"))
+    else {
+      val short = adc.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k * refineFactor)
+        .select(col("query_id"), col("item_id"))
+      val rescored = evalBarrier(it0).join(
+        broadcast(short.join(q0, Seq("query_id"))), Seq("item_id"))
+        .withColumn("score",
+          if (idx.metric == "cosine") vecDotNative(col("__qv"), col("__iv"))
+          else -l2Distance(col("__qv"), col("__iv")))
+      rescored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("item_id"), col("score"))
+    }
+  }
 }

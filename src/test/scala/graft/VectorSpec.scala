@@ -685,4 +685,91 @@ class VectorSpec extends AnyFunSuite {
       refineFactor = n / 5 + 1, excludeSelf = true))
     assert(recovered === exact)
   }
+
+  test("residual IVF-PQ exactness limit: ksub = n + nprobe = nlist makes " +
+    "residual ADC exact — ranks equal bruteForce, scores to fp tolerance") {
+    val data = seededVecs(20, 8, 11L)
+    val items = data.toDF("vec_id", "embedding")
+    val queries = data.take(3).toDF("vec_id", "embedding")
+    // pqIters = 0: the hash-pick keeps every RESIDUAL subvector verbatim
+    // as a sub-centroid; the probe join keys query and item residuals to
+    // the SAME cell centroid, so (q−c)−(x−c) = q−x and ADC is exact.
+    val idx = Similarity.ivfPqTrain(items, "vec_id", "embedding",
+      m = 4, ksub = 20, nlist = 4, pqIters = 0)
+    val exact = Similarity.bruteForceTopK(queries, items, "vec_id",
+      "vec_id", "embedding", 5, "cosine")
+      .select("query_id", "rank", "item_id", "score")
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val adc = Similarity.clusterPrunedTopKPqResidual(queries, items,
+      "vec_id", "vec_id", "embedding", 5, idx, nprobe = 4)
+      .select("query_id", "rank", "item_id", "score")
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(adc.keySet === exact.keySet)
+    exact.foreach { case (k, (item, score)) =>
+      assert(adc(k)._1 === item, s"rank slot $k")
+      assert(math.abs(adc(k)._2 - score) < 1e-6, s"score at $k")
+    }
+  }
+
+  test("residual IVF-PQ refine limit: nprobe = nlist + catalog-covering " +
+    "refineFactor recovers exact top-k; output deterministic under " +
+    "repartition") {
+    val e = SparkEntry.T(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = e.filter(col("vec_id") < 8)
+    val idx = Similarity.ivfPqTrain(e, "vec_id", "embedding",
+      m = 8, ksub = 16, nlist = 6, pqIters = 1)
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "item_id")
+        .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val n = e.count().toInt
+    val exact = ranks(Similarity.bruteForceTopK(qs, e, "vec_id", "vec_id",
+      "embedding", 5, "cosine", excludeSelf = true))
+    val recovered = ranks(Similarity.clusterPrunedTopKPqResidual(qs, e,
+      "vec_id", "vec_id", "embedding", 5, idx, nprobe = 6,
+      refineFactor = n / 5 + 1, excludeSelf = true))
+    assert(recovered === exact)
+    val a = ranks(Similarity.clusterPrunedTopKPqResidual(qs, e, "vec_id",
+      "vec_id", "embedding", 5, idx, nprobe = 2, excludeSelf = true))
+    val b = ranks(Similarity.clusterPrunedTopKPqResidual(qs.repartition(7),
+      e.repartition(5), "vec_id", "vec_id", "embedding", 5, idx,
+      nprobe = 2, excludeSelf = true))
+    assert(a === b)
+  }
+
+  test("residual IVF-PQ mechanism pin: on a clustered (MoG) corpus with " +
+    "Lloyd centroids, residual ADC recall beats raw-codebook ADC") {
+    // Deterministic hash-derived corpus (no RNG) — the regime residual
+    // encoding targets: coarse centroids recover the cluster centers, so
+    // residuals shrink to the sigma-ball and the same m·ksub budget
+    // codes them far more finely than raw vectors spanning the sphere.
+    // Measured at these exact params: raw 0.21, residual 0.28 (and
+    // 0.276 vs 0.48 at the ResidualCurve mog:2000:16:0.15 point); the
+    // gap is structural, not noise — every input is hash-derived, so
+    // the run is bit-reproducible.
+    val emb = ResidualCurve.mogCorpus(spark, 600, 12, 0.15, dim = 32)
+      .localCheckpoint()
+    val qs = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(qs, emb, "vec_id", "vec_id",
+      "embedding", 5, "cosine", excludeSelf = true)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("query_id", "item_id").as[(Long, Long)].collect()
+        .count(exact.contains).toDouble / exact.size
+    val cbRaw = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, refineIters = 2)
+    val idx = Similarity.ivfPqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, nlist = 12, coarseIters = 2, pqIters = 2)
+    val rawAdc = recallOf(Similarity.clusterPrunedTopKPq(qs, emb,
+      "vec_id", "vec_id", "embedding", 5, cbRaw, nlist = 12, nprobe = 4,
+      refineIters = 2, excludeSelf = true))
+    val resAdc = recallOf(Similarity.clusterPrunedTopKPqResidual(qs, emb,
+      "vec_id", "vec_id", "embedding", 5, idx, nprobe = 4,
+      excludeSelf = true))
+    info(f"raw ADC recall $rawAdc%.4f, residual ADC recall $resAdc%.4f")
+    assert(resAdc > rawAdc + 0.05,
+      f"residual ADC $resAdc%.4f should beat raw ADC $rawAdc%.4f on the " +
+        "clustered corpus")
+  }
 }
