@@ -1764,6 +1764,51 @@ object QueriesLlm {
              |CAST(floor((nb % 480 + 1) * sc) AS INTEGER) AS out_h
              |FROM r ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // --- Multimodal near-dup (perceptual block-hash banding over the
+    //     opaque binary column — closes the r16 "text has L2/L3 dedup,
+    //     media stops at metadata" gap): a planted-recall harness run
+    //     EVERY round, the DEDUP_RECALL.md pattern in-query. 25 docs get
+    //     a near-copy with one byte OVERWRITTEN mid-payload — the
+    //     length-preserving edit class (patched header, steganographic
+    //     bit, corrupted byte) the block signature is robust to:
+    //     measured planted hamming 0–3 vs the radius-8 gate, so banding
+    //     (complete for signature-Hamming <= radius) must recover every
+    //     pair and planted_recall measures the SIGNATURE's perceptual
+    //     robustness. Length-CHANGING edits (insert/append) shift every
+    //     segment boundary and scramble byte-aligned block means
+    //     (measured hamming 12–35 for a 2-byte append) — that edit class
+    //     needs content-aligned features (the decoded-frame pHash in the
+    //     stubbed codec slot, or CDC chunking); MultimodalSpec pins BOTH
+    //     behaviors so the limitation is a tested contract, not a
+    //     surprise. No SQL oracle (native BlockHash64 expression). ---
+    ("m_phash_neardup", (s, d) => {
+      val media = Multimodal.attachFakeMedia(
+          SparkEntry.T(s, d, "documents"), "text")
+        .select(col("doc_id"), col("media"))
+      val planted = media.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(
+            col("media").substr(lit(1), length(col("media")) / 3),
+            lit(Array[Byte](0)),
+            col("media").substr(length(col("media")) / 3 + 2,
+              length(col("media")))).as("media"))
+      val corpus = media.unionByName(planted)
+      val pairs = Multimodal.mediaNearDups(corpus, "doc_id", "media",
+        maxHamming = 8)
+      val want = media.filter(col("doc_id") < 25)
+        .select(col("doc_id").as("id1"),
+          (col("doc_id") + 10000000L).as("id2"))
+      val recovered = pairs.join(want, Seq("id1", "id2"), "left_semi")
+        .agg(count(lit(1)).as("n_recovered"))
+      val total = pairs.agg(count(lit(1)).as("n_pairs"),
+        max(col("hamming")).as("max_found_hamming"))
+      recovered.crossJoin(total).select(
+        lit(25).as("n_planted"), col("n_recovered"),
+        round(col("n_recovered").cast("double") / 25.0, 4)
+          .as("planted_recall"),
+        col("n_pairs"), col("max_found_hamming"))
+    }, None),
+
     // --- Multimodal decode stub: deterministic pseudo-features (U5 shape) ---
     ("m_decode_stub", (s, d) => {
       val m = Multimodal.attachFakeMedia(SparkEntry.T(s, d, "documents"), "text")

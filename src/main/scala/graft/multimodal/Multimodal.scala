@@ -58,6 +58,40 @@ object Multimodal {
       floor(h * scale).cast("int").as("height"))
   }
 
+  /** Perceptual 64-bit block-hash signature of an opaque binary payload
+    * ([[graft.functions.expr.BlockHash64]] — 64 byte-segment means vs
+    * their median, the blockhash/aHash family): local edits flip few
+    * signature bits, so near-copies sit within small Hamming distance.
+    * Null payload → null; empty → 0L (contentless blobs pair as exact
+    * dups). */
+  def blockHash64(mediaCol: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.expr.BlockHash64(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(mediaCol)))
+
+  /** Multimodal near-duplicate pairs over an opaque binary column — the
+    * L2/L3 dedup machinery the text side has ([[graft.ops.Dedup]]
+    * pigeonhole banding, hot-group handling, bucket caps), applied to
+    * the perceptual [[blockHash64]] signature: candidate recall is
+    * COMPLETE for pairs within signature-Hamming `maxHamming` (the
+    * banding theorem — a planted near-copy is missed only if the edit
+    * flips more than `maxHamming` signature bits, a property of the
+    * signature, not the search; MultimodalSpec measures both). Output:
+    * (id1, id2, hamming), id1 < id2. Swapping [[blockHash64]] for a
+    * decoded-frame pHash (the environment-stubbed codec slot —
+    * [[decodeFeaturesStub]]) changes only the signature expression;
+    * banding, buckets and verify are byte-for-byte this path.
+    *
+    * Scale shape inherits the text form's: distinct-fingerprint banding
+    * (dup groups never go quadratic), one shuffle by fingerprint, the
+    * Hamming filter runs pre-distinct in the bucket join's stream. */
+  def mediaNearDups(df: DataFrame, idCol: String, mediaCol: String,
+                    maxHamming: Int = 3, maxRadius: Int = 15,
+                    blockCombos: Int = 1, maxBucketSize: Int = 0): DataFrame =
+    graft.ops.Dedup.nearDups64FromFp(
+      df.select(col(idCol), blockHash64(col(mediaCol)).as("fp")),
+      idCol, maxHamming, maxRadius, blockCombos, maxBucketSize)
+
   /** STUB decode: deterministic pseudo-features from the payload bytes —
     * dim hash-derived doubles in [0,1). A real implementation would decode
     * pixels/samples here (batched `mapPartitions` with a native codec); the

@@ -815,6 +815,25 @@ object Dedup {
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxRadius: Int = 15,
                       blockCombos: Int = 1, maxBucketSize: Int = 0): DataFrame = {
+    val withFp = df
+      .select(col(idCol), tokenHashes(col(textCol)).as("__th"))
+      .select(col(idCol), simHash64Native(col("__th")).as("fp"))
+    nearDups64FromFp(withFp, idCol, maxHamming, maxRadius, blockCombos,
+      maxBucketSize)
+  }
+
+  /** The banded near-dup pipeline over an arbitrary PRECOMPUTED 64-bit
+    * fingerprint column — everything [[simHashNearDups]] does after the
+    * SimHash itself (pigeonhole banding, hot-group handling, optional
+    * bucket cap, within-bucket Hamming verify), shared with
+    * [[graft.multimodal.Multimodal.mediaNearDups]]'s perceptual
+    * block-hash: any 64-bit signature whose Hamming distance tracks
+    * similarity gets the same complete-candidate-recall guarantee.
+    * `withFp` must be (idCol, fp: long); null fingerprints never pair. */
+  private[graft] def nearDups64FromFp(withFp: DataFrame, idCol: String,
+                                      maxHamming: Int, maxRadius: Int = 15,
+                                      blockCombos: Int = 1,
+                                      maxBucketSize: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= maxRadius,
       s"maxHamming=$maxHamming outside [0, $maxRadius]: banding keys get " +
         "too coarse to prune; raise maxRadius explicitly if you accept that")
@@ -844,9 +863,6 @@ object Dedup {
     val blocks: Seq[(Int, Int, Int)] =
       widths.zip(offsets).map { case (w, o) => (0, o, w) }
     val combos = (0 until numBlocks).combinations(blockCombos).toSeq
-    val withFp = df
-      .select(col(idCol), tokenHashes(col(textCol)).as("__th"))
-      .select(col(idCol), simHash64Native(col("__th")).as("fp"))
     // One shuffle by fp; every branch below hangs off this same subplan, so
     // the exchange is planned once and reused (ReuseExchange) — the
     // fingerprint pass is not recomputed per branch. Null fingerprints

@@ -50,4 +50,97 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L) === ((56, 224)))
     assert(got(4L) === ((224, 112)))
   }
+
+  test("blockHash64: codegen equals interpreted eval; null/empty/constant contract") {
+    val texts = Seq("", "a", "constant", "x" * 500,
+      "The quick brown fox jumps over the lazy dog. " * 20)
+    val df = texts.toDF("text")
+    val viaDf = Multimodal.attachFakeMedia(df, "text")
+      .select(col("text"), Multimodal.blockHash64(col("media")).as("fp"))
+      .as[(String, Long)].collect().toMap
+    // interpreted path: nullSafeEval on the raw bytes
+    texts.foreach { t =>
+      val interp = graft.functions.expr.BlockHash64(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          t.getBytes("UTF-8"))).eval(null).asInstanceOf[Long]
+      assert(viaDf(t) === interp, s"codegen/interp divergence for '$t'")
+    }
+    assert(viaDf("") === 0L)          // empty payload → 0
+    // constant payload: all segment means equal the median → no bit set
+    assert(viaDf("x" * 500) === 0L)
+    // null payload → null fingerprint
+    val nulls = Seq((1L, null: Array[Byte])).toDF("id", "media")
+      .select(Multimodal.blockHash64(col("media")).as("fp"))
+      .filter(col("fp").isNull).count()
+    assert(nulls === 1L)
+  }
+
+  test("blockHash64 locality: length-preserving overwrite flips few bits; " +
+    "length-changing append scrambles (the documented alignment limit)") {
+    val docs = SparkEntry.T(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.attachFakeMedia(docs, "text")
+      .select(col("doc_id"), col("media"))
+      .filter(length(col("media")) >= 64)
+    def mutOverwrite(c: org.apache.spark.sql.Column) = concat(
+      c.substr(lit(1), length(c) / 3), lit(Array[Byte](0)),
+      c.substr(length(c) / 3 + 2, length(c)))
+    val hams = media.select(
+        ops.Dedup.hamming64(Multimodal.blockHash64(col("media")),
+          Multimodal.blockHash64(mutOverwrite(col("media")))).as("ho"),
+        ops.Dedup.hamming64(Multimodal.blockHash64(col("media")),
+          Multimodal.blockHash64(concat(col("media"),
+            lit(Array[Byte](7, 7))))).as("ha"))
+      .agg(max(col("ho")), avg(col("ha"))).head
+    // one overwritten byte perturbs ONE segment mean directly, but can
+    // also MOVE the median, flipping every mean sitting between old and
+    // new median (measured max 6 on this corpus — tight ASCII means).
+    // The operative bound is the radius-8 banding gate planted copies
+    // must stay inside.
+    assert(hams.getInt(0) <= 8,
+      s"overwrite flipped ${hams.getInt(0)} bits — outside the radius-8 " +
+        "gate, locality broken")
+    // append shifts every segment boundary: byte-aligned means scramble.
+    // This is the signature's documented edit-class boundary, pinned so
+    // a future 'fix' that silently changes the contract fails here.
+    assert(hams.getDouble(1) > 8.0,
+      f"append avg hamming ${hams.getDouble(1)}%.1f — expected the " +
+        "alignment limitation; if this improved, update the contract docs")
+  }
+
+  test("mediaNearDups: complete recall vs brute-force within-radius ground " +
+    "truth; planted length-preserving near-copies all recovered") {
+    val docs = SparkEntry.T(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.attachFakeMedia(docs, "text")
+      .select(col("doc_id"), col("media"))
+    val planted = media.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("media").substr(lit(1), length(col("media")) / 3),
+          lit(Array[Byte](0)),
+          col("media").substr(length(col("media")) / 3 + 2,
+            length(col("media")))).as("media"))
+    val corpus = media.unionByName(planted).localCheckpoint()
+    val got = Multimodal.mediaNearDups(corpus, "doc_id", "media",
+      maxHamming = 8)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .as[(Long, Long, Int)].collect()
+    got.foreach { case (a, b, h) =>
+      assert(a < b, s"pair order ($a, $b)")
+      assert(h <= 8, s"hamming $h above radius for ($a, $b)")
+    }
+    // banding is pigeonhole-COMPLETE: the pair set must equal the
+    // brute-force within-radius set exactly (small corpus, all-pairs ok)
+    val fps = corpus.select(col("doc_id"),
+      Multimodal.blockHash64(col("media")).as("fp"))
+      .as[(Long, Long)].collect()
+    val truth = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      if java.lang.Long.bitCount(fa ^ fb) <= 8
+    } yield (a, b)).toSet
+    assert(got.map(p => (p._1, p._2)).toSet === truth,
+      "banded pair set differs from brute-force ground truth")
+    // every planted pair is in-radius (locality) and therefore recovered
+    val gotSet = got.map(p => (p._1, p._2)).toSet
+    (0L until 10L).foreach(i =>
+      assert(gotSet.contains((i, i + 1000000L)), s"planted pair $i lost"))
+  }
 }
