@@ -188,6 +188,95 @@ object QueriesLlm {
        |  list_filter(regexp_split_to_array(trim(st), ' +'),
        |    t -> len(t) > 0) AS ts FROM d3)""".stripMargin
 
+  /** x9e's input frame — BPE-encoded dense ids, chunked to whole units
+    * ≤ 48 (the chunkDocs contract packDocsNoSplit's overflow error
+    * names), one row per (unit_id, lang, chunk_ids). Shared by the
+    * registry row and the dynamic-oracle builder so both sides pack the
+    * SAME units. */
+  private def x9eUnits(s: SparkSession, d: String): DataFrame = {
+    val docs = SparkEntry.T(s, d, "documents")
+    TextAnalysis.bpeLearnEncodeIds(docs, "doc_id", "text",
+        iterations = 3, vocabSize = 20)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        posexplode(TextAnalysis.chunkIdArray(col("token_ids"), 48))
+          .as(Seq("chunk_idx", "chunk_ids")))
+      .select(concat(col("doc_id").cast("string"), lit("#"),
+        col("chunk_idx").cast("string")).as("unit_id"),
+        col("lang"), col("chunk_ids"))
+  }
+
+  /** DYNAMIC oracle for x9e_pack_nosplit (rendered at Verify time for
+    * the actual sf dir — VERDICT r16 #3): the BFD slot table is solved
+    * HERE from the same units frame the query packs, then shipped into
+    * DuckDB as a VALUES literal; the SQL replays everything else
+    * independently — the 3-merge BPE learn/encode, the ≤48 chunking,
+    * the md5-of-unit-id rank within (lang, len), the slot-interval join
+    * arithmetic (bin = binbase + rel div k, offset = offbase +
+    * (rel mod k)·len) and the per-bin tensor assembly with padding —
+    * so a hash match gates the entire DISTRIBUTED REALIZATION
+    * value-for-value. The solve itself is the one driver-side input the
+    * oracle trusts; it stays pinned by DedupTextSpec's differential
+    * spec against a naive per-doc BFD simulation. */
+  private[graft] def x9eOracleSql(s: SparkSession, d: String): String = {
+    val hist = x9eUnits(s, d)
+      .select(col("lang"),
+        org.apache.spark.sql.functions.size(col("chunk_ids")).as("__len"))
+      .filter(col("__len") > 0)
+      .groupBy(col("lang"), col("__len")).agg(count(lit(1)).as("__n"))
+      .collect()
+    val byLang = hist.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (lang, rows) =>
+        (Seq(lang: Any), rows.map(r => (r.getInt(1), r.getLong(2))).toSeq)
+      }
+    val slotRows = TextAnalysis.noSplitSlotRows(byLang, 64)
+    require(slotRows.nonEmpty, "x9eOracleSql: empty slot table")
+    val values = slotRows.map { case (g, len, cum, nslots, k, bb, ob) =>
+      val lang = g.head.toString.replace("'", "''")
+      s"('$lang', $len, $cum, $nslots, $k, $bb, $ob)"
+    }.mkString(", ")
+    s"""$BpeEncodePrefix,
+       |u AS (SELECT unnest(ts) AS tok FROM tok),
+       |v AS (SELECT tok, row_number() OVER
+       |    (ORDER BY count(*) DESC, tok) AS tid
+       |  FROM u GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 20),
+       |e AS (SELECT doc_id, x.s.p AS pos, x.s.tok AS tok FROM tok,
+       |  unnest(list_transform(range(1, len(ts) + 1),
+       |    i -> struct_pack(p := i - 1, tok := ts[i]))) AS x(s)),
+       |m AS (SELECT doc_id, pos, coalesce(v.tid, 0) AS tid
+       |      FROM e LEFT JOIN v USING (tok)),
+       |un AS (SELECT m.doc_id::VARCHAR || '#' || (pos // 48)::VARCHAR
+       |    AS unit_id, docs.lang,
+       |  count(*)::INT AS ulen,
+       |  string_agg(tid::VARCHAR, ' ' ORDER BY pos) AS cstr
+       |  FROM m JOIN documents docs ON m.doc_id = docs.doc_id
+       |  GROUP BY 1, 2),
+       |slot AS (SELECT lang, len::INT AS len, cum::BIGINT AS cum,
+       |    nslots::BIGINT AS nslots, k::BIGINT AS k,
+       |    binbase::BIGINT AS binbase, offbase::BIGINT AS offbase
+       |  FROM (VALUES $values)
+       |    t(lang, len, cum, nslots, k, binbase, offbase)),
+       |r AS (SELECT un.*, row_number() OVER (PARTITION BY lang, ulen
+       |    ORDER BY md5(unit_id), unit_id) - 1 AS o FROM un),
+       |a AS (SELECT r.lang, r.unit_id, r.ulen, r.cstr,
+       |  s.binbase + (r.o - s.cum) // s.k AS bin_id,
+       |  (s.offbase + ((r.o - s.cum) % s.k) * s.len)::INT AS sp
+       |  FROM r JOIN slot s ON r.lang = s.lang AND r.ulen = s.len
+       |    AND r.o >= s.cum AND r.o < s.cum + s.nslots),
+       |agg AS (SELECT lang, bin_id,
+       |  CAST(sum(ulen) AS BIGINT) AS n_real,
+       |  count(*) AS n_docs,
+       |  string_agg(cstr, ' ' ORDER BY sp) AS real_str,
+       |  string_agg(sp::VARCHAR, ' ' ORDER BY sp) AS starts_str,
+       |  string_agg(unit_id, ' ' ORDER BY sp) AS units_str
+       |  FROM a GROUP BY 1, 2)
+       |SELECT lang, bin_id, n_real, n_docs,
+       |  ((64 - n_real) * 1000000) // 64 AS pad_ppm,
+       |  real_str || repeat(' 0', (64 - n_real)::INT) AS ids_str,
+       |  starts_str, units_str
+       |FROM agg ORDER BY lang, bin_id""".stripMargin
+  }
+
   val registry: Seq[Q] = Seq(
 
     // --- Exact dedup: normalized-content hash groups, min-id keeper ---
@@ -1449,25 +1538,17 @@ object QueriesLlm {
     // --- NO-SPLIT packing (the SFT-style handoff packSequenceIds cannot
     //     express: whole documents per bin, Krell et al. 2021 histogram
     //     BFD solved driver-side on the (lang, len) histogram, realized
-    //     by md5 rank + a broadcast slot table — packDocsNoSplit). The
-    //     bin ASSIGNMENT is a driver solve, so no SQL oracle (rows-only
-    //     gate); DedupTextSpec carries the differential-vs-per-doc-BFD
-    //     and exact-once/capacity/determinism invariants, and the row
-    //     itself emits per-bin tensors + the fill stats a trainer
-    //     monitors (pad waste is THE no-split efficiency number). ---
+    //     by md5 rank + a broadcast slot table — packDocsNoSplit).
+    //     ORACLE-GATED since r17 via the DYNAMIC channel ([[x9eOracleSql]]
+    //     in SparkEntry.oracleSqlDynamic): the solved slot table ships
+    //     into DuckDB as a VALUES literal and the oracle independently
+    //     replays learn → encode → chunk → md5 rank → slot join → per-bin
+    //     assembly, hashing the full tensors — only the BFD solve itself
+    //     stays spec-gated (DedupTextSpec differential-vs-per-doc-BFD +
+    //     exact-once/capacity/determinism invariants). Fill stats emitted
+    //     per bin (pad waste is THE no-split efficiency number). ---
     ("x9e_pack_nosplit", (s, d) => {
-      val docs = SparkEntry.T(s, d, "documents")
-      val ids = TextAnalysis.bpeLearnEncodeIds(docs, "doc_id", "text",
-          iterations = 3, vocabSize = 20)
-        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-        // corpus docs exceed one sequence: pre-chunk to whole units ≤ 48
-        // (the chunkDocs contract packDocsNoSplit's overflow error names)
-        .select(col("doc_id"), col("lang"),
-          posexplode(TextAnalysis.chunkIdArray(col("token_ids"), 48))
-            .as(Seq("chunk_idx", "chunk_ids")))
-        .select(concat(col("doc_id").cast("string"), lit("#"),
-          col("chunk_idx").cast("string")).as("unit_id"),
-          col("lang"), col("chunk_ids"))
+      val ids = x9eUnits(s, d)
       TextAnalysis.packDocsNoSplit(ids, "unit_id", "chunk_ids",
           seqLen = 64, padId = 0, groupCols = Seq("lang"))
         .select(col("lang"), col("bin_id"), col("n_real"), col("n_docs"),

@@ -1902,4 +1902,21 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allRegistries.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+
+  /** Oracles that embed a DRIVER-COMPUTED artifact for the ACTUAL sf
+    * dir (e.g. x9e's BFD slot table as a VALUES literal) — rendered at
+    * Verify time, merged over [[oracleSql]] into oracle_sql.json. A
+    * builder that throws is logged and its query falls back to the
+    * rows-only gate instead of failing the whole dump. */
+  def oracleSqlDynamic(s: SparkSession, sfDir: String): Map[String, String] =
+    Seq[(String, () => String)](
+      "x9e_pack_nosplit" -> (() => QueriesLlm.x9eOracleSql(s, sfDir))
+    ).flatMap { case (n, mk) =>
+      try Some(n -> mk())
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracle $n failed: " +
+          s"${e.getMessage} — falling back to rows-only")
+        None
+      }
+    }.toMap
 }

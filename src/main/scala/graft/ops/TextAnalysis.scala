@@ -866,6 +866,41 @@ object TextAnalysis {
     types.toSeq.sortBy { case (c, _) => orderKey(c) }
   }
 
+  /** Render [[bfdHistogramPack]] solutions as the no-split SLOT TABLE —
+    * one row per (group, length-class slice of a bin type):
+    * (groupVals, len, cumStart, nSlots, docsPerBin, binBase, offsetBase).
+    * A doc ranked `o` within its (group, len) class lands in slot row m
+    * with cum ≤ o < cum + nSlots, at bin = binBase + (o − cum) div k and
+    * byte offset offsetBase + ((o − cum) mod k) · len — the pure
+    * arithmetic that realizes the driver solve distributively. Shared by
+    * [[packDocsNoSplit]] (broadcast join realization) and the x9e
+    * DYNAMIC ORACLE (the same table rendered as a DuckDB VALUES literal,
+    * so the oracle replays rank → slot join → assembly independently
+    * and only the solve itself stays spec-gated). Input groups must
+    * already be in the canonical (sorted) order — bin ids are assigned
+    * in iteration order within each group. */
+  private[graft] def noSplitSlotRows(
+      hists: Seq[(Seq[Any], Seq[(Int, Long)])], seqLen: Int)
+      : Seq[(Seq[Any], Int, Long, Long, Long, Long, Long)] =
+    hists.flatMap { case (gvals, hist) =>
+      val solved = bfdHistogramPack(hist, seqLen)
+      var binBase = 0L
+      val cumByLen = scala.collection.mutable.Map[Int, Long]()
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Seq[Any], Int, Long, Long, Long, Long, Long)]
+      solved.foreach { case (comp, cnt) =>
+        var off = 0L
+        comp.foreach { case (len, k) =>
+          val cum = cumByLen.getOrElse(len, 0L)
+          out += ((gvals, len, cum, cnt * k, k, binBase, off))
+          cumByLen(len) = cum + cnt * k
+          off += len.toLong * k
+        }
+        binBase += cnt
+      }
+      out
+    }
+
   /** Fixed-capacity training-sequence packing WITHOUT document splitting —
     * the SFT-style handoff [[packSequenceIds]] cannot express (its
     * concat-split form cuts documents at sequence boundaries; instruction
@@ -943,32 +978,19 @@ object TextAnalysis {
     })
     // per-group BFD solve → broadcastable slot table:
     // (group…, len, cumStart, nSlots, docsPerBin, binBase, offsetBase)
-    val mappingRows = histRows
-      .groupBy(r => (0 until nG).map(r.get(_)))
-      .toSeq.sortBy(_._1.mkString(""))
-      .flatMap { case (gvals, rows) =>
-        val hist = rows.map(r => (r.getInt(nG), r.getLong(nG + 1))).toSeq
-        val solved = bfdHistogramPack(hist, seqLen)
-        var binBase = 0L
-        val cumByLen = scala.collection.mutable.Map[Int, Long]()
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[org.apache.spark.sql.Row]
-        solved.foreach { case (comp, cnt) =>
-          var off = 0L
-          comp.foreach { case (len, k) =>
-            val cum = cumByLen.getOrElse(len, 0L)
-            // Seq[Any], NOT Seq(len, cum…): a mixed Int/Long Seq literal
-            // infers Seq[Long] and silently widens len — the IntegerType
-            // slot then holds a boxed Long and the local-relation filter
-            // CCEs at plan time.
-            out += org.apache.spark.sql.Row.fromSeq(
-              gvals ++ Seq[Any](len, cum, cnt * k, k, binBase, off))
-            cumByLen(len) = cum + cnt * k
-            off += len.toLong * k
-          }
-          binBase += cnt
-        }
-        out
+    val mappingRows = noSplitSlotRows(
+      histRows.groupBy(r => (0 until nG).map(r.get(_)))
+        .toSeq.sortBy(_._1.mkString(""))
+        .map { case (gvals, rows) =>
+          (gvals, rows.map(r => (r.getInt(nG), r.getLong(nG + 1))).toSeq)
+        }, seqLen)
+      .map { case (gvals, len, cum, nslots, k, binBase, off) =>
+        // Seq[Any], NOT Seq(len, cum...): a mixed Int/Long Seq literal
+        // infers Seq[Long] and silently widens len -- the IntegerType
+        // slot then holds a boxed Long and the local-relation filter
+        // CCEs at plan time.
+        org.apache.spark.sql.Row.fromSeq(
+          gvals ++ Seq[Any](len, cum, nslots, k, binBase, off))
       }
     val mapSchema = org.apache.spark.sql.types.StructType(
       base.schema.fields.take(nG) ++ Seq(
