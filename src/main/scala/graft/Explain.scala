@@ -40,6 +40,8 @@ object Explain {
       "exact baseline uses the bruteForceTopK small-catalog contract; pqTopK/pqTopKRefined broadcast the REQUEST batch (vec_id<50 — request-sized by construction) and stream the codes-only catalog (dim*4/m smaller than the float scan); at catalog scale the composition is IVF centroid pruning, per the pqTopK scaladoc",
     "r14b_ivfpq_recall" ->
       "exact baseline uses the bruteForceTopK small-catalog contract; IVF-PQ retrieval itself is the centroid_id equi-join (the c5 shape) with the nlist-bounded centroid cross (the ann_cluster_recall contract) and request-sized probe/LUT broadcasts",
+    "c5c_ivf_stream_refresh" ->
+      "exact baseline uses the bruteForceTopK small-catalog contract; serving itself is the centroid_id equi-join over the stored assignment (plan-REQUIREd in-query) with the nlist-bounded frozen-centroid cross (the ann_cluster_recall contract)",
     "r14c_ivfpq_residual" ->
       "same contracts as r14b_ivfpq_recall: exact baseline = bruteForceTopK small-catalog; residual retrieval = centroid_id equi-join with the nlist-row LOCAL centroid frame crossed against the request batch (frame rebuilt from the frozen driver-side index, nlist-bounded by construction)")
 

@@ -1200,6 +1200,78 @@ object QueriesEval {
             .as("recall_vs_float_exact"),
           lit(dirBytes(catDir)).as("float_catalog_bytes"),
           lit(dirBytes(qDir)).as("int8_catalog_bytes"))
+    }, None),
+
+    // --- C5c: serving from the INCREMENTALLY-MAINTAINED store (r17 —
+    //     the R7∘R4 composition, x25's two-wave drive of the real
+    //     per-batch unit): the corpus arrives as two waves through
+    //     ivfIndexedAppendBatch (the exact code the streaming
+    //     foreachBatch runs), assigned against epoch-0 frozen centroids
+    //     picked from the FIRST wave only (what was known then); the
+    //     periodic re-train (rebuildIvfStore) then retrains over the
+    //     FULL catalog, swaps the base and clears the delta; the probe
+    //     (clusterPrunedTopKStored — c5's centroid_id equi-join,
+    //     plan-REQUIREd, but over the STORE's precomputed assignment
+    //     and partition layout, no catalog re-assign at serve time)
+    //     reads the refreshed store and its recall vs exact is the
+    //     row's number. Store lifecycle mirrors x25 (appId-keyed
+    //     tmpdir, rebuilt per invocation, deleted after the
+    //     localCheckpoint). ---
+    ("c5c_ivf_stream_refresh", (s, d) => {
+      val emb = SparkEntry.T(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivfstream_${Integer.toHexString(d.hashCode)}_" +
+          s.sparkContext.applicationId).getAbsolutePath
+      val baseStore = root + "/base"
+      val delta = root + "/delta"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val nlist = 16; val nprobe = 4; val k = 5
+      try {
+        val cents0 = Similarity.pickCentroids(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          nlist).localCheckpoint(false)
+        graft.streaming.StreamingJobs.ivfIndexedAppendBatch(
+          emb.filter(col("vec_id") % 2 === 0), cents0, "embedding", delta)
+        graft.streaming.StreamingJobs.ivfIndexedAppendBatch(
+          emb.filter(col("vec_id") % 2 === 1), cents0, "embedding", delta)
+        val cents1 = graft.streaming.StreamingJobs.rebuildIvfStore(
+          s, baseStore, delta, "vec_id", "embedding", nlist, iters = 1)
+        val catalog = graft.streaming.StreamingJobs.ivfServingCatalog(
+          s, baseStore, delta, "vec_id")
+        val requests = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("u"), col("embedding"))
+        val served = Similarity.clusterPrunedTopKStored(requests, catalog,
+          "u", "vec_id", "embedding", k, cents1, nprobe = nprobe,
+          metric = "l2", excludeSelf = true)
+        val pruneJoins = served.queryExecution.sparkPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+              if (j.leftKeys ++ j.rightKeys).exists(
+                _.references.exists(_.name == "centroid_id")) =>
+            j.nodeName
+        }
+        require(pruneJoins.nonEmpty,
+          "c5c_ivf_stream_refresh: serving must probe through a " +
+            "centroid_id equi-join over the stored assignment")
+        val exact = Similarity.bruteForceTopK(requests,
+          catalog.select(col("vec_id"), col("embedding")), "u", "vec_id",
+          "embedding", k, "l2", excludeSelf = true)
+          .select(col("query_id").as("u"), col("item_id"))
+        val hits = exact.join(
+          served.select(col("query_id").as("u"), col("item_id")),
+          Seq("u", "item_id"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact")).crossJoin(
+            hits.agg(count(lit(1)).as("n_hits")))
+          .crossJoin(catalog.agg(count(lit(1)).as("catalog_size")))
+          .select(col("catalog_size"), lit(nlist).as("nlist"),
+            lit(nprobe).as("nprobe"), lit(k).as("k"), col("n_hits"),
+            col("n_exact"),
+            round(col("n_hits").cast("double") / col("n_exact"), 4)
+              .as("recall"))
+          .localCheckpoint()
+      } finally fs.delete(p, true)
     }, None)
   )
 }

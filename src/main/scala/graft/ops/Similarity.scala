@@ -1237,6 +1237,63 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("item_id"), col("score"))
   }
 
+  /** R4, STORED-ASSIGNMENT serving form (r17 — the probe half of the
+    * streaming index-maintenance composition): top-k retrieval over a
+    * catalog that already carries its `centroid_id` — the
+    * incrementally-maintained base+delta store
+    * ([[graft.streaming.StreamingJobs.ivfIndexedAppendStream]] /
+    * `rebuildIvfStore`) — so serving never re-assigns the catalog: the
+    * query probes its `nprobe` nearest centroids (request-sized cross
+    * against the nlist-bounded table) and the candidate set is ONE
+    * broadcast hash join on `centroid_id`, which is also the store's
+    * partition column — partition pruning reaches the file listing.
+    * `centroids` must be the SAME frozen table the store was assigned
+    * with (the frozen-tokenizer contract); `metric` must match the
+    * vector space the assignment ran in ("l2" raw / "cosine"
+    * pre-normalized). Output contract matches [[bruteForceTopK]]. With
+    * nprobe = nlist every partition is probed and the result equals the
+    * exact ranking regardless of stored assignments. */
+  def clusterPrunedTopKStored(queries: DataFrame, catalog: DataFrame,
+                              queryId: String, itemId: String,
+                              vecCol: String, k: Int, centroids: DataFrame,
+                              nprobe: Int, metric: String = "l2",
+                              excludeSelf: Boolean = false): DataFrame = {
+    require(nprobe >= 1, s"clusterPrunedTopKStored: nprobe=$nprobe")
+    require(metric == "cosine" || metric == "l2",
+      s"clusterPrunedTopKStored: metric=$metric")
+    def prep(df: DataFrame, idC: String, outId: String, outVec: String,
+             extra: Seq[Column] = Nil) =
+      if (metric == "cosine")
+        normalized(df.select(Seq(col(idC).as(outId),
+          col(vecCol).as(outVec)) ++ extra: _*), outVec, outVec)
+      else df.select(Seq(col(idC).as(outId), col(vecCol).as(outVec)) ++
+        extra: _*)
+    val q0 = prep(queries, queryId, "query_id", "__qv")
+    val it = evalBarrier(prep(catalog, itemId, "item_id", "__iv",
+      Seq(col("centroid_id"))))
+    val qProbe = {
+      val scored = q0.crossJoin(broadcast(centroids))
+        .withColumn("__d", l2Distance(col("__qv"), col("centroid_vec")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("__d"), col("centroid_id"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= nprobe)
+        .select(col("query_id"), col("centroid_id"), col("__qv"))
+    }
+    val cand0 = it.join(broadcast(qProbe), Seq("centroid_id"))
+    val cand =
+      if (excludeSelf) cand0.filter(col("query_id") =!= col("item_id"))
+      else cand0
+    val scored = cand.withColumn("score",
+      if (metric == "cosine") vecDotNative(col("__qv"), col("__iv"))
+      else -l2Distance(col("__qv"), col("__iv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("item_id"), col("score"))
+  }
+
   // =====================================================================
   // Residual-encoded IVF∘PQ (faiss `IVFx,PQy` parity — faiss encodes
   // RESIDUALS vec − coarse_centroid, not raw vectors, which is why its

@@ -438,6 +438,113 @@ object StreamingJobs {
       .option("path", tablePath)
       .start()
 
+  /** R7∘R4 — streaming serving-index MAINTENANCE (r17 verdict #6): the
+    * embedding append composed with the IVF path. Each arriving vector
+    * is assigned to its nearest FROZEN centroid (the native
+    * [[graft.ops.Similarity.assignClusters]] kernel — a pure projection,
+    * so the streaming plan stays stateless: no shuffle, no state store)
+    * and lands in a `centroid_id`-partitioned parquet store, so the
+    * serving probe's centroid_id equi-join reads ONLY probed partitions
+    * (partition pruning at the file listing — the c5 retrieval shape on
+    * an incrementally-maintained catalog).
+    *
+    * FROZEN-CENTROIDS contract (the frozen-tokenizer pattern applied to
+    * ANN): `centroids` must be the SAME table across every micro-batch
+    * and restart — pass a localCheckpointed or parquet-backed frame,
+    * never a plan that re-derives seeds from moving data. Assignment
+    * consistency is what makes the store's partitions mean anything;
+    * drift is handled by the PERIODIC RE-TRAIN ([[rebuildIvfStore]]),
+    * not by mutating the serving quantizer mid-stream (the reference
+    * also rebuilds — `retrieval.py:228-246`).
+    *
+    * Store layout is BASE + DELTA: the stream appends to `deltaPath`
+    * (foreachBatch — the [[incrementalDedupStream]] shape, so the
+    * CHECKPOINT owns source offsets and survives epoch transitions);
+    * the serving catalog is [[ivfServingCatalog]] = base ∪ delta with
+    * read-side id-dedup, which makes the at-least-once append and the
+    * rebuild's crash window both idempotent to readers. StreamingSpec
+    * pins stream-assignment ≡ batch assignClusters on the same frozen
+    * table, incremental append, partition layout, and the rebuild
+    * round-trip. */
+  def ivfIndexedAppendStream(updates: DataFrame, centroids: DataFrame,
+                             vecCol: String, deltaPath: String,
+                             checkpointPath: String): StreamingQuery =
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ivfIndexedAppendBatch(batch, centroids, vecCol, deltaPath)
+      }
+      .start()
+
+  /** One micro-batch of [[ivfIndexedAppendStream]] — also the unit the
+    * registry row drives directly (the x25 same-code pattern): assign
+    * against the frozen centroids (native kernel, pure projection) and
+    * append `centroid_id`-partitioned parquet. Replays append twice on
+    * retry; readers go through [[ivfServingCatalog]]'s id-dedup, so
+    * at-least-once delivery is invisible downstream. */
+  def ivfIndexedAppendBatch(batch: DataFrame, centroids: DataFrame,
+                            vecCol: String, deltaPath: String): Unit =
+    graft.ops.Similarity.assignClusters(batch, vecCol, centroids)
+      .write.mode("append").partitionBy("centroid_id").parquet(deltaPath)
+
+  /** The serving catalog view over the base + delta IVF store: union of
+    * whichever halves exist, one row per id (`dropDuplicates` — makes
+    * at-least-once appends and the rebuild's post-swap/pre-delta-clear
+    * crash window read-idempotent; a stale-assignment duplicate costs a
+    * little probe recall until the next rebuild, never a duplicate
+    * serving row). The centroid_id partition column is what the probe's
+    * equi-join prunes on. */
+  def ivfServingCatalog(spark: SparkSession, basePath: String,
+                        deltaPath: String, idCol: String): DataFrame = {
+    val parts = Seq(basePath, deltaPath).filter(pathExists(spark, _))
+    require(parts.nonEmpty,
+      s"ivfServingCatalog: neither $basePath nor $deltaPath exists")
+    parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .dropDuplicates(idCol)
+  }
+
+  /** The periodic re-train half of [[ivfIndexedAppendStream]]'s
+    * contract — the batch MATERIALIZATION job, run with the append
+    * stream STOPPED (AvailableNow drains are the natural cadence): read
+    * base ∪ delta, train fresh centroids over the FULL catalog
+    * (hash-picked seeds + `iters` Lloyd rounds), reassign every vector,
+    * stage, swap into base, then clear the delta. Returns the NEW
+    * frozen centroid table (localCheckpointed) for the next stream
+    * epoch — the stream restarts with it and the SAME checkpoint, so
+    * source offsets carry over and new updates land in the now-empty
+    * delta. Crash posture: before the swap the old store is untouched;
+    * between swap and delta-clear, readers see duplicates that
+    * [[ivfServingCatalog]] dedups; re-running the rebuild from any
+    * crash point converges (it re-reads whatever exists). Scale shape:
+    * one catalog scan for seeding/Lloyd (centroid state driver-
+    * bounded), one scan + one partitioned write for the rewrite — the
+    * rebuild is linear and runs offline while the OLD store serves. */
+  def rebuildIvfStore(spark: SparkSession, basePath: String,
+                      deltaPath: String, idCol: String, vecCol: String,
+                      nlist: Int, iters: Int = 2,
+                      seed: Long = 42): DataFrame = {
+    val store = ivfServingCatalog(spark, basePath, deltaPath, idCol)
+      .select(col(idCol), col(vecCol))
+    val seeds = graft.ops.Similarity.pickCentroids(store, idCol, vecCol,
+      nlist, seed)
+    val cents = (if (iters > 0)
+      graft.ops.Similarity.refineCentroids(store, vecCol, seeds, iters)
+    else seeds).localCheckpoint(false)
+    val stage = basePath + ".stage"
+    graft.ops.Similarity.assignClusters(store, vecCol, cents)
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(stage)
+    spark.read.parquet(stage)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(basePath)
+    val fs = new org.apache.hadoop.fs.Path(deltaPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(deltaPath), true)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    cents
+  }
+
   /** T11 streaming form: gap-based sessionization with
     * `flatMapGroupsWithState` — per key, a session index increments when
     * the gap since the previous event exceeds `gapSeconds`. Matches the

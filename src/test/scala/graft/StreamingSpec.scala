@@ -885,4 +885,66 @@ class StreamingSpec extends AnyFunSuite {
     run() // extra restart with nothing new: no-op
     assert(kept() === Set(1L, 3L))
   }
+
+  test("IVF-indexed streaming append: stream assignment equals batch on " +
+    "the same frozen centroids; incremental waves; rebuild swaps and " +
+    "clears the delta (R7∘R4)") {
+    val base = Files.createTempDirectory("graft-ivfstream").toString
+    val src = s"$base/src"; val delta = s"$base/delta"
+    val bs = s"$base/store"; val cp = s"$base/cp"
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq((i % 7).toFloat, (i % 5).toFloat, (i % 3).toFloat)))
+    vecs.take(25).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(src)
+    // FROZEN centroids: picked once from the first wave, localCheckpointed
+    val cents = ops.Similarity.pickCentroids(
+      spark.read.parquet(src), "vec_id", "embedding", 4).localCheckpoint(false)
+    def drain(): Unit = {
+      val q = StreamingJobs.ivfIndexedAppendStream(
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .parquet(src), cents, "embedding", delta, cp)
+      q.awaitTermination(60000)
+    }
+    drain()
+    // wave 2 appends; same frozen table, same checkpoint — only the new
+    // files are processed (incremental O(touched))
+    vecs.drop(25).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(src)
+    drain()
+    def got(): Map[Long, Long] =
+      StreamingJobs.ivfServingCatalog(spark, bs, delta, "vec_id")
+        .select(col("vec_id"), col("centroid_id").cast("long"))
+        .as[(Long, Long)].collect().toMap
+    val expect = ops.Similarity.assignClusters(
+        vecs.toDF("vec_id", "embedding"), "embedding", cents)
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got() === expect, "stream assignment diverged from batch")
+    assert(got().size === 40)
+    // the delta is centroid_id-partitioned (what the probe's equi-join
+    // prunes on)
+    assert(new java.io.File(delta).listFiles()
+      .exists(_.getName.startsWith("centroid_id=")), "no partition dirs")
+    // periodic re-train: full-catalog centroids, swap into base, delta
+    // cleared; the catalog view stays one-row-per-id and matches a fresh
+    // batch assignment against the NEW frozen table
+    val cents2 = StreamingJobs.rebuildIvfStore(spark, bs, delta,
+      "vec_id", "embedding", nlist = 4, iters = 1)
+    assert(!new java.io.File(delta).exists(), "delta not cleared")
+    val expect2 = ops.Similarity.assignClusters(
+        vecs.toDF("vec_id", "embedding"), "embedding", cents2)
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got() === expect2, "rebuilt store diverged from batch reassign")
+    // next epoch: a third wave lands in the (recreated) delta and the
+    // union view picks it up — offsets carried over, nothing re-ingested
+    Seq((100L, Seq(9f, 9f, 9f))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(src)
+    val q3 = StreamingJobs.ivfIndexedAppendStream(
+      spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .parquet(src), cents2, "embedding", delta, cp)
+    q3.awaitTermination(60000)
+    assert(got().size === 41)
+    assert(got().contains(100L))
+  }
 }
