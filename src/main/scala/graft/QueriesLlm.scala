@@ -1890,6 +1890,58 @@ object QueriesLlm {
         col("n_pairs"), col("max_found_hamming"))
     }, None),
 
+    // --- Multimodal near-dup, INSERT-ROBUST form (the edit class
+    //     m_phash_neardup's contract pins as out of the block-hash's
+    //     reach): content-defined chunking (Gear/FastCDC boundaries,
+    //     FNV-1a chunk hashes) + the MinHash-LSH banding machinery over
+    //     the chunk-hash sets. The planted copies here get BOTH a
+    //     1-byte mid-payload INSERT and a 2-byte APPEND — length-
+    //     changing edits that scramble the byte-aligned block signature
+    //     (measured hamming 12–35 there) but perturb only the touched
+    //     CDC chunks, so Jaccard stays high and banding recovers every
+    //     planted pair. planted_recall is the per-round number; no SQL
+    //     oracle (native chunking kernel); MultimodalSpec pins
+    //     interp/codegen parity, the append-prefix chunk invariant and
+    //     the planted classes. ---
+    ("m_cdc_neardup", (s, d) => {
+      val media = Multimodal.attachFakeMedia(
+          SparkEntry.T(s, d, "documents"), "text")
+        .select(col("doc_id"), col("media"))
+      // plant on payloads >= 200 bytes — CDC's Jaccard needs ~15+ chunks
+      // of resolution (a 57-byte blob is 3 chunks; one touched chunk is
+      // a third of the set — the tiny-blob regime belongs to exact dedup)
+      val eligible = media.filter(length(col("media")) >= 200)
+        .orderBy(col("doc_id")).limit(25).localCheckpoint(false)
+      val planted = eligible
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(
+            col("media").substr(lit(1), length(col("media")) / 2),
+            lit(Array[Byte](42)),
+            col("media").substr(length(col("media")) / 2 + 1,
+              length(col("media"))),
+            lit(Array[Byte](7, 7))).as("media"))
+      val corpus = media.unionByName(planted)
+      // bands=32 (rows-per-band 2): at threshold 0.5 the 16x4 default
+      // misses J~0.5 pairs with P~(1-J^4)^16 ~ 0.35; 32x2 drops that to
+      // ~1e-4 at the cost of coarser bucket keys — the right LSH point
+      // for a low-threshold near-dup gate
+      val pairs = Multimodal.mediaNearDupsCdc(corpus, "doc_id", "media",
+        avgBits = 4, bands = 32, threshold = 0.5)
+      val want = eligible
+        .select(col("doc_id").as("id1"),
+          (col("doc_id") + 10000000L).as("id2"))
+      val recovered = pairs.join(want, Seq("id1", "id2"), "left_semi")
+        .agg(count(lit(1)).as("n_recovered"))
+      val total = pairs.agg(count(lit(1)).as("n_pairs"),
+        round(min(col("jaccard")), 4).as("min_jaccard"))
+      val nPlanted = eligible.agg(count(lit(1)).as("n_planted"))
+      recovered.crossJoin(total).crossJoin(nPlanted).select(
+        col("n_planted"), col("n_recovered"),
+        round(col("n_recovered").cast("double") / col("n_planted"), 4)
+          .as("planted_recall"),
+        col("n_pairs"), col("min_jaccard"))
+    }, None),
+
     // --- Multimodal decode stub: deterministic pseudo-features (U5 shape) ---
     ("m_decode_stub", (s, d) => {
       val m = Multimodal.attachFakeMedia(SparkEntry.T(s, d, "documents"), "text")

@@ -92,6 +92,44 @@ object Multimodal {
       df.select(col(idCol), blockHash64(col(mediaCol)).as("fp")),
       idCol, maxHamming, maxRadius, blockCombos, maxBucketSize)
 
+  /** Content-defined chunk hashes of an opaque binary payload
+    * ([[graft.functions.expr.GearChunkHashes]] — Gear/FastCDC rolling
+    * boundaries, FNV-1a 64 per chunk, expected chunk ≈ 2^avgBits
+    * bytes): boundaries depend only on content since the previous
+    * boundary, so inserts/appends/deletes perturb ONLY the touched
+    * chunks — the insert-robust complement to [[blockHash64]]'s
+    * byte-aligned segments. */
+  def cdcChunkHashes(mediaCol: Column, avgBits: Int = 6): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.expr.GearChunkHashes(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(mediaCol),
+        avgBits))
+
+  /** Multimodal near-dup over the LENGTH-CHANGING edit class
+    * ([[mediaNearDups]]'s pinned limitation — appends/inserts shift
+    * every fixed byte segment and scramble the block hash): content-
+    * defined chunking turns the payload into a SET of chunk hashes
+    * whose Jaccard is robust to local edits of any length, and the
+    * MinHash-LSH banding machinery ([[graft.ops.Dedup]] — signature,
+    * bands, hot-bucket cap, exact-Jaccard verify) runs over those sets
+    * unchanged. Output: (id1, id2, jaccard ≥ threshold), id1 < id2.
+    * Pick 2^avgBits well below typical payload size (enough chunks for
+    * Jaccard resolution: at ~20 chunks one edited chunk costs ~0.05
+    * Jaccard). Same hot-bucket/scale posture as minHashNearDups. */
+  def mediaNearDupsCdc(df: DataFrame, idCol: String, mediaCol: String,
+                       avgBits: Int = 6, numHashes: Int = 64,
+                       bands: Int = 16, threshold: Double = 0.7,
+                       seed: Long = 42, maxBucketSize: Int = 0): DataFrame = {
+    val withSets = df
+      .select(col(idCol), cdcChunkHashes(col(mediaCol), avgBits).as("__ch"))
+      .withColumn("__set", array_distinct(col("__ch")))
+      .withColumn("__hs", transform(col("__set"),
+        h => pmod(h, lit(graft.ops.Dedup.MinHashPrime))))
+      .select(col(idCol), col("__set"), col("__hs"))
+    graft.ops.Dedup.minHashNearDupsFromSets(withSets, idCol, numHashes,
+      bands, threshold, seed, maxBucketSize)
+  }
+
   /** STUB decode: deterministic pseudo-features from the payload bytes —
     * dim hash-derived doubles in [0,1). A real implementation would decode
     * pixels/samples here (batched `mapPartitions` with a native codec); the

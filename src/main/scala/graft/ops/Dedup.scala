@@ -104,7 +104,7 @@ object Dedup {
     * `h_j(x) = (a_j * xxhash64(x) + b_j) mod p`, signature_j = min over
     * shingles. Deterministic per seed. Per-row expression — the signature
     * never leaves the row until banding. */
-  private val MinHashPrime = 2147483647L // 2^31 - 1 (Mersenne)
+  private[graft] val MinHashPrime = 2147483647L // 2^31 - 1 (Mersenne)
 
   /** Affine permutation parameters for [[minHashSignatureNative]] /
     * the SQL `min_hash_signature` builder (GraftExtensions). */
@@ -191,13 +191,31 @@ object Dedup {
                       shingleLen: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, threshold: Double = 0.7,
                       seed: Long = 42, maxBucketSize: Int = 0): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val base = df.select(
+    val withSets = df.select(
       col(idCol),
       wordShingles(col(textCol), shingleLen).as("__sh"))
-      .withColumn("__shd", array_distinct(col("__sh")))
+      .withColumn("__set", array_distinct(col("__sh")))
       // materialized so the xxhash pass runs once, not once per permutation
-      .withColumn("__hs", shingleHashes(col("__shd")))
+      .withColumn("__hs", shingleHashes(col("__set")))
+      .select(col(idCol), col("__set"), col("__hs"))
+    minHashNearDupsFromSets(withSets, idCol, numHashes, bands, threshold,
+      seed, maxBucketSize)
+  }
+
+  /** The MinHash-LSH pipeline over arbitrary PRECOMPUTED element sets —
+    * everything [[minHashNearDups]] does after shingling (signature,
+    * banding, hot-bucket cap, exact-Jaccard verify), shared with
+    * [[graft.multimodal.Multimodal.mediaNearDupsCdc]]'s content-defined
+    * chunk hashes: any set-valued representation whose Jaccard tracks
+    * similarity gets the same banding machinery. `withSets` must be
+    * (idCol, `__set`: the DISTINCT verification elements, `__hs`: their
+    * pre-reduced (< p) 64-bit hashes — same length/order irrelevant,
+    * sets). */
+  private[graft] def minHashNearDupsFromSets(
+      withSets: DataFrame, idCol: String, numHashes: Int, bands: Int,
+      threshold: Double, seed: Long, maxBucketSize: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val base = withSets
       .withColumn("__sig",
         minHashSignatureNative(col("__hs"), numHashes, seed))
     // Candidate generation ships ONLY (id, band, bucket) through the
@@ -226,10 +244,10 @@ object Dedup {
         Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    val sh = base.select(col(idCol), col("__shd"))
+    val sh = base.select(col(idCol), col("__set"))
     cand
-      .join(sh.select(col(idCol).as("id1"), col("__shd").as("sh1")), Seq("id1"))
-      .join(sh.select(col(idCol).as("id2"), col("__shd").as("sh2")), Seq("id2"))
+      .join(sh.select(col(idCol).as("id1"), col("__set").as("sh1")), Seq("id1"))
+      .join(sh.select(col(idCol).as("id2"), col("__set").as("sh2")), Seq("id2"))
       .select(col("id1"), col("id2"),
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
