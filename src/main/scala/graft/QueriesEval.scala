@@ -1218,8 +1218,13 @@ object QueriesEval {
     //     tmpdir, rebuilt per invocation, deleted after the
     //     localCheckpoint). ---
     ("c5c_ivf_stream_refresh", (s, d) => {
-      val emb = SparkEntry.T(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"))
+      // normalized ONCE up front: the store holds unit vectors, serving
+      // metric is cosine (the reference's), and BOTH the stored probe and
+      // the exact baseline then score through the NATIVE dot kernel — the
+      // first cut served l2 on raw vectors and the baseline's interpreted
+      // HOF l2 fold was 39 of the row's 40 s at sf10 (3.2 M pairs)
+      val emb = V.normalized(SparkEntry.T(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding")), "embedding", "embedding")
       val root = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_ivfstream_${Integer.toHexString(d.hashCode)}_" +
           s.sparkContext.applicationId).getAbsolutePath
@@ -1245,7 +1250,7 @@ object QueriesEval {
           .select(col("vec_id").as("u"), col("embedding"))
         val served = Similarity.clusterPrunedTopKStored(requests, catalog,
           "u", "vec_id", "embedding", k, cents1, nprobe = nprobe,
-          metric = "l2", excludeSelf = true)
+          metric = "cosine", excludeSelf = true)
         val pruneJoins = served.queryExecution.sparkPlan.collect {
           case j: org.apache.spark.sql.execution.joins.BaseJoinExec
               if (j.leftKeys ++ j.rightKeys).exists(
@@ -1257,7 +1262,7 @@ object QueriesEval {
             "centroid_id equi-join over the stored assignment")
         val exact = Similarity.bruteForceTopK(requests,
           catalog.select(col("vec_id"), col("embedding")), "u", "vec_id",
-          "embedding", k, "l2", excludeSelf = true)
+          "embedding", k, "cosine", excludeSelf = true)
           .select(col("query_id").as("u"), col("item_id"))
         val hits = exact.join(
           served.select(col("query_id").as("u"), col("item_id")),

@@ -1852,7 +1852,7 @@ object QueriesLlm {
     //     a near-copy with one byte OVERWRITTEN mid-payload — the
     //     length-preserving edit class (patched header, steganographic
     //     bit, corrupted byte) the block signature is robust to:
-    //     measured planted hamming 0–3 vs the radius-8 gate, so banding
+    //     measured planted hamming 0–3 vs the radius-4 gate, so banding
     //     (complete for signature-Hamming <= radius) must recover every
     //     pair and planted_recall measures the SIGNATURE's perceptual
     //     robustness. Length-CHANGING edits (insert/append) shift every
@@ -1874,8 +1874,24 @@ object QueriesLlm {
             col("media").substr(length(col("media")) / 3 + 2,
               length(col("media")))).as("media"))
       val corpus = media.unionByName(planted)
+      // radius 4, UNCAPPED — the scale-honest operating point, measured
+      // at sf10 (500 K docs): radius 8 over 64 bits leaves ~7-bit block
+      // keys whose buckets deepen with the corpus (13× time for 10×
+      // docs), and capping them (the d_simhash device) evicted planted
+      // pairs (recall 0.48) while STILL passing 528 K mostly-structural
+      // pairs — 64-bit mean-structure signatures of unrelated ASCII
+      // docs collide at radius 8. Radius 4 = 5 blocks × ~12.8-bit keys:
+      // shallow buckets at any measured scale, no cap, so recall for
+      // the planted class (measured hamming ≤ 3) is pigeonhole-COMPLETE
+      // and planted_recall measures the signature alone (sf10: 1.0 at
+      // 12 s). Precision ceiling stated honestly: at 500 K docs even
+      // radius 4 passes ~2.9 M signature pairs — 64 bits of byte-mean
+      // structure collide across unrelated ASCII docs — so at corpus
+      // scale this is the CANDIDATE stage; verify downstream (exact
+      // compare, or m_cdc_neardup's chunk-Jaccard, the composition the
+      // text side uses for its 64-bit family).
       val pairs = Multimodal.mediaNearDups(corpus, "doc_id", "media",
-        maxHamming = 8)
+        maxHamming = 4)
       val want = media.filter(col("doc_id") < 25)
         .select(col("doc_id").as("id1"),
           (col("doc_id") + 10000000L).as("id2"))
@@ -1923,10 +1939,13 @@ object QueriesLlm {
       val corpus = media.unionByName(planted)
       // bands=32 (rows-per-band 2): at threshold 0.5 the 16x4 default
       // misses J~0.5 pairs with P~(1-J^4)^16 ~ 0.35; 32x2 drops that to
-      // ~1e-4 at the cost of coarser bucket keys — the right LSH point
-      // for a low-threshold near-dup gate
+      // ~1e-4 at the cost of coarser bucket keys. maxBucketSize=256
+      // bounds the hot buckets those coarse keys create on corpora with
+      // shared chunks (uncapped measured 15× time for 10× docs at sf10 —
+      // the d_simhash/d_minhash lesson); the recall cost shows up in
+      // THIS row's planted_recall every round.
       val pairs = Multimodal.mediaNearDupsCdc(corpus, "doc_id", "media",
-        avgBits = 4, bands = 32, threshold = 0.5)
+        avgBits = 4, bands = 32, threshold = 0.5, maxBucketSize = 256)
       val want = eligible
         .select(col("doc_id").as("id1"),
           (col("doc_id") + 10000000L).as("id2"))
