@@ -1866,7 +1866,16 @@ object QueriesLlm {
       val media = Multimodal.attachFakeMedia(
           SparkEntry.T(s, d, "documents"), "text")
         .select(col("doc_id"), col("media"))
-      val planted = media.filter(col("doc_id") < 25)
+      // plant on payloads >= 200 bytes (the m_cdc convention): short
+      // payloads have coarse segment means whose median shifts amplify
+      // an edit's bit flips — the corpus-wide overwrite tail reaches
+      // hamming 8 on <200-byte docs while the >=200 planted sets
+      // measure <= 4 at every sf (sf0.001..sf1), inside the radius.
+      // planted_recall stays a MEASUREMENT of the signature+radius
+      // operating point, not an assert — a sub-1.0 round is information.
+      val eligible = media.filter(length(col("media")) >= 200)
+        .orderBy(col("doc_id")).limit(25).localCheckpoint(false)
+      val planted = eligible
         .select((col("doc_id") + 10000000L).as("doc_id"),
           concat(
             col("media").substr(lit(1), length(col("media")) / 3),
@@ -1881,9 +1890,10 @@ object QueriesLlm {
       // pairs (recall 0.48) while STILL passing 528 K mostly-structural
       // pairs — 64-bit mean-structure signatures of unrelated ASCII
       // docs collide at radius 8. Radius 4 = 5 blocks × ~12.8-bit keys:
-      // shallow buckets at any measured scale, no cap, so recall for
-      // the planted class (measured hamming ≤ 3) is pigeonhole-COMPLETE
-      // and planted_recall measures the signature alone (sf10: 1.0 at
+      // shallow buckets at any measured scale, no cap, so banding is
+      // pigeonhole-complete WITHIN radius 4 — the >=200-byte planted
+      // sets measure hamming <= 4 at every sf, so planted_recall
+      // measures the signature alone (sf10: 1.0 at
       // 12 s). Precision ceiling stated honestly: at 500 K docs even
       // radius 4 passes ~2.9 M signature pairs — 64 bits of byte-mean
       // structure collide across unrelated ASCII docs — so at corpus
@@ -1892,16 +1902,17 @@ object QueriesLlm {
       // text side uses for its 64-bit family).
       val pairs = Multimodal.mediaNearDups(corpus, "doc_id", "media",
         maxHamming = 4)
-      val want = media.filter(col("doc_id") < 25)
+      val want = eligible
         .select(col("doc_id").as("id1"),
           (col("doc_id") + 10000000L).as("id2"))
       val recovered = pairs.join(want, Seq("id1", "id2"), "left_semi")
         .agg(count(lit(1)).as("n_recovered"))
       val total = pairs.agg(count(lit(1)).as("n_pairs"),
         max(col("hamming")).as("max_found_hamming"))
-      recovered.crossJoin(total).select(
-        lit(25).as("n_planted"), col("n_recovered"),
-        round(col("n_recovered").cast("double") / 25.0, 4)
+      val nPlanted = eligible.agg(count(lit(1)).as("n_planted"))
+      recovered.crossJoin(total).crossJoin(nPlanted).select(
+        col("n_planted"), col("n_recovered"),
+        round(col("n_recovered").cast("double") / col("n_planted"), 4)
           .as("planted_recall"),
         col("n_pairs"), col("max_found_hamming"))
     }, None),

@@ -91,9 +91,11 @@ object ResidualCurve {
       s"ksub=$ksub, refineFactor=10)")
     println("| lloyd | nprobe | raw ADC | raw+refine | res ADC | res+refine |")
     println("|---|---|---|---|---|---|")
+    // raw codebook doesn't depend on the coarse-centroid quality knob —
+    // train once outside the sweep
+    val cbRaw = Similarity.pqTrain(emb, "vec_id", "embedding", m, ksub,
+      refineIters = 2)
     val rows = for (lloyd <- Seq(0, 2)) yield {
-      val cbRaw = Similarity.pqTrain(emb, "vec_id", "embedding", m, ksub,
-        refineIters = 2)
       val idx = Similarity.ivfPqTrain(emb, "vec_id", "embedding", m, ksub,
         nlist, coarseIters = lloyd)
       for (nprobe <- Seq(2, 4, 8)) yield {

@@ -1908,10 +1908,12 @@ object SparkEntry {
     * Verify time, merged over [[oracleSql]] into oracle_sql.json. A
     * builder that throws is logged and its query falls back to the
     * rows-only gate instead of failing the whole dump. */
-  def oracleSqlDynamic(s: SparkSession, sfDir: String): Map[String, String] =
+  def oracleSqlDynamic(s: SparkSession, sfDir: String,
+                       wanted: String => Boolean = _ => true)
+      : Map[String, String] =
     Seq[(String, () => String)](
       "x9e_pack_nosplit" -> (() => QueriesLlm.x9eOracleSql(s, sfDir))
-    ).flatMap { case (n, mk) =>
+    ).filter { case (n, _) => wanted(n) }.flatMap { case (n, mk) =>
       try Some(n -> mk())
       catch { case e: Throwable =>
         System.err.println(s"[verify] dynamic oracle $n failed: " +

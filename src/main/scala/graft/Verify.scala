@@ -38,8 +38,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // `only` filter applied BEFORE the dynamic builders run — a
+    // restricted dev run must not pay x9e's corpus-wide BPE solve for
+    // an oracle it then discards
     val json = (SparkEntry.oracleSql ++
-        SparkEntry.oracleSqlDynamic(spark, sfDir))
+        SparkEntry.oracleSqlDynamic(spark, sfDir,
+          n => only.isEmpty || only(n)))
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

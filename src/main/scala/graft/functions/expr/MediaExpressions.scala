@@ -146,8 +146,12 @@ object GearChunkHashes {
   * append-prefix invariant are pinned in MultimodalSpec. */
 case class GearChunkHashes(child: Expression, avgBits: Int)
     extends UnaryExpression {
-  require(avgBits >= 2 && avgBits <= 30,
-    s"gear_chunk_hashes: avgBits=$avgBits outside [2, 30]")
+  // upper bound 20: maxLen = 2^(avgBits+2) must stay in Int (29/30 would
+  // overflow to a negative/1 threshold and force a cut on EVERY byte),
+  // and polyBW's window loop is 2^(avgBits-1) iterations — 2^19 at the
+  // bound, driver-trivial; media chunks past 1 MB have no use here anyway
+  require(avgBits >= 2 && avgBits <= 20,
+    s"gear_chunk_hashes: avgBits=$avgBits outside [2, 20]")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

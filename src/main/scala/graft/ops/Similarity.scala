@@ -57,9 +57,13 @@ object Similarity {
     require(cols.distinct.length == cols.length,
       "evalBarrier: duplicate column names — the struct round-trip " +
         "cannot resolve them unambiguously")
-    // backtick-quote the field path: a bare col("__eb.a.b") parses '.'
-    // as nested-field traversal, so dotted column names would mis-resolve
-    df.select(explode(array(struct(cols.map(col): _*))).as("__eb"))
+    require(cols.forall(!_.contains("`")),
+      "evalBarrier: backtick in a column name breaks the quoted parse")
+    // backtick-quote BOTH sides of the round-trip: a bare col("a.b")
+    // parses '.' as nested-field traversal, so a dotted column name
+    // would silently resolve to a sibling struct's field (or fail)
+    df.select(explode(array(struct(cols.map(c => col(s"`$c`")): _*)))
+        .as("__eb"))
       .select(cols.map(c => col(s"__eb.`$c`").as(c)): _*)
   }
 

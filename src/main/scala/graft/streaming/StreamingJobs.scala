@@ -491,16 +491,25 @@ object StreamingJobs {
 
   /** The serving catalog view over the base + delta IVF store: union of
     * whichever halves exist, one row per id (`dropDuplicates` — makes
-    * at-least-once appends and the rebuild's post-swap/pre-delta-clear
-    * crash window read-idempotent; a stale-assignment duplicate costs a
-    * little probe recall until the next rebuild, never a duplicate
-    * serving row). The centroid_id partition column is what the probe's
-    * equi-join prunes on. */
+    * at-least-once appends and the rebuild's crash windows
+    * read-idempotent; a stale-assignment duplicate costs a little probe
+    * recall until the next rebuild, never a duplicate serving row). The
+    * base half resolves base → base.old (the rebuild's rename window:
+    * between the two atomic renames the current base is briefly absent
+    * while the PREVIOUS epoch's copy sits at base.old — readers fall
+    * back to it, seeing the consistent pre-rebuild view). The
+    * centroid_id partition column is what the probe's equi-join prunes
+    * on. */
   def ivfServingCatalog(spark: SparkSession, basePath: String,
                         deltaPath: String, idCol: String): DataFrame = {
-    val parts = Seq(basePath, deltaPath).filter(pathExists(spark, _))
+    val base =
+      if (pathExists(spark, basePath)) Some(basePath)
+      else if (pathExists(spark, basePath + ".old")) Some(basePath + ".old")
+      else None
+    val parts = base.toSeq ++
+      Seq(deltaPath).filter(pathExists(spark, _))
     require(parts.nonEmpty,
-      s"ivfServingCatalog: neither $basePath nor $deltaPath exists")
+      s"ivfServingCatalog: neither $basePath(.old) nor $deltaPath exists")
     parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
       .dropDuplicates(idCol)
   }
@@ -510,17 +519,26 @@ object StreamingJobs {
     * stream STOPPED (AvailableNow drains are the natural cadence): read
     * base ∪ delta, train fresh centroids over the FULL catalog
     * (hash-picked seeds + `iters` Lloyd rounds), reassign every vector,
-    * stage, swap into base, then clear the delta. Returns the NEW
-    * frozen centroid table (localCheckpointed) for the next stream
-    * epoch — the stream restarts with it and the SAME checkpoint, so
-    * source offsets carry over and new updates land in the now-empty
-    * delta. Crash posture: before the swap the old store is untouched;
-    * between swap and delta-clear, readers see duplicates that
-    * [[ivfServingCatalog]] dedups; re-running the rebuild from any
-    * crash point converges (it re-reads whatever exists). Scale shape:
-    * one catalog scan for seeding/Lloyd (centroid state driver-
-    * bounded), one scan + one partitioned write for the rewrite — the
-    * rebuild is linear and runs offline while the OLD store serves. */
+    * stage, swap into base ATOMICALLY, then clear the delta. Returns
+    * the NEW frozen centroid table (localCheckpointed) for the next
+    * stream epoch — the stream restarts with it and the SAME
+    * checkpoint, so source offsets carry over and new updates land in
+    * the now-empty delta.
+    *
+    * Crash posture — the swap is two FS RENAMES (each atomic on
+    * HDFS/local), never an overwrite of the only live copy (a
+    * mode("overwrite") base write deletes the old base BEFORE the new
+    * job commits: a crash there would permanently lose every row that
+    * lived only in base): (1) stage written beside base; (2) current
+    * base renamed to base.old; (3) stage renamed to base; (4) base.old
+    * and delta deleted. At every crash point at least one complete
+    * base copy exists and [[ivfServingCatalog]]'s base → base.old
+    * fallback serves the consistent pre-rebuild view; re-running the
+    * rebuild from any crash point converges (it re-reads whatever the
+    * fallback resolves and re-stages). Scale shape: one catalog scan
+    * for seeding/Lloyd (centroid state driver-bounded), one scan + one
+    * partitioned write for the rewrite — the rebuild is linear and
+    * runs offline while the OLD store serves. */
   def rebuildIvfStore(spark: SparkSession, basePath: String,
                       deltaPath: String, idCol: String, vecCol: String,
                       nlist: Int, iters: Int = 2,
@@ -536,12 +554,19 @@ object StreamingJobs {
     graft.ops.Similarity.assignClusters(store, vecCol, cents)
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(stage)
-    spark.read.parquet(stage)
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(basePath)
-    val fs = new org.apache.hadoop.fs.Path(deltaPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(deltaPath), true)
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(basePath).getFileSystem(conf)
+    // atomic two-rename swap; base.old from a PRIOR crashed swap is
+    // superseded by the fresh stage, so clear it before renaming
+    fs.delete(p(basePath + ".old"), true)
+    if (fs.exists(p(basePath)))
+      require(fs.rename(p(basePath), p(basePath + ".old")),
+        s"rebuildIvfStore: rename $basePath -> .old failed")
+    require(fs.rename(p(stage), p(basePath)),
+      s"rebuildIvfStore: rename $stage -> $basePath failed")
+    fs.delete(p(basePath + ".old"), true)
+    fs.delete(p(deltaPath), true)
     cents
   }
 

@@ -931,6 +931,15 @@ class StreamingSpec extends AnyFunSuite {
     val cents2 = StreamingJobs.rebuildIvfStore(spark, bs, delta,
       "vec_id", "embedding", nlist = 4, iters = 1)
     assert(!new java.io.File(delta).exists(), "delta not cleared")
+    assert(!new java.io.File(bs + ".old").exists(), ".old not cleared")
+    assert(!new java.io.File(bs + ".stage").exists(), ".stage not cleared")
+    // crash-window fallback: between the swap's two renames the current
+    // base is briefly at base.old — the catalog view must fall back to
+    // it and serve the full pre-rebuild view
+    assert(new java.io.File(bs).renameTo(new java.io.File(bs + ".old")))
+    assert(StreamingJobs.ivfServingCatalog(spark, bs, delta, "vec_id")
+      .count() === 40L, "base.old fallback broken")
+    assert(new java.io.File(bs + ".old").renameTo(new java.io.File(bs)))
     val expect2 = ops.Similarity.assignClusters(
         vecs.toDF("vec_id", "embedding"), "embedding", cents2)
       .select(col("vec_id"), col("centroid_id").cast("long"))
