@@ -55,10 +55,16 @@ object Explain {
     * benign shapes are excluded: (a) pure-IsNotNull conjunctions —
     * joins above the barrier PROPAGATE IsNotNull constraints onto
     * their inputs, which land right above the Generate by
-    * construction; (b) a predicate whose identifier-erased shape also
-    * appears in a Filter below the Generate — constraint propagation
-    * RE-INFERRING an already-pushed predicate at a join (redundant,
-    * not lost). Tested with positive + negative controls in
+    * construction; (b) a predicate whose identifier-erased shape AND
+    * referenced column-name set both appear in a Filter below the
+    * Generate — constraint propagation RE-INFERRING an already-pushed
+    * predicate at a join (redundant, not lost). The name set matters
+    * (ADVICE r17): shape alone erases `a < 10` and `b < 10` to the
+    * same `_<10`, so a genuinely stranded predicate on one column was
+    * suppressed by an unrelated below-barrier filter on another —
+    * evalBarrier's struct round-trip preserves column names across the
+    * Generate, so name-matching through it is sound. Tested with
+    * positive + negative controls (incl. the cross-column case) in
     * ScaleAndGuardsSpec. */
   private[graft] def hasStrandedBarrierFilter(
       plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
@@ -98,18 +104,36 @@ object Explain {
         .replaceAll("[A-Za-z_][A-Za-z0-9_.]*", "_")
         .replaceAll("_(\\._)+", "_")
         .replaceAll("#\\d+", "").replaceAll("\\s+", "")
+    // a conjunct's identity = erased shape + the SET of column names it
+    // references (names survive the barrier's struct round-trip; exprIds
+    // do not, so names are the strongest stable key available). An
+    // above-barrier conjunct reads columns THROUGH the Generate's struct
+    // output (`__eb.id < 5`), so struct-field accesses resolve to the
+    // FIELD name, not the struct attribute's — otherwise every above
+    // conjunct would key on {__eb} and never match its below twin.
+    def effNames(e: org.apache.spark.sql.catalyst.expressions.Expression):
+        Set[String] = e match {
+      case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+        Set(g.extractFieldName)
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        Set(a.name)
+      case _ => e.children.flatMap(effNames).toSet
+    }
+    def key(e: org.apache.spark.sql.catalyst.expressions.Expression):
+        (String, Set[String]) =
+      (shape(e), effNames(e))
     plan.collect {
       case f: org.apache.spark.sql.execution.FilterExec
           if isBarrierGenerate(throughProjects(f.child)) =>
         val gen = throughProjects(f.child)
         val below = gen.collect {
           case bf: org.apache.spark.sql.execution.FilterExec =>
-            conjuncts(bf.condition).map(shape)
+            conjuncts(bf.condition).map(key)
         }.flatten.toSet
         conjuncts(f.condition).exists {
           case _: org.apache.spark.sql.catalyst.expressions.IsNotNull =>
             false
-          case c => !below.contains(shape(c))
+          case c => !below.contains(key(c))
         }
     }.exists(identity)
   }

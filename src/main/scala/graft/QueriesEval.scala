@@ -1248,8 +1248,14 @@ object QueriesEval {
           s, baseStore, delta, "vec_id")
         val requests = emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("u"), col("embedding"))
-        val served = Similarity.clusterPrunedTopKStored(requests, catalog,
-          "u", "vec_id", "embedding", k, cents1, nprobe = nprobe,
+        // servedTopKFromStore (r18): the probed centroid set is pushed
+        // BELOW the catalog's dedup as an IN-filter on the partition
+        // column, so unprobed store partitions are never listed — the
+        // r17 form joined ABOVE the assembled catalog and scanned every
+        // partition (ADVICE r17: the dedup shuffle + eval barrier block
+        // pushdown). Both plan contracts REQUIREd below.
+        val served = Similarity.servedTopKFromStore(requests, baseStore,
+          delta, "u", "vec_id", "embedding", k, cents1, nprobe = nprobe,
           metric = "cosine", excludeSelf = true)
         val pruneJoins = served.queryExecution.sparkPlan.collect {
           case j: org.apache.spark.sql.execution.joins.BaseJoinExec
@@ -1260,6 +1266,14 @@ object QueriesEval {
         require(pruneJoins.nonEmpty,
           "c5c_ivf_stream_refresh: serving must probe through a " +
             "centroid_id equi-join over the stored assignment")
+        val prunedScans = served.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.partitionFilters.exists(
+                _.references.exists(_.name == "centroid_id")) => f
+        }
+        require(prunedScans.nonEmpty,
+          "c5c_ivf_stream_refresh: the probed centroid set must reach " +
+            "the store scans as partitionFilters (file-listing pruning)")
         val exact = Similarity.bruteForceTopK(requests,
           catalog.select(col("vec_id"), col("embedding")), "u", "vec_id",
           "embedding", k, "cosine", excludeSelf = true)

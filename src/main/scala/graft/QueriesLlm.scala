@@ -103,6 +103,21 @@ object QueriesLlm {
     * identical first-32-bits-of-md5 comparison. */
   private def hx(f: Double): String = f"${(f * 4294967296.0).toLong}%08x"
 
+  /** Planted-id offset for the multimodal near-dup harnesses (ADVICE
+    * r17): derived from the corpus (max(doc_id) + 1, one column-pruned
+    * scan) instead of a constant — at any sf where real doc_ids reach a
+    * hard-coded constant, the planted keyspace would collide with
+    * genuine ids and silently corrupt planted_recall. Requires
+    * non-negative ids so `k·off`-spaced plant generations stay disjoint
+    * from the corpus and from each other. */
+  private def plantedOffset(media: DataFrame): Long = {
+    val r = media.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .head()
+    require(!r.isNullAt(0) && r.getLong(0) >= 0L,
+      s"plantedOffset: doc_id must be non-negative, min=${r.get(0)}")
+    r.getLong(1) + 1L
+  }
+
   /** 3-step BPE oracle, shared by t_bpe_merges (recomputing form) and
     * t_bpe_materialized (checkpointing form) — the two must learn the
     * IDENTICAL table, so they hash against the identical SQL. */
@@ -1106,6 +1121,72 @@ object QueriesLlm {
       }.reduce(_ unionAll _).orderBy(col("nprobe"))
     }, None),
 
+    // --- Residual IVF∘PQ on the corpus where the mechanism WORKS (r17
+    //     verdict #4): r14c runs on the driver's geometry-free table,
+    //     where cell means ≈ 0 and residual ≈ raw BY CONSTRUCTION
+    //     (ANN_CURVE r17) — so a regression in the residual path is
+    //     invisible there. This row re-measures raw-vs-residual every
+    //     round on the deterministic hash-derived mixture-of-Gaussians
+    //     corpus (the d_semantic_recall_geo device at cluster
+    //     granularity — graft.ResidualCurve.mogCorpus, no RNG, same
+    //     rows every run; the sf dir is intentionally unused: the
+    //     corpus IS the planted geometry) at the adjudicated operating
+    //     point mog:2000:16:0.15, lloyd=2, nprobe=4, m=16, ksub=64,
+    //     nlist=16 — where r17 measured raw ADC 0.276 vs res ADC 0.480
+    //     (+74% relative) and ONLY the residual arm responds to Lloyd
+    //     (the mechanism's signature). Identical coarse table across
+    //     arms (same pickCentroids seed + refine), so the delta is pure
+    //     quantization. No SQL oracle (native kernels + recall
+    //     measurement); VectorSpec pins the structural margin. ---
+    ("r14d_ivfpq_residual_geo", (s, _) => {
+      val e = graft.ResidualCurve.mogCorpus(s, 2000, 16, 0.15)
+        .localCheckpoint(false)
+      val lloyd = 2; val nprobe = 4; val nlist = 16; val k = 5
+      val queries = e.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(queries, e,
+        "vec_id", "vec_id", "embedding", k, "cosine", excludeSelf = true)
+        .select(col("query_id"), col("item_id")).localCheckpoint()
+      def hitsOf(approx: DataFrame, as: String) =
+        exact.join(approx.select(col("query_id"), col("item_id")),
+          Seq("query_id", "item_id"), "left_semi")
+          .agg(count(lit(1)).as(as))
+      val tot = exact.agg(count(lit(1)).as("n_exact"))
+      val cbRaw = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 16, ksub = 64, refineIters = 2)
+      val idx = Similarity.ivfPqTrain(e, "vec_id", "embedding",
+        m = 16, ksub = 64, nlist = nlist, coarseIters = lloyd)
+      val rawAdc = hitsOf(Similarity.clusterPrunedTopKPq(queries, e,
+        "vec_id", "vec_id", "embedding", k, cbRaw, nlist = nlist,
+        nprobe = nprobe, refineIters = lloyd, excludeSelf = true),
+        "n_raw_adc")
+      val resAdc = hitsOf(Similarity.clusterPrunedTopKPqResidual(
+        queries, e, "vec_id", "vec_id", "embedding", k, idx,
+        nprobe = nprobe, excludeSelf = true), "n_res_adc")
+      val rawRef = hitsOf(Similarity.clusterPrunedTopKPq(queries, e,
+        "vec_id", "vec_id", "embedding", k, cbRaw, nlist = nlist,
+        nprobe = nprobe, refineIters = lloyd, refineFactor = 10,
+        excludeSelf = true), "n_raw_ref")
+      val resRef = hitsOf(Similarity.clusterPrunedTopKPqResidual(
+        queries, e, "vec_id", "vec_id", "embedding", k, idx,
+        nprobe = nprobe, refineFactor = 10, excludeSelf = true),
+        "n_res_ref")
+      rawAdc.crossJoin(resAdc).crossJoin(rawRef).crossJoin(resRef)
+        .crossJoin(tot).select(
+          lit(16).as("m"), lit(64).as("ksub"), lit(nlist).as("nlist"),
+          lit(nprobe).as("nprobe"), lit(lloyd).as("lloyd"),
+          col("n_exact"),
+          round(col("n_raw_adc").cast("double") / col("n_exact"), 4)
+            .as("recall_raw_adc"),
+          round(col("n_res_adc").cast("double") / col("n_exact"), 4)
+            .as("recall_res_adc"),
+          round(col("n_raw_ref").cast("double") / col("n_exact"), 4)
+            .as("recall_raw_refined"),
+          round(col("n_res_ref").cast("double") / col("n_exact"), 4)
+            .as("recall_res_refined"),
+          round((col("n_res_adc") - col("n_raw_adc")).cast("double") /
+            col("n_exact"), 4).as("res_minus_raw_adc"))
+    }, None),
+
     // --- Corpus heavy hitters: global top-50 terms. TakeOrdered top-k
     //     (no full sort); the rank is recovered by sorting the ≤50
     //     survivors inside ONE array and posexploding — no unpartitioned
@@ -1873,10 +1954,11 @@ object QueriesLlm {
       // measure <= 4 at every sf (sf0.001..sf1), inside the radius.
       // planted_recall stays a MEASUREMENT of the signature+radius
       // operating point, not an assert — a sub-1.0 round is information.
+      val off = plantedOffset(media)
       val eligible = media.filter(length(col("media")) >= 200)
         .orderBy(col("doc_id")).limit(25).localCheckpoint(false)
       val planted = eligible
-        .select((col("doc_id") + 10000000L).as("doc_id"),
+        .select((col("doc_id") + off).as("doc_id"),
           concat(
             col("media").substr(lit(1), length(col("media")) / 3),
             lit(Array[Byte](0)),
@@ -1904,7 +1986,7 @@ object QueriesLlm {
         maxHamming = 4)
       val want = eligible
         .select(col("doc_id").as("id1"),
-          (col("doc_id") + 10000000L).as("id2"))
+          (col("doc_id") + off).as("id2"))
       val recovered = pairs.join(want, Seq("id1", "id2"), "left_semi")
         .agg(count(lit(1)).as("n_recovered"))
       val total = pairs.agg(count(lit(1)).as("n_pairs"),
@@ -1937,10 +2019,11 @@ object QueriesLlm {
       // plant on payloads >= 200 bytes — CDC's Jaccard needs ~15+ chunks
       // of resolution (a 57-byte blob is 3 chunks; one touched chunk is
       // a third of the set — the tiny-blob regime belongs to exact dedup)
+      val off = plantedOffset(media)
       val eligible = media.filter(length(col("media")) >= 200)
         .orderBy(col("doc_id")).limit(25).localCheckpoint(false)
       val planted = eligible
-        .select((col("doc_id") + 10000000L).as("doc_id"),
+        .select((col("doc_id") + off).as("doc_id"),
           concat(
             col("media").substr(lit(1), length(col("media")) / 2),
             lit(Array[Byte](42)),
@@ -1959,7 +2042,7 @@ object QueriesLlm {
         avgBits = 4, bands = 32, threshold = 0.5, maxBucketSize = 256)
       val want = eligible
         .select(col("doc_id").as("id1"),
-          (col("doc_id") + 10000000L).as("id2"))
+          (col("doc_id") + off).as("id2"))
       val recovered = pairs.join(want, Seq("id1", "id2"), "left_semi")
         .agg(count(lit(1)).as("n_recovered"))
       val total = pairs.agg(count(lit(1)).as("n_pairs"),
@@ -1970,6 +2053,83 @@ object QueriesLlm {
         round(col("n_recovered").cast("double") / col("n_planted"), 4)
           .as("planted_recall"),
         col("n_pairs"), col("min_jaccard"))
+    }, None),
+
+    // --- Multimodal dedup END-TO-END RESOLUTION (r17 verdict #2 — the
+    //     composition the text side ships as x16_dedup_resolve, over the
+    //     opaque binary column): perceptual block-hash CANDIDATES
+    //     (m_phash's radius-4 banding) → content-level chunk-Jaccard
+    //     VERIFY (the downstream stage m_phash's precision ceiling
+    //     mandates — structural 64-bit collisions between unrelated
+    //     docs are re-checked against content) → connected components →
+    //     min-id keeper → kept corpus. 25 eligible docs are planted as
+    //     3-member groups (orig + TWO distinct 1-byte-overwrite copies)
+    //     so the CC stage's TRANSITIVE collapse is exercised: copyA and
+    //     copyB need not be a direct candidate pair, the group must
+    //     resolve through orig. Reported per round: full-pipeline group
+    //     recall (all 3 members in ONE component — robust to an orig
+    //     legitimately merging into a lower-id REAL dup group),
+    //     verify-stage survival rate (the measured precision number for
+    //     the candidate stage), and kept-corpus accounting. No SQL
+    //     oracle (native BlockHash64/GearChunkHashes kernels). ---
+    ("m_dedup_resolve", (s, d) => {
+      val media = Multimodal.attachFakeMedia(
+          SparkEntry.T(s, d, "documents"), "text")
+        .select(col("doc_id"), col("media"))
+      val off = plantedOffset(media)
+      val eligible = media.filter(length(col("media")) >= 200)
+        .orderBy(col("doc_id")).limit(25).localCheckpoint(false)
+      // two length-preserving 1-byte overwrites at different positions —
+      // the edit class the block signature is measured robust to
+      // (hamming <= 4 on >=200-byte docs, the m_phash contract)
+      def overwriteAt(den: Int) = concat(
+        col("media").substr(lit(1), length(col("media")) / den),
+        lit(Array[Byte](0)),
+        col("media").substr(length(col("media")) / den + 2,
+          length(col("media"))))
+      val copyA = eligible.select((col("doc_id") + off).as("doc_id"),
+        overwriteAt(3).as("media"))
+      val copyB = eligible.select((col("doc_id") + 2 * off).as("doc_id"),
+        overwriteAt(2).as("media"))
+      val corpus = media.unionByName(copyA).unionByName(copyB)
+        .localCheckpoint(false)
+      val cand = Multimodal.mediaNearDups(corpus, "doc_id", "media",
+        maxHamming = 4)
+      // verify at the m_cdc operating point (threshold 0.5, 16-byte
+      // expected chunks): a 1-2-chunk edit on a 12+-chunk doc keeps
+      // Jaccard well above 0.5; unrelated block-hash collisions fall
+      // below it unless they genuinely share content
+      val verified = Multimodal.verifyPairsChunkJaccard(corpus, "doc_id",
+        "media", cand, threshold = 0.5, avgBits = 4)
+      val cc = Dedup.connectedComponents(
+        verified.select(col("id1"), col("id2")), "id1", "id2")
+      val trio = eligible.select(col("doc_id").as("g"))
+        .select(col("g"), explode(array(col("g"), col("g") + off,
+          col("g") + 2 * off)).as("id"))
+      val resolved = trio.join(cc, Seq("id"), "left")
+        .groupBy(col("g"))
+        .agg(count(col("component")).as("n_lab"),
+          countDistinct(col("component")).as("n_comp"))
+        .filter(col("n_lab") === 3 && col("n_comp") === 1)
+        .agg(count(lit(1)).as("n_groups_resolved"))
+      val drop = cc.filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id")).localCheckpoint(false)
+      val kept = corpus.join(drop, Seq("doc_id"), "left_anti")
+      val counts = cand.agg(count(lit(1)).as("n_candidates")).crossJoin(
+          verified.agg(count(lit(1)).as("n_verified")))
+        .crossJoin(eligible.agg(count(lit(1)).as("n_planted_groups")))
+        .crossJoin(drop.filter(col("doc_id") > lit(off) - 1)
+          .agg(count(lit(1)).as("n_planted_dropped")))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+      resolved.crossJoin(counts).select(
+        col("n_planted_groups"), col("n_groups_resolved"),
+        round(col("n_groups_resolved").cast("double") /
+          col("n_planted_groups"), 4).as("group_recall"),
+        col("n_candidates"), col("n_verified"),
+        when(col("n_candidates") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_verified").cast("double") /
+            col("n_candidates"), 4)).as("verify_rate"),
+        col("n_planted_dropped"), col("n_kept"))
     }, None),
 
     // --- Multimodal decode stub: deterministic pseudo-features (U5 shape) ---

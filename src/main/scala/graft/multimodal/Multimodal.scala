@@ -130,6 +130,44 @@ object Multimodal {
       bands, threshold, seed, maxBucketSize)
   }
 
+  /** Content-level VERIFY of candidate near-dup pairs (the downstream
+    * stage [[mediaNearDups]]'s scaladoc mandates — at corpus scale the
+    * 64-bit block signature is a CANDIDATE generator whose structural
+    * collisions must be re-checked against content): exact chunk-set
+    * Jaccard over the CDC chunk hashes ([[cdcChunkHashes]] — content-
+    * defined, so the measure is robust to the edit classes both
+    * signature families target). Chunk sets are computed ONLY for ids
+    * that appear in a candidate pair (semi-join below the chunk
+    * projection — at scale candidates ≪ corpus, so the expensive
+    * chunking kernel never runs on unpaired rows); two broadcast-or-
+    * shuffle hash joins stitch sets onto pairs. Empty∧empty payloads
+    * verify at Jaccard 1 (contentless blobs are exact dups). Output:
+    * (id1, id2, jaccard) for pairs with jaccard >= threshold. */
+  def verifyPairsChunkJaccard(df: DataFrame, idCol: String,
+                              mediaCol: String, pairs: DataFrame,
+                              threshold: Double,
+                              avgBits: Int = 4): DataFrame = {
+    val candIds = pairs.select(col("id1").as(idCol))
+      .unionByName(pairs.select(col("id2").as(idCol))).distinct()
+    val sets = df.select(col(idCol), col(mediaCol))
+      .join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        array_distinct(cdcChunkHashes(col(mediaCol), avgBits)).as("__set"))
+    val j = pairs.select(col("id1"), col("id2"))
+      .join(sets.select(col(idCol).as("id1"), col("__set").as("__s1")),
+        Seq("id1"))
+      .join(sets.select(col(idCol).as("id2"), col("__set").as("__s2")),
+        Seq("id2"))
+      .withColumn("__union",
+        size(array_union(col("__s1"), col("__s2"))))
+      .withColumn("jaccard",
+        when(col("__union") === 0, lit(1.0))
+          .otherwise(size(array_intersect(col("__s1"), col("__s2")))
+            .cast("double") / col("__union")))
+    j.filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** STUB decode: deterministic pseudo-features from the payload bytes —
     * dim hash-derived doubles in [0,1). A real implementation would decode
     * pixels/samples here (batched `mapPartitions` with a native codec); the

@@ -1241,6 +1241,31 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("item_id"), col("score"))
   }
 
+  /** The query-side IVF probe: per query, its `nprobe` nearest
+    * centroids (request-sized cross against the nlist-bounded table;
+    * ties broken by centroid_id so the probed set is DETERMINISTIC —
+    * [[servedTopKFromStore]] relies on recomputing it bit-identically).
+    * Queries are metric-prepped here ("cosine" → L2-normalized once).
+    * Returns (query_id, centroid_id, __qv). */
+  private[graft] def probeNearestCentroids(queries: DataFrame,
+                                           queryId: String, vecCol: String,
+                                           centroids: DataFrame, nprobe: Int,
+                                           metric: String): DataFrame = {
+    val q0 =
+      if (metric == "cosine")
+        normalized(queries.select(col(queryId).as("query_id"),
+          col(vecCol).as("__qv")), "__qv", "__qv")
+      else queries.select(col(queryId).as("query_id"),
+        col(vecCol).as("__qv"))
+    val scored = q0.crossJoin(broadcast(centroids))
+      .withColumn("__d", l2Distance(col("__qv"), col("centroid_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d"), col("centroid_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id"), col("__qv"))
+  }
+
   /** R4, STORED-ASSIGNMENT serving form (r17 — the probe half of the
     * streaming index-maintenance composition): top-k retrieval over a
     * catalog that already carries its `centroid_id` — the
@@ -1249,8 +1274,14 @@ object Similarity {
     * `rebuildIvfStore`) — so serving never re-assigns the catalog: the
     * query probes its `nprobe` nearest centroids (request-sized cross
     * against the nlist-bounded table) and the candidate set is ONE
-    * broadcast hash join on `centroid_id`, which is also the store's
-    * partition column — partition pruning reaches the file listing.
+    * broadcast hash join on `centroid_id`, the store's partition
+    * column. NOTE the join alone prunes COMPUTE, not I/O: when
+    * `catalog` is the assembled serving view
+    * ([[graft.streaming.StreamingJobs.ivfServingCatalog]]) its dedup
+    * shuffle and the eval barrier here block the join key from
+    * reaching the parquet scan, so every partition is LISTED and READ —
+    * use [[servedTopKFromStore]] to get file-listing pruning (it
+    * threads the probed centroid set below the catalog's dedup).
     * `centroids` must be the SAME frozen table the store was assigned
     * with (the frozen-tokenizer contract); `metric` must match the
     * vector space the assignment ran in ("l2" raw / "cosine"
@@ -1272,18 +1303,10 @@ object Similarity {
           col(vecCol).as(outVec)) ++ extra: _*), outVec, outVec)
       else df.select(Seq(col(idC).as(outId), col(vecCol).as(outVec)) ++
         extra: _*)
-    val q0 = prep(queries, queryId, "query_id", "__qv")
     val it = evalBarrier(prep(catalog, itemId, "item_id", "__iv",
       Seq(col("centroid_id"))))
-    val qProbe = {
-      val scored = q0.crossJoin(broadcast(centroids))
-        .withColumn("__d", l2Distance(col("__qv"), col("centroid_vec")))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("__d"), col("centroid_id"))
-      scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= nprobe)
-        .select(col("query_id"), col("centroid_id"), col("__qv"))
-    }
+    val qProbe = probeNearestCentroids(queries, queryId, vecCol,
+      centroids, nprobe, metric)
     val cand0 = it.join(broadcast(qProbe), Seq("centroid_id"))
     val cand =
       if (excludeSelf) cand0.filter(col("query_id") =!= col("item_id"))
@@ -1296,6 +1319,40 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("item_id"), col("score"))
+  }
+
+  /** [[clusterPrunedTopKStored]] with REAL partition pruning over the
+    * base+delta store (the serving composition the r17 store layout was
+    * built for): the probed centroid set is computed FIRST (one
+    * request-sized job — queries × nlist cross, then a driver collect
+    * bounded by min(nlist, requests·nprobe), the collectCentroids
+    * class), the catalog is assembled with that set as an IN-filter on
+    * each half BELOW the union/dedup
+    * ([[graft.streaming.StreamingJobs.ivfServingCatalog]]'s
+    * `probedCentroids`), so the filter lands in the scans'
+    * partitionFilters and unprobed partitions are never LISTED — the
+    * only ANN plan here that skips I/O, not just compute. The probe
+    * inside [[clusterPrunedTopKStored]] recomputes the same set
+    * (deterministic tie-break), so results are identical to serving
+    * against the full catalog: every probed (query, cell) pair sees
+    * exactly the rows the unpruned join would feed it. Returns the
+    * [[bruteForceTopK]] output contract. */
+  def servedTopKFromStore(queries: DataFrame, basePath: String,
+                          deltaPath: String, queryId: String,
+                          itemId: String, vecCol: String, k: Int,
+                          centroids: DataFrame, nprobe: Int,
+                          metric: String = "l2",
+                          excludeSelf: Boolean = false): DataFrame = {
+    // centroid_id is IntegerType or LongType depending on the producer
+    // (a parquet partition dir reads back as int) — collect numerically
+    val probed = probeNearestCentroids(queries, queryId, vecCol,
+      centroids, nprobe, metric)
+      .select(col("centroid_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val catalog = graft.streaming.StreamingJobs.ivfServingCatalog(
+      queries.sparkSession, basePath, deltaPath, itemId, Some(probed))
+    clusterPrunedTopKStored(queries, catalog, queryId, itemId, vecCol, k,
+      centroids, nprobe, metric, excludeSelf)
   }
 
   // =====================================================================

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -443,10 +444,14 @@ object StreamingJobs {
     * is assigned to its nearest FROZEN centroid (the native
     * [[graft.ops.Similarity.assignClusters]] kernel — a pure projection,
     * so the streaming plan stays stateless: no shuffle, no state store)
-    * and lands in a `centroid_id`-partitioned parquet store, so the
-    * serving probe's centroid_id equi-join reads ONLY probed partitions
-    * (partition pruning at the file listing — the c5 retrieval shape on
-    * an incrementally-maintained catalog).
+    * and lands in a `centroid_id`-partitioned parquet store. The
+    * partition layout enables file-listing pruning for readers that
+    * filter centroid_id BELOW the catalog's dedup —
+    * [[graft.ops.Similarity.servedTopKFromStore]] threads the probed
+    * centroid set down to the scans and reads ONLY probed partitions;
+    * a centroid_id equi-join placed ABOVE the assembled catalog
+    * ([[ivfServingCatalog]]) is correct but scans every partition (the
+    * dedup shuffle and the probe-side eval barrier block pushdown).
     *
     * FROZEN-CENTROIDS contract (the frozen-tokenizer pattern applied to
     * ANN): `centroids` must be the SAME table across every micro-batch
@@ -483,36 +488,89 @@ object StreamingJobs {
     * against the frozen centroids (native kernel, pure projection) and
     * append `centroid_id`-partitioned parquet. Replays append twice on
     * retry; readers go through [[ivfServingCatalog]]'s id-dedup, so
-    * at-least-once delivery is invisible downstream. */
+    * at-least-once delivery is invisible downstream. Refuses LOUDLY
+    * while [[rebuildIvfStore]]'s lock is present — an append during the
+    * rebuild window would land in a delta the rebuild is about to
+    * delete (silent row loss); the stream must be stopped across a
+    * rebuild (the scaladoc contract, now enforced). A lock left by a
+    * CRASHED rebuild keeps appends failing until the rebuild is re-run
+    * to completion (the recovery path, which clears it) — loud
+    * unavailability over silent loss. */
   def ivfIndexedAppendBatch(batch: DataFrame, centroids: DataFrame,
-                            vecCol: String, deltaPath: String): Unit =
+                            vecCol: String, deltaPath: String): Unit = {
+    require(!pathExists(batch.sparkSession, rebuildLockPath(deltaPath)),
+      s"ivfIndexedAppendBatch: rebuild in progress (or a crashed rebuild " +
+        s"left its lock) at ${rebuildLockPath(deltaPath)} — appends now " +
+        "would land in a delta the rebuild deletes; stop the appender " +
+        "across rebuilds, or re-run rebuildIvfStore to completion to " +
+        "clear the lock")
     graft.ops.Similarity.assignClusters(batch, vecCol, centroids)
       .write.mode("append").partitionBy("centroid_id").parquet(deltaPath)
+  }
 
   /** The serving catalog view over the base + delta IVF store: union of
-    * whichever halves exist, one row per id (`dropDuplicates` — makes
-    * at-least-once appends and the rebuild's crash windows
-    * read-idempotent; a stale-assignment duplicate costs a little probe
-    * recall until the next rebuild, never a duplicate serving row). The
-    * base half resolves base → base.old (the rebuild's rename window:
-    * between the two atomic renames the current base is briefly absent
-    * while the PREVIOUS epoch's copy sits at base.old — readers fall
-    * back to it, seeing the consistent pre-rebuild view). The
-    * centroid_id partition column is what the probe's equi-join prunes
-    * on. */
+    * whichever halves exist, one row per id — the DELTA row wins a
+    * base/delta duplicate DETERMINISTICALLY (the delta holds the
+    * fresher assignment: an id present in both halves is the rebuild
+    * crash window or an at-least-once replay straddling a rebuild, and
+    * serving the newer vector/assignment is strictly better than an
+    * arbitrary `dropDuplicates` pick; duplicates WITHIN one half are
+    * byte-identical replays, so their tie is value-irrelevant). This
+    * makes at-least-once appends and the rebuild's crash windows
+    * read-idempotent AND reproducible. The base half resolves base →
+    * base.old (the rebuild's rename window: between the two atomic
+    * renames the current base is briefly absent while the PREVIOUS
+    * epoch's copy sits at base.old — readers fall back to it, seeing
+    * the consistent pre-rebuild view).
+    *
+    * `probedCentroids`: optional centroid_id IN-filter applied to EACH
+    * half BELOW the union/dedup — because the store is partitioned by
+    * centroid_id, the filter lands in the scan's partitionFilters and
+    * prunes at the FILE LISTING. This is the only way a reader gets
+    * partition pruning out of the store: the catalog's dedup shuffles
+    * (and downstream eval barriers block pushdown), so a centroid_id
+    * predicate applied ABOVE the catalog never reaches the scan
+    * ([[graft.ops.Similarity.servedTopKFromStore]] is the serving
+    * composition that threads the probed set down here). Correctness is
+    * unaffected for readers that only consume the probed cells: the
+    * winner-per-id resolution is per-row (an id's base and delta copies
+    * that disagree on centroid_id are resolved to the delta row
+    * whenever the delta cell is probed; if only the stale base cell is
+    * probed the stale row is served — the same staleness window the
+    * unpruned catalog has until the next rebuild). */
   def ivfServingCatalog(spark: SparkSession, basePath: String,
-                        deltaPath: String, idCol: String): DataFrame = {
+                        deltaPath: String, idCol: String,
+                        probedCentroids: Option[Seq[Long]] = None)
+      : DataFrame = {
     val base =
       if (pathExists(spark, basePath)) Some(basePath)
       else if (pathExists(spark, basePath + ".old")) Some(basePath + ".old")
       else None
-    val parts = base.toSeq ++
-      Seq(deltaPath).filter(pathExists(spark, _))
-    require(parts.nonEmpty,
+    val prune: DataFrame => DataFrame = df => probedCentroids match {
+      case Some(ids) => df.filter(col("centroid_id").isin(ids: _*))
+      case None => df
+    }
+    val halves =
+      base.toSeq.map(bp =>
+        prune(spark.read.parquet(bp)).withColumn("__epoch", lit(0))) ++
+      Seq(deltaPath).filter(pathExists(spark, _)).map(dp =>
+        prune(spark.read.parquet(dp)).withColumn("__epoch", lit(1)))
+    require(halves.nonEmpty,
       s"ivfServingCatalog: neither $basePath(.old) nor $deltaPath exists")
-    parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
-      .dropDuplicates(idCol)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__epoch").desc)
+    halves.reduce(_ unionByName _)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__epoch", "__rn")
   }
+
+  /** The rebuild lock guarding the append/rebuild race: while present,
+    * [[ivfIndexedAppendBatch]] refuses to append (LOUD fail) — an
+    * append landing in the delta during [[rebuildIvfStore]]'s window
+    * would be silently deleted by the end-of-rebuild delta clear, the
+    * exact row-loss class the two-rename swap exists to prevent. */
+  private[graft] def rebuildLockPath(deltaPath: String): String =
+    deltaPath + ".rebuild.lock"
 
   /** The periodic re-train half of [[ivfIndexedAppendStream]]'s
     * contract — the batch MATERIALIZATION job, run with the append
@@ -529,20 +587,39 @@ object StreamingJobs {
     * HDFS/local), never an overwrite of the only live copy (a
     * mode("overwrite") base write deletes the old base BEFORE the new
     * job commits: a crash there would permanently lose every row that
-    * lived only in base): (1) stage written beside base; (2) current
-    * base renamed to base.old; (3) stage renamed to base; (4) base.old
-    * and delta deleted. At every crash point at least one complete
-    * base copy exists and [[ivfServingCatalog]]'s base → base.old
-    * fallback serves the consistent pre-rebuild view; re-running the
-    * rebuild from any crash point converges (it re-reads whatever the
-    * fallback resolves and re-stages). Scale shape: one catalog scan
-    * for seeding/Lloyd (centroid state driver-bounded), one scan + one
-    * partitioned write for the rewrite — the rebuild is linear and
-    * runs offline while the OLD store serves. */
+    * lived only in base): (1) stage written beside base; (2) IFF a
+    * complete base exists: stale base.old deleted, base renamed to
+    * base.old; (3) stage renamed to base; (4) base.old and delta
+    * deleted. The stale-.old delete is INSIDE the base-exists branch on
+    * purpose: when base is absent (a prior swap crashed between ITS two
+    * renames), base.old is the only live copy and must survive until
+    * step (3) installs the fresh base — deleting it up front would
+    * open a window (crash before step 3) with NO live copy at all, and
+    * the next rebuild would silently retrain from delta alone. With
+    * this ordering every crash point leaves at least one complete base
+    * copy resolvable by [[ivfServingCatalog]]'s base → base.old
+    * fallback, and re-running the rebuild from any crash point
+    * converges (it re-reads whatever the fallback resolves and
+    * re-stages; a leftover stage is overwritten, a leftover .old is
+    * superseded once the fresh base lands).
+    *
+    * Concurrency: takes the [[rebuildLockPath]] lock for the whole run
+    * (appenders fail loudly while it is held — see
+    * [[ivfIndexedAppendBatch]]); a lock left by a CRASHED rebuild is
+    * adopted, since re-running the rebuild IS the recovery path.
+    * Rebuilds are contractually single-instance. Scale shape: one
+    * catalog scan for seeding/Lloyd (centroid state driver-bounded),
+    * one scan + one partitioned write for the rewrite — the rebuild is
+    * linear and runs offline while the OLD store serves. */
   def rebuildIvfStore(spark: SparkSession, basePath: String,
                       deltaPath: String, idCol: String, vecCol: String,
                       nlist: Int, iters: Int = 2,
                       seed: Long = 42): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(basePath).getFileSystem(conf)
+    val lock = p(rebuildLockPath(deltaPath))
+    if (!fs.exists(lock)) fs.create(lock, false).close()
     val store = ivfServingCatalog(spark, basePath, deltaPath, idCol)
       .select(col(idCol), col(vecCol))
     val seeds = graft.ops.Similarity.pickCentroids(store, idCol, vecCol,
@@ -554,19 +631,18 @@ object StreamingJobs {
     graft.ops.Similarity.assignClusters(store, vecCol, cents)
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(stage)
-    val conf = spark.sparkContext.hadoopConfiguration
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val fs = p(basePath).getFileSystem(conf)
-    // atomic two-rename swap; base.old from a PRIOR crashed swap is
-    // superseded by the fresh stage, so clear it before renaming
-    fs.delete(p(basePath + ".old"), true)
-    if (fs.exists(p(basePath)))
+    // atomic two-rename swap; the stale-.old delete happens ONLY while a
+    // complete base still exists (see the crash-posture scaladoc)
+    if (fs.exists(p(basePath))) {
+      fs.delete(p(basePath + ".old"), true)
       require(fs.rename(p(basePath), p(basePath + ".old")),
         s"rebuildIvfStore: rename $basePath -> .old failed")
+    }
     require(fs.rename(p(stage), p(basePath)),
       s"rebuildIvfStore: rename $stage -> $basePath failed")
     fs.delete(p(basePath + ".old"), true)
     fs.delete(p(deltaPath), true)
+    fs.delete(lock, false)
     cents
   }
 

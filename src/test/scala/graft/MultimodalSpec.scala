@@ -214,4 +214,64 @@ class MultimodalSpec extends AnyFunSuite {
       assert(gotSet.contains((i, i + 1000000L)),
         s"planted insert+append pair $i lost — CDC robustness broken"))
   }
+
+  test("dedup resolution composition: candidates → chunk-Jaccard verify → " +
+    "CC transitive collapse → min-id keeper (the m_dedup_resolve pipeline)") {
+    val docs = SparkEntry.T(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.attachFakeMedia(docs, "text")
+      .select(col("doc_id"), col("media"))
+    val eligible = media.filter(length(col("media")) >= 200)
+      .orderBy(col("doc_id")).limit(10).localCheckpoint()
+    val off = 1000000L
+    def overwriteAt(den: Int) = concat(
+      col("media").substr(lit(1), length(col("media")) / den),
+      lit(Array[Byte](0)),
+      col("media").substr(length(col("media")) / den + 2,
+        length(col("media"))))
+    val copyA = eligible.select((col("doc_id") + off).as("doc_id"),
+      overwriteAt(3).as("media"))
+    val copyB = eligible.select((col("doc_id") + 2 * off).as("doc_id"),
+      overwriteAt(2).as("media"))
+    val corpus = media.unionByName(copyA).unionByName(copyB)
+      .localCheckpoint()
+    val cand = Multimodal.mediaNearDups(corpus, "doc_id", "media",
+      maxHamming = 4)
+    // verify: planted pairs survive the content check, and every
+    // surviving pair's jaccard is a true exact chunk-set Jaccard
+    val verified = Multimodal.verifyPairsChunkJaccard(corpus, "doc_id",
+      "media", cand, threshold = 0.5, avgBits = 4)
+      .as[(Long, Long, Double)].collect()
+    verified.foreach { case (a, b, j) =>
+      assert(a < b); assert(j >= 0.5 && j <= 1.0)
+    }
+    val vset = verified.map(p => (p._1, p._2)).toSet
+    val origs = eligible.select(col("doc_id")).as[Long].collect()
+    origs.foreach { i =>
+      assert(vset.contains((i, i + off)),
+        s"planted overwrite pair ($i, A) lost in verify")
+      assert(vset.contains((i, i + 2 * off)),
+        s"planted overwrite pair ($i, B) lost in verify")
+    }
+    // CC: each planted trio collapses into ONE component even when
+    // copyA–copyB was never a direct candidate pair (transitivity
+    // through orig), and the min-id keeper is the orig (or a lower-id
+    // real dup it merged with)
+    val cc = ops.Dedup.connectedComponents(
+      verified.toSeq.toDF("id1", "id2", "j").select(col("id1"), col("id2")),
+      "id1", "id2")
+      .select(col("id"), col("component")).as[(Long, Long)].collect().toMap
+    origs.foreach { i =>
+      val c = cc(i)
+      assert(cc(i + off) === c && cc(i + 2 * off) === c,
+        s"trio of $i did not collapse transitively: " +
+          s"${cc(i)}, ${cc(i + off)}, ${cc(i + 2 * off)}")
+      assert(c <= i, s"component label $c must be a min id <= $i")
+    }
+    // keeper semantics: every planted copy is dropped, keepers kept
+    val dropped = cc.filter { case (id, comp) => id != comp }.keySet
+    origs.foreach { i =>
+      assert(dropped.contains(i + off) && dropped.contains(i + 2 * off),
+        s"planted copies of $i survived the keeper")
+    }
+  }
 }

@@ -128,5 +128,15 @@ class ScaleAndGuardsSpec extends AnyFunSuite {
     assert(!Explain.hasStrandedBarrierFilter(joined.queryExecution.sparkPlan),
       "detector false-positived on re-inferred join constraints:\n" +
         joined.queryExecution.sparkPlan.toString)
+    // POSITIVE control 3 (ADVICE r17): a stranded predicate must NOT be
+    // suppressed by an unrelated below-barrier filter on a DIFFERENT
+    // column with the same erased shape — `id < 10` below used to erase
+    // to the same `_<10` as the stranded `v < 10` above, hiding it.
+    val crossCol = ops.Similarity.evalBarrier(df.filter(col("id") < 10))
+      .filter(col("v") < 10)
+    assert(Explain.hasStrandedBarrierFilter(crossCol.queryExecution.sparkPlan),
+      "detector suppressed a stranded filter via a same-shape " +
+        "different-column below-barrier filter:\n" +
+        crossCol.queryExecution.sparkPlan.toString)
   }
 }

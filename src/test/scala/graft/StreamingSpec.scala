@@ -956,4 +956,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(got().size === 41)
     assert(got().contains(100L))
   }
+
+  test("IVF store guards (r18): crash-recovery rebuild keeps the only " +
+    "live copy; delta wins duplicates deterministically; rebuild lock " +
+    "fails appends loudly; pruned serving matches the full catalog") {
+    val base = Files.createTempDirectory("graft-ivfguards").toString
+    val bs = s"$base/store"; val delta = s"$base/delta"
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Seq((i % 7).toFloat, (i % 5).toFloat, (i % 3).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = ops.Similarity.pickCentroids(df, "vec_id", "embedding", 4)
+      .localCheckpoint(false)
+    StreamingJobs.ivfIndexedAppendBatch(df, cents, "embedding", delta)
+    StreamingJobs.rebuildIvfStore(spark, bs, delta, "vec_id", "embedding",
+      nlist = 4, iters = 1)
+    // --- ADVICE r17 scenario: a PRIOR swap crashed between its two
+    // renames — base is absent, base.old is the ONLY live copy. The
+    // re-run must converge WITHOUT losing base-only rows (the old code
+    // deleted base.old before the stage->base rename; a crash in that
+    // window left no live copy at all, and the next rebuild silently
+    // retrained from delta alone).
+    assert(new java.io.File(bs).renameTo(new java.io.File(bs + ".old")))
+    StreamingJobs.ivfIndexedAppendBatch(
+      Seq((200L, Seq(8f, 8f, 8f))).toDF("vec_id", "embedding"),
+      cents, "embedding", delta)
+    StreamingJobs.rebuildIvfStore(spark, bs, delta, "vec_id", "embedding",
+      nlist = 4, iters = 1)
+    val ids = StreamingJobs.ivfServingCatalog(spark, bs, delta, "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids === (vecs.map(_._1).toSet + 200L),
+      "crash-recovery rebuild lost base-only rows")
+    assert(!new java.io.File(bs + ".old").exists())
+    // --- deterministic duplicate winner: the same id in base AND delta
+    // (the rebuild crash window / a replay straddling a rebuild) must
+    // resolve to the DELTA row — the fresher assignment — not an
+    // arbitrary dropDuplicates pick.
+    StreamingJobs.ivfIndexedAppendBatch(
+      Seq((5L, Seq(100f, 100f, 100f))).toDF("vec_id", "embedding"),
+      cents, "embedding", delta)
+    val dup = StreamingJobs.ivfServingCatalog(spark, bs, delta, "vec_id")
+      .filter(col("vec_id") === 5L)
+      .select(col("embedding")).as[Seq[Float]].collect()
+    assert(dup.length === 1)
+    assert(dup.head === Seq(100f, 100f, 100f),
+      s"base/delta duplicate must resolve to the delta row, got $dup")
+    // --- rebuild lock: while present, appends fail LOUDLY (an append in
+    // the rebuild window lands in a delta about to be deleted)
+    val lock = new java.io.File(StreamingJobs.rebuildLockPath(delta))
+    assert(lock.createNewFile())
+    val e = intercept[IllegalArgumentException] {
+      StreamingJobs.ivfIndexedAppendBatch(
+        Seq((300L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding"),
+        cents, "embedding", delta)
+    }
+    assert(e.getMessage.contains("rebuild in progress"))
+    // a stale lock (crashed rebuild) is adopted by the re-run, which
+    // clears it on completion — appends work again
+    StreamingJobs.rebuildIvfStore(spark, bs, delta, "vec_id", "embedding",
+      nlist = 4, iters = 0)
+    assert(!lock.exists(), "rebuild must clear its lock")
+    StreamingJobs.ivfIndexedAppendBatch(
+      Seq((300L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding"),
+      cents, "embedding", delta)
+    // --- pruned serving (servedTopKFromStore) ≡ serving over the full
+    // catalog, and the probed set reaches the scans as partitionFilters
+    val cents2 = ops.Similarity.pickCentroids(
+      StreamingJobs.ivfServingCatalog(spark, bs, delta, "vec_id"),
+      "vec_id", "embedding", 4).localCheckpoint(false)
+    val reqs = df.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("u"), col("embedding"))
+    val full = ops.Similarity.clusterPrunedTopKStored(reqs,
+      StreamingJobs.ivfServingCatalog(spark, bs, delta, "vec_id"),
+      "u", "vec_id", "embedding", 3, cents2, nprobe = 2)
+    val pruned = ops.Similarity.servedTopKFromStore(reqs, bs, delta,
+      "u", "vec_id", "embedding", 3, cents2, nprobe = 2)
+    assert(pruned.orderBy("query_id", "rank").collect().toSeq ===
+      full.orderBy("query_id", "rank").collect().toSeq,
+      "pruned serving diverged from the full catalog")
+    val scans = pruned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.exists(
+            _.references.exists(_.name == "centroid_id")) => f
+    }
+    assert(scans.nonEmpty, "probed set did not reach partitionFilters")
+  }
 }
