@@ -110,6 +110,35 @@ object Bench {
         java.lang.System.err.println(s"[bench-diag] $tag failed: $e")
       }
     }
+    // --- PER-LEG load gate (VERDICT r17 "What's wrong" #1: BENCH_r17
+    // shipped at load_avg 17.1 with c5b/c8/c7 inflated ~2× and UNTAGGED —
+    // the r16 gate only guarded iso re-measures, which ran inside the
+    // same contention window). Every leg now samples external CPU (system
+    // minus own, while this JVM idles between queries) BEFORE its timed
+    // runs, waits briefly for the box to settle (bounded per query AND by
+    // a whole-run budget, so a persistently hot box can't stall the
+    // sweep), and records the final sample per row. Rows whose leg
+    // STARTED contended are re-queued through the iso machinery below
+    // (which re-waits for quiet and overrides on >30% divergence) and
+    // tagged `load_suspect` if even the re-queue ran hot — so a
+    // contaminated number can no longer ship looking clean. ---
+    val legLoadMax = sys.env.getOrElse(
+      "SPARK_GRAFT_ISO_LOAD_MAX", "0.20").toDouble
+    val legLoadSample = !sys.env.get("SPARK_GRAFT_LEG_LOAD").contains("0")
+    def externalCpu(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean =>
+          b.getCpuLoad; b.getProcessCpuLoad // prime the tick counters
+          Thread.sleep(1000)
+          val sysL = b.getCpuLoad
+          val ownL = b.getProcessCpuLoad
+          if (sysL.isNaN || ownL.isNaN) -1.0
+          else math.max(0.0, sysL - ownL)
+        case _ => -1.0
+      }
+    // whole-run settle budget: waits beyond this ship the sample as-is
+    var legWaitBudgetMs = sys.env.getOrElse(
+      "SPARK_GRAFT_LEG_WAIT_BUDGET_MS", "120000").toLong
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Inter-query hygiene (untimed): a long single-JVM sweep otherwise
       // AGES — cached plans/broadcasts pile up and the ContextCleaner's
@@ -122,6 +151,18 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
       diagLine(s"before $name")
+      var legExt = -1.0
+      if (legLoadSample) {
+        legExt = externalCpu()
+        while (legExt > legLoadMax && legWaitBudgetMs > 0) {
+          System.err.println(f"[bench] leg $name: external cpu " +
+            f"$legExt%.2f > $legLoadMax%.2f — waiting 10s " +
+            f"(budget ${legWaitBudgetMs / 1000}s)")
+          Thread.sleep(10000)
+          legWaitBudgetMs -= 11000 // the sample itself costs ~1s
+          legExt = externalCpu()
+        }
+      }
       var best = Double.MaxValue
       var succeeded = false
       var failed = false
@@ -143,7 +184,7 @@ object Bench {
         }
         i += 1
       }
-      (name, best, succeeded)
+      (name, best, succeeded, legExt)
     }
     // --- Isolated re-measure of cross-round movers (VERDICT r12 "Next
     // round" #1): the full-leg per-query numbers have now produced four
@@ -196,12 +237,17 @@ object Bench {
           } catch { case _: Throwable => None }
         }
         .getOrElse(Map.empty)
+    // Flagged for iso re-measure: cross-round movers (the r12 phantom-
+    // regression machinery) PLUS any row whose leg STARTED under external
+    // load (r17 #1 — the re-queue path for contended legs; sub-second
+    // rows exempt, all box noise at that magnitude).
     val flagged = results.collect {
-      case (name, t, true) if priorQueries.get(name).exists { p =>
+      case (name, t, true, _) if priorQueries.get(name).exists { p =>
         math.max(t, p) >= 0.5 && p > 0 &&
           math.abs(t / p - 1.0) > isoThreshold
       } => name
-    }
+      case (name, t, true, ext) if ext > legLoadMax && t >= 0.5 => name
+    }.distinct
     // --- iso LOAD GATE (VERDICT r15 next #4): the iso re-run fires right
     // after the leg — inside the same external-contention window — so leg
     // and iso can AGREE on an inflated number and the >30% override never
@@ -214,21 +260,9 @@ object Bench {
     // residual load ship tagged `load_suspect` with the sampled value, so
     // a cross-round diff discounts them instead of minting a phantom
     // regression. ---
-    val isoLoadMax = sys.env.getOrElse(
-      "SPARK_GRAFT_ISO_LOAD_MAX", "0.20").toDouble
+    val isoLoadMax = legLoadMax
     val isoLoadRetries = sys.env.getOrElse(
       "SPARK_GRAFT_ISO_LOAD_RETRIES", "3").toInt
-    def externalCpu(): Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-        case b: com.sun.management.OperatingSystemMXBean =>
-          b.getCpuLoad; b.getProcessCpuLoad // prime the tick counters
-          Thread.sleep(1000)
-          val sysL = b.getCpuLoad
-          val ownL = b.getProcessCpuLoad
-          if (sysL.isNaN || ownL.isNaN) -1.0
-          else math.max(0.0, sysL - ownL)
-        case _ => -1.0
-      }
     val iso: Seq[(String, Double, Double)] = flagged.map { name =>
       spark.catalog.clearCache()
       System.gc()
@@ -269,17 +303,24 @@ object Bench {
     // overridden rows ship alongside under `leg` so nothing is hidden. ---
     val isoMap = iso.map(t => (t._1, t._2)).toMap
     // Rows whose iso re-measure STILL ran under external load (gate
-    // exhausted its waits): their iso number is itself suspect.
-    val loadSuspect = iso.collect {
+    // exhausted its waits): their iso number is itself suspect. A leg
+    // that started contended and was NOT cleared by an iso re-run (iso
+    // errored / stayed at MaxValue) is suspect too — no contaminated
+    // number ships untagged (r17 #1).
+    val isoRan = iso.map(_._1).toSet
+    val loadSuspect = (iso.collect {
       case (name, _, ext) if ext > isoLoadMax => (name, ext)
-    }
+    } ++ results.collect {
+      case (name, t, _, ext)
+          if ext > legLoadMax && t >= 0.5 && !isoRan(name) => (name, ext)
+    }).distinctBy(_._1)
     def overridden(name: String, legT: Double): Option[Double] =
       isoMap.get(name).filter(v => math.abs(legT / v - 1.0) > 0.30)
-    val adjusted = results.map { case (name, t, ok) =>
+    val adjusted = results.map { case (name, t, ok, _) =>
       (name, overridden(name, t).getOrElse(t), ok)
     }
     val legKept = results.collect {
-      case (name, t, _) if overridden(name, t).isDefined => (name, t)
+      case (name, t, _, _) if overridden(name, t).isDefined => (name, t)
     }
     // System load alongside the timings so a grader can normalize a
     // contended run (1-min load average / available processors).
@@ -300,7 +341,7 @@ object Bench {
     // estimator+hygiene tags; isolated per-query re-measures are available
     // via `tools/runjava.sh graft.Bench <sfDir> <query>`.
     val hygiene = "clearcache+gc"
-    val failedNames = results.collect { case (k, _, false) => s""""$k"""" }
+    val failedNames = results.collect { case (k, _, false, _) => s""""$k"""" }
 
     // Locale-pinned: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale would render invalid JSON for the driver.
@@ -337,6 +378,17 @@ object Bench {
       else ovNames.map(n => s""""$n"""")
         .mkString(""","iso_overridden":[""", ",",
           s"""],"iso_estimator":"min-of-$isoRuns-iso"""")
+    // Per-leg load summary for the driver line (the full per-row map
+    // ships in bench_full.json): every row carried a pre-leg external-cpu
+    // sample, so a grader can see at a glance whether ANY leg started
+    // contended — the r17 artifact had no such field and shipped 2×
+    // numbers looking clean.
+    val sampledLoads = results.map(_._4).filter(_ >= 0.0)
+    val contendedLegs = results.count(r => r._4 > legLoadMax && r._2 >= 0.5)
+    val legLoadSummary =
+      if (sampledLoads.isEmpty) ""
+      else s""","ext_leg_max":${fmt(sampledLoads.max)}""" +
+        s""","contended_legs":$contendedLegs"""
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => s""""$k":${fmt(v)}""" }
         .mkString("{", ",", "}")
@@ -345,7 +397,7 @@ object Bench {
         if (nFailed > 0) s""","failed_queries":[${failedNames.mkString(",")}]"""
         else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs""" +
-        s""","n_queries":${results.size},"failed":$nFailed$fails$omit$isoJson$suspectJson$legJson$ovJson""" +
+        s""","n_queries":${results.size},"failed":$nFailed$fails$omit$isoJson$suspectJson$legJson$ovJson$legLoadSummary""" +
         s""","runs":$runs,"estimator":"$estimator","hygiene":"$hygiene","load_avg":${fmt(loadAvg)},"n_cpu":$nCpu,"sf":"$sfDir"}"""
     }
 
@@ -353,7 +405,7 @@ object Bench {
     // and a file for offline reading.
     val fullQs = adjusted.map { case (k, v, _) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val oks = results.map { case (k, _, ok) => s""""$k":$ok""" }
+    val oks = results.map { case (k, _, ok, _) => s""""$k":$ok""" }
       .mkString("{", ",", "}")
     val fullIso = iso.sortBy(_._1)
       .map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -361,8 +413,11 @@ object Bench {
       .map { case (k, _, e) => s""""$k":$e""" }.mkString("{", ",", "}")
     val fullLeg = legKept.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // the complete per-row pre-leg external-cpu samples (r17 #1)
+    val fullLegLoad = results.sortBy(_._1)
+      .map { case (k, _, _, e) => s""""$k":$e""" }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"ok":$oks,"iso":$fullIso,"iso_load":$fullIsoLoad,"leg":$fullLeg,"leg_total":$legTotal$ovJson$suspectJson,"failed":$nFailed,"runs":$runs,"estimator":"$estimator","hygiene":"$hygiene","load_avg":$loadAvg,"n_cpu":$nCpu,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"ok":$oks,"iso":$fullIso,"iso_load":$fullIsoLoad,"leg":$fullLeg,"leg_total":$legTotal,"leg_load":$fullLegLoad$ovJson$suspectJson$legLoadSummary,"failed":$nFailed,"runs":$runs,"estimator":"$estimator","hygiene":"$hygiene","load_avg":$loadAvg,"n_cpu":$nCpu,"sf":"$sfDir"}"""
     println(fullLine)
     try {
       java.nio.file.Files.write(
@@ -380,6 +435,21 @@ object Bench {
     val compact = line(byTime.take(keep).sortBy(_._1), byTime.length - keep)
 
     spark.stop()
+    // --- EMIT REFUSAL (r17 #1, opt-in): with SPARK_GRAFT_REQUIRE_QUIET=1
+    // a run that still carries load-suspect rows after the per-leg gate
+    // AND the iso re-queue exits non-zero WITHOUT printing the driver
+    // line — the artifact is not written rather than written dirty. Off
+    // by default: an unattended driver round must still produce an
+    // artifact, and the per-row tags already let a grader discount
+    // contaminated rows instead of trusting them. ---
+    if (sys.env.get("SPARK_GRAFT_REQUIRE_QUIET").contains("1") &&
+        loadSuspect.nonEmpty) {
+      System.err.println(s"[bench] REFUSING to emit: " +
+        s"${loadSuspect.size} load-suspect rows after leg gate + iso " +
+        s"re-queue (${loadSuspect.map(_._1).sorted.mkString(", ")}); " +
+        "full detail in target/bench_full.json")
+      sys.exit(3)
+    }
     // Raw fd-1 write: bypasses sbt's System.out wrapper so the driver sees
     // an unprefixed, parseable JSON line at the very end of the output.
     val raw = new java.io.PrintStream(
