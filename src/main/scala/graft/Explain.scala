@@ -43,7 +43,9 @@ object Explain {
     "c5c_ivf_stream_refresh" ->
       "exact baseline uses the bruteForceTopK small-catalog contract; serving itself is the centroid_id equi-join over the stored assignment (plan-REQUIREd in-query) with the nlist-bounded frozen-centroid cross (the ann_cluster_recall contract)",
     "r14c_ivfpq_residual" ->
-      "same contracts as r14b_ivfpq_recall: exact baseline = bruteForceTopK small-catalog; residual retrieval = centroid_id equi-join with the nlist-row LOCAL centroid frame crossed against the request batch (frame rebuilt from the frozen driver-side index, nlist-bounded by construction)")
+      "same contracts as r14b_ivfpq_recall: exact baseline = bruteForceTopK small-catalog; residual retrieval = centroid_id equi-join with the nlist-row LOCAL centroid frame crossed against the request batch (frame rebuilt from the frozen driver-side index, nlist-bounded by construction)",
+    "r14d_ivfpq_residual_geo" ->
+      "same contracts as r14c_ivfpq_residual on the CONSTANT 2000-row MoG mechanism corpus (size fixed in-query, not data-sized): exact baseline = bruteForceTopK small-catalog; both arms' retrieval = centroid_id equi-join with nlist-bounded centroid frames")
 
   /** Mis-placed evalBarrier detector: the barrier is a one-element
     * Explode(CreateArray(struct)) Generate, and a Generate blocks
@@ -63,9 +65,13 @@ object Explain {
     * same `_<10`, so a genuinely stranded predicate on one column was
     * suppressed by an unrelated below-barrier filter on another —
     * evalBarrier's struct round-trip preserves column names across the
-    * Generate, so name-matching through it is sound. Tested with
-    * positive + negative controls (incl. the cross-column case) in
-    * ScaleAndGuardsSpec. */
+    * Generate (struct-field reads resolve to the field name), and PURE
+    * renames below the barrier (`vec_id AS query_id`) normalize to
+    * their root so a re-inferred constraint on the renamed column
+    * still matches its pushed twin; computed aliases (`(id*2) AS v`)
+    * do NOT resolve — that would re-open the cross-column hole.
+    * Tested with positive + negative controls (incl. the cross-column
+    * and renamed cases) in ScaleAndGuardsSpec. */
   private[graft] def hasStrandedBarrierFilter(
       plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
     def isBarrierGenerate(
@@ -119,13 +125,41 @@ object Explain {
         Set(a.name)
       case _ => e.children.flatMap(effNames).toSet
     }
-    def key(e: org.apache.spark.sql.catalyst.expressions.Expression):
-        (String, Set[String]) =
-      (shape(e), effNames(e))
     plan.collect {
       case f: org.apache.spark.sql.execution.FilterExec
           if isBarrierGenerate(throughProjects(f.child)) =>
         val gen = throughProjects(f.child)
+        // PURE renames below the barrier (`vec_id AS query_id`): a
+        // re-inferred constraint above the barrier references the
+        // renamed column, so names must normalize to their root before
+        // matching. Only Alias-of-attribute (or of a struct field)
+        // counts — a COMPUTED alias (`(id*2) AS v`) is a different
+        // value, and resolving it would re-open the cross-column
+        // suppression hole this keying exists to close.
+        val renames: Map[String, Set[String]] = gen.collect {
+          case pr: org.apache.spark.sql.execution.ProjectExec =>
+            pr.projectList.flatMap {
+              case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+                a.child match {
+                  case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+                    Some(a.name -> ar.name)
+                  case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+                    Some(a.name -> g.extractFieldName)
+                  case _ => None
+                }
+              case _ => None
+            }
+        }.flatten.groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).toSet }
+        def resolve(n: String, seen: Set[String]): Set[String] =
+          if (seen(n)) Set(n)
+          else renames.get(n) match {
+            case Some(srcs) => srcs.flatMap(resolve(_, seen + n))
+            case None => Set(n)
+          }
+        def key(e: org.apache.spark.sql.catalyst.expressions.Expression):
+            (String, Set[String]) =
+          (shape(e), effNames(e).flatMap(resolve(_, Set.empty)))
         val below = gen.collect {
           case bf: org.apache.spark.sql.execution.FilterExec =>
             conjuncts(bf.condition).map(key)

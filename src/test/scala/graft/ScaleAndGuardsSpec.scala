@@ -138,5 +138,19 @@ class ScaleAndGuardsSpec extends AnyFunSuite {
       "detector suppressed a stranded filter via a same-shape " +
         "different-column below-barrier filter:\n" +
         crossCol.queryExecution.sparkPlan.toString)
+    // NEGATIVE control 4: re-inferred constraint through a PURE RENAME —
+    // the below filter runs on `id`, a Project then renames id AS rid
+    // before the barrier, and a join above re-infers `rid < 5` onto the
+    // barriered side. Name normalization must resolve rid → id and
+    // suppress (the ann_cluster_recall shape that false-positived when
+    // names were matched raw).
+    val renamed = ops.Similarity.evalBarrier(
+      df.filter(col("id") < 5).select(col("id").as("rid"), col("v")))
+    val joinedR = renamed.join(
+      spark.range(5).select(col("id").as("rid")).filter(col("rid") < 5),
+      Seq("rid"))
+    assert(!Explain.hasStrandedBarrierFilter(joinedR.queryExecution.sparkPlan),
+      "detector false-positived on a re-inferred constraint through a " +
+        "pure rename:\n" + joinedR.queryExecution.sparkPlan.toString)
   }
 }
