@@ -454,10 +454,16 @@ class DedupTextSpec extends AnyFunSuite {
     // triangle 1-2-3, pair 5-6
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (5L, 6L),
       (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("id1", "id2")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L)
+    // default dispatch (driver union-find fast path at this size)
     val got = Dedup.connectedComponents(edges, "id1", "id2")
       .as[(Long, Long)].collect().toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
+    assert(got === want)
+    // maxDriverEdges = 0 forces the distributed min-label loop
+    val gotLoop = Dedup.connectedComponents(edges, "id1", "id2",
+      maxDriverEdges = 0).as[(Long, Long)].collect().toMap
+    assert(gotLoop === want)
   }
 
   test("alternating (large-star/small-star) CC equals min-label CC") {
@@ -480,9 +486,14 @@ class DedupTextSpec extends AnyFunSuite {
       val g = pairs.filter(p => p._1 != p._2).toDF("id1", "id2")
       val a = Dedup.connectedComponentsAlternating(g, "id1", "id2")
         .as[(Long, Long)].collect().toMap
-      val b = Dedup.connectedComponents(g, "id1", "id2", maxIter = 40)
+      // maxDriverEdges = 0 pins the DISTRIBUTED min-label loop...
+      val b = Dedup.connectedComponents(g, "id1", "id2", maxIter = 40,
+        maxDriverEdges = 0).as[(Long, Long)].collect().toMap
+      assert(a === b, s"shape $idx diverged (loop)")
+      // ...and the default dispatch pins the driver union-find fast path
+      val c = Dedup.connectedComponents(g, "id1", "id2", maxIter = 40)
         .as[(Long, Long)].collect().toMap
-      assert(a === b, s"shape $idx diverged")
+      assert(a === c, s"shape $idx diverged (driver fast path)")
     }
   }
 
