@@ -1,5 +1,10 @@
 #!/bin/bash
-# runjava against the r16 worktree classes (A/B harness)
+# runjava against an ARBITRARY classes dir (A/B harness):
+#   tools/runjava_at.sh <classesDir> <MainClass> [args...]
+# Build the other arm in a worktree under target/ (git worktree add
+# target/<name> <ref>; sbt compile there), then interleave legs:
+#   tools/runjava_at.sh target/<name>/target/scala-2.13/classes graft.Bench ...
+CLASSES="$1"; shift
 MAIN="$1"; shift
 exec java \
   --add-opens java.base/java.lang=ALL-UNNAMED \
@@ -17,5 +22,5 @@ exec java \
   --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx${SPARK_DRIVER_MEM:-48g} \
-  -cp "/root/repo/target/r16wt/target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$CLASSES:/opt/spark/jars/*" \
   "$MAIN" "$@"
