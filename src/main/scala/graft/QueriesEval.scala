@@ -1237,7 +1237,7 @@ object QueriesEval {
       try {
         val cents0 = Similarity.pickCentroids(
           emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
-          nlist).localCheckpoint(false)
+          nlist).localCheckpoint(true)
         graft.streaming.StreamingJobs.ivfIndexedAppendBatch(
           emb.filter(col("vec_id") % 2 === 0), cents0, "embedding", delta)
         graft.streaming.StreamingJobs.ivfIndexedAppendBatch(

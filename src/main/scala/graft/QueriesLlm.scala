@@ -1140,7 +1140,7 @@ object QueriesLlm {
     //     measurement); VectorSpec pins the structural margin. ---
     ("r14d_ivfpq_residual_geo", (s, _) => {
       val e = graft.ResidualCurve.mogCorpus(s, 2000, 16, 0.15)
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val lloyd = 2; val nprobe = 4; val nlist = 16; val k = 5
       val queries = e.filter(col("vec_id") < 50)
       val exact = Similarity.bruteForceTopK(queries, e,
@@ -1956,7 +1956,7 @@ object QueriesLlm {
       // operating point, not an assert — a sub-1.0 round is information.
       val off = plantedOffset(media)
       val eligible = media.filter(length(col("media")) >= 200)
-        .orderBy(col("doc_id")).limit(25).localCheckpoint(false)
+        .orderBy(col("doc_id")).limit(25).localCheckpoint(true)
       val planted = eligible
         .select((col("doc_id") + off).as("doc_id"),
           concat(
@@ -2021,7 +2021,7 @@ object QueriesLlm {
       // a third of the set — the tiny-blob regime belongs to exact dedup)
       val off = plantedOffset(media)
       val eligible = media.filter(length(col("media")) >= 200)
-        .orderBy(col("doc_id")).limit(25).localCheckpoint(false)
+        .orderBy(col("doc_id")).limit(25).localCheckpoint(true)
       val planted = eligible
         .select((col("doc_id") + off).as("doc_id"),
           concat(
@@ -2078,7 +2078,7 @@ object QueriesLlm {
         .select(col("doc_id"), col("media"))
       val off = plantedOffset(media)
       val eligible = media.filter(length(col("media")) >= 200)
-        .orderBy(col("doc_id")).limit(25).localCheckpoint(false)
+        .orderBy(col("doc_id")).limit(25).localCheckpoint(true)
       // two length-preserving 1-byte overwrites at different positions —
       // the edit class the block signature is measured robust to
       // (hamming <= 4 on >=200-byte docs, the m_phash contract)
@@ -2092,7 +2092,7 @@ object QueriesLlm {
       val copyB = eligible.select((col("doc_id") + 2 * off).as("doc_id"),
         overwriteAt(2).as("media"))
       val corpus = media.unionByName(copyA).unionByName(copyB)
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val cand = Multimodal.mediaNearDups(corpus, "doc_id", "media",
         maxHamming = 4)
       // verify at the m_cdc operating point (threshold 0.5, 16-byte
@@ -2113,7 +2113,7 @@ object QueriesLlm {
         .filter(col("n_lab") === 3 && col("n_comp") === 1)
         .agg(count(lit(1)).as("n_groups_resolved"))
       val drop = cc.filter(col("id") =!= col("component"))
-        .select(col("id").as("doc_id")).localCheckpoint(false)
+        .select(col("id").as("doc_id")).localCheckpoint(true)
       val kept = corpus.join(drop, Seq("doc_id"), "left_anti")
       val counts = cand.agg(count(lit(1)).as("n_candidates")).crossJoin(
           verified.agg(count(lit(1)).as("n_verified")))
@@ -2411,7 +2411,7 @@ object QueriesLlm {
         Seq("train" -> 0.8, "test" -> 0.2))
         .select(col("doc_id"), col("lang"), col("source"), col("split"),
           col("__tokens"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val train = sp.filter(col("split") === "train")
       val test = sp.filter(col("split") === "test")
       val contaminated = TextAnalysis.decontaminationReportFromTokens(

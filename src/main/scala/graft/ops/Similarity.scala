@@ -150,10 +150,18 @@ object Similarity {
         .agg(transform(
           sort_array(collect_list(struct(col("__d"), col("__m")))),
           x => x.getField("__m").cast("float")).as("__new"))
+      // EAGER checkpoint (r18): a LAZY localCheckpoint that reaches the
+      // caller's final plan unmaterialized deadlocks under concurrency —
+      // RDDCheckpointData's companion-object lock is GLOBAL, and a
+      // broadcast-exchange thread running the first materialization
+      // inverts lock order against the DAG scheduler's getCacheLocs
+      // (jstack'd live: dag-scheduler-event-loop <-> broadcast-exchange,
+      // BENCH_SF10 r18 addendum 5). Eager runs the nlist-row job on the
+      // single construction thread, where no second job can race it.
       c = c.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("__new"), col("centroid_vec")).as("centroid_vec"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
     }
     c
   }
@@ -957,6 +965,11 @@ object Similarity {
         base0.withColumn("__h", xxhash64(col("__id"), lit(seed)))
           .orderBy(col("__h"), col("__id")).limit(trainSampleN).drop("__h")
       else base0
+    // lazy checkpoint is SAFE here only because the very next line's
+    // .head materializes it synchronously on this thread — the lazy-
+    // checkpoint deadlock (refineCentroids comment / BENCH_SF10 r18
+    // addendum 5) needs an UNMATERIALIZED checkpoint reaching a
+    // concurrent final plan
     val cached = base.localCheckpoint(false)
     val dim = cached.select(
       org.apache.spark.sql.functions.size(col("__v"))).head.getInt(0)

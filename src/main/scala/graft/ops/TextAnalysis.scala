@@ -1731,7 +1731,7 @@ object TextAnalysis {
         sum((length(col("__tok")) + 1).cast("long")).over(wPrefix), lit(0L)))
     )((d, k) => d.withColumn(s"__t$k", lead(col("__tok"), k).over(w)))
     val withLeads =
-      if (materialize) withLeads0.localCheckpoint(false) else withLeads0
+      if (materialize) withLeads0.localCheckpoint(true) else withLeads0
     def gram(n: Int): Column =
       concat_ws(" ", (col("__tok") +: (1 until n).map(k => col(s"__t$k"))): _*)
     // chars covered by every occurrence of the most frequent n-gram

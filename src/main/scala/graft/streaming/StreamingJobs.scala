@@ -626,7 +626,7 @@ object StreamingJobs {
       nlist, seed)
     val cents = (if (iters > 0)
       graft.ops.Similarity.refineCentroids(store, vecCol, seeds, iters)
-    else seeds).localCheckpoint(false)
+    else seeds).localCheckpoint(true)
     val stage = basePath + ".stage"
     graft.ops.Similarity.assignClusters(store, vecCol, cents)
       .repartition(col("centroid_id"))
