@@ -217,6 +217,34 @@ object QueriesEval {
         .select(col("vec_id").as("item_id"), col("vec").as("embedding"))
     }
 
+  /** The c5b int8 catalog: derives from the float catalog TABLE (not the
+    * jitter pipeline) so both fixtures are bit-consistent per JVM. */
+  private def c5QuantCatalog(s: SparkSession, d: String): (DataFrame, java.io.File) =
+    appScopedParquet(s, d, "c5qcat") {
+      val (cat2, _) = c5Catalog(s, d)
+      cat2
+        .withColumn("scale", V.int8Scale(col("embedding")).cast("float"))
+        .select(col("item_id"),
+          V.int8Quantize(col("embedding"), col("scale"))
+            .cast("array<tinyint>").as("qvec"),
+          col("scale"))
+    }
+
+  /** Eager, UNTIMED seeding of the per-JVM serving-catalog fixtures
+    * (VERDICT r18 "What's wrong" #2): c5/c5b's timed queries claim to
+    * measure "read-catalog → retrieve", but on a fresh JVM the 1 M-row
+    * catalog build ran inside run 1's timed region and min-of-2 only
+    * sometimes amortized it — quiet-box c5 legs spanned 5.1–18.4 s and
+    * the row needed manual adjudication three rounds running. Bench calls
+    * this once in its untimed warmup so every timed run reads a fixture
+    * that already exists. Idempotent (the _SUCCESS gate) and cheap when
+    * the fixture is already seeded. */
+  def seedServingFixtures(s: SparkSession, d: String): Unit = {
+    c5Catalog(s, d)
+    c5QuantCatalog(s, d)
+    ()
+  }
+
   /** Shared oracle CTE prefix mirroring [[predGt]] relationally. */
   private val EvalCtes: String =
     s"""WITH li AS (SELECT o_custkey AS u, l_partkey AS it, l_shipdate AS sd
@@ -1128,17 +1156,7 @@ object QueriesEval {
       val base = SparkEntry.T(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val (catalog, catDir) = c5Catalog(s, d)
-      // int8 fixture derives from the float catalog TABLE (not the
-      // jitter pipeline) so both fixtures are bit-consistent per JVM
-      val (qcat, qDir) = appScopedParquet(s, d, "c5qcat") {
-        val (cat2, _) = c5Catalog(s, d)
-        cat2
-          .withColumn("scale", V.int8Scale(col("embedding")).cast("float"))
-          .select(col("item_id"),
-            V.int8Quantize(col("embedding"), col("scale"))
-              .cast("array<tinyint>").as("qvec"),
-            col("scale"))
-      }
+      val (qcat, qDir) = c5QuantCatalog(s, d)
       def dirBytes(f: java.io.File): Long = {
         def sz(g: java.io.File): Long =
           if (g.isDirectory)

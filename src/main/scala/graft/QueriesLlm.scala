@@ -21,6 +21,14 @@ object QueriesLlm {
 
   private val Stopwords = Seq("the", "a", "an", "of", "in", "and", "to", "is")
 
+  /** r14d's trained-codebook fixtures, keyed by applicationId (the
+    * appScopedParquet lifecycle for driver-side case classes): the MoG
+    * corpus and both trainings are deterministic, so retraining per
+    * invocation only re-derives identical arrays (VERDICT r18 #6). */
+  private val r14dTrainedCache =
+    scala.collection.mutable.Map.empty[String,
+      (graft.ops.Similarity.PqCodebook, graft.ops.Similarity.IvfPqIndex)]
+
   /** Marker-token language profiles for the synthetic corpus. All five
     * languages share one vocabulary in this testdata, so this verifies the
     * argmax/tiebreak mechanics; real corpora would use distinctive n-grams
@@ -1146,15 +1154,31 @@ object QueriesLlm {
       val exact = Similarity.bruteForceTopK(queries, e,
         "vec_id", "vec_id", "embedding", k, "cosine", excludeSelf = true)
         .select(col("query_id"), col("item_id")).localCheckpoint()
+      // Codebook trainings memoized per JVM (VERDICT r18 #6: the gate
+      // retrained BOTH codebooks every invocation — 18.6 s constant, the
+      // second-heaviest registry row — but the MoG corpus and both
+      // training procedures are fully deterministic, so the trained
+      // index is a fixture like c5's catalog; the recall arms, the
+      // row's actual signal, are re-measured every run).
+      val (cbRaw, idx) = r14dTrainedCache.synchronized {
+        val appId = s.sparkContext.applicationId
+        r14dTrainedCache.get(appId) match {
+          case Some(t) => t
+          case None =>
+            val t = (Similarity.pqTrain(e, "vec_id", "embedding",
+              m = 16, ksub = 64, refineIters = 2),
+              Similarity.ivfPqTrain(e, "vec_id", "embedding",
+                m = 16, ksub = 64, nlist = nlist, coarseIters = lloyd))
+            r14dTrainedCache.clear() // at most one appId's fixtures live
+            r14dTrainedCache(appId) = t
+            t
+        }
+      }
       def hitsOf(approx: DataFrame, as: String) =
         exact.join(approx.select(col("query_id"), col("item_id")),
           Seq("query_id", "item_id"), "left_semi")
           .agg(count(lit(1)).as(as))
       val tot = exact.agg(count(lit(1)).as("n_exact"))
-      val cbRaw = Similarity.pqTrain(e, "vec_id", "embedding",
-        m = 16, ksub = 64, refineIters = 2)
-      val idx = Similarity.ivfPqTrain(e, "vec_id", "embedding",
-        m = 16, ksub = 64, nlist = nlist, coarseIters = lloyd)
       val rawAdc = hitsOf(Similarity.clusterPrunedTopKPq(queries, e,
         "vec_id", "vec_id", "embedding", k, cbRaw, nlist = nlist,
         nprobe = nprobe, refineIters = lloyd, excludeSelf = true),
@@ -2057,21 +2081,31 @@ object QueriesLlm {
 
     // --- Multimodal dedup END-TO-END RESOLUTION (r17 verdict #2 — the
     //     composition the text side ships as x16_dedup_resolve, over the
-    //     opaque binary column): perceptual block-hash CANDIDATES
-    //     (m_phash's radius-4 banding) → content-level chunk-Jaccard
-    //     VERIFY (the downstream stage m_phash's precision ceiling
-    //     mandates — structural 64-bit collisions between unrelated
-    //     docs are re-checked against content) → connected components →
-    //     min-id keeper → kept corpus. 25 eligible docs are planted as
-    //     3-member groups (orig + TWO distinct 1-byte-overwrite copies)
-    //     so the CC stage's TRANSITIVE collapse is exercised: copyA and
-    //     copyB need not be a direct candidate pair, the group must
-    //     resolve through orig. Reported per round: full-pipeline group
-    //     recall (all 3 members in ONE component — robust to an orig
-    //     legitimately merging into a lower-id REAL dup group),
-    //     verify-stage survival rate (the measured precision number for
-    //     the candidate stage), and kept-corpus accounting. No SQL
-    //     oracle (native BlockHash64/GearChunkHashes kernels). ---
+    //     opaque binary column): TWO-LANE candidates — perceptual
+    //     block-hash banding (m_phash's radius-4 lane) UNIONED with the
+    //     CDC MinHash lane (m_cdc's operating point; VERDICT r18 #2: the
+    //     sf1/sf10 candidate-stage loss was a len/2 overwrite flipping 5
+    //     signature bits, past radius 4 — exactly the edit class the
+    //     content-defined lane is measured robust to) → shared
+    //     content-level chunk-Jaccard VERIFY (structural 64-bit
+    //     collisions between unrelated docs are re-checked against
+    //     content) → connected components → min-id keeper → kept corpus.
+    //     25 eligible docs are planted as 3-member groups (orig + TWO
+    //     distinct 1-byte-overwrite copies) so the CC stage's TRANSITIVE
+    //     collapse is exercised: copyA and copyB need not be a direct
+    //     candidate pair, the group must resolve through orig. Reported
+    //     per round: full-pipeline group recall (all 3 members in ONE
+    //     component — robust to an orig legitimately merging into a
+    //     lower-id REAL dup group), per-lane trio connectivity, verify
+    //     survival, and PER-STAGE loss attribution (VERDICT r18 #4:
+    //     groups lost at the candidate stage vs at verify, computed from
+    //     the planted trio frame so the DEDUP_RECALL bisection is
+    //     automatic — a 3-node trio is connected iff ≥2 of its 3
+    //     within-trio pairs survive the stage; attribution is
+    //     within-trio, while n_groups_resolved stays the global-CC
+    //     number, so an external-path rescue can make resolved exceed
+    //     trio-connected). No SQL oracle (native
+    //     BlockHash64/GearChunkHashes kernels). ---
     ("m_dedup_resolve", (s, d) => {
       val media = Multimodal.attachFakeMedia(
           SparkEntry.T(s, d, "documents"), "text")
@@ -2093,14 +2127,24 @@ object QueriesLlm {
         overwriteAt(2).as("media"))
       val corpus = media.unionByName(copyA).unionByName(copyB)
         .localCheckpoint(true)
-      val cand = Multimodal.mediaNearDups(corpus, "doc_id", "media",
-        maxHamming = 4)
+      // Lane 1: byte-aligned block signature, radius-4 banding.
+      val candBlock = Multimodal.mediaNearDups(corpus, "doc_id", "media",
+        maxHamming = 4).select(col("id1"), col("id2"))
+      // Lane 2: content-defined chunk MinHash at the m_cdc operating
+      // point — catches edits whose signature distance exceeds radius 4
+      // (the r18 sf1/sf10 candidate-stage loss class).
+      val candCdc = Multimodal.mediaNearDupsCdc(corpus, "doc_id", "media",
+        avgBits = 4, bands = 32, threshold = 0.5, maxBucketSize = 256)
+        .select(col("id1"), col("id2"))
+      val cand = candBlock.unionByName(candCdc).distinct()
+        .localCheckpoint(true)
       // verify at the m_cdc operating point (threshold 0.5, 16-byte
       // expected chunks): a 1-2-chunk edit on a 12+-chunk doc keeps
       // Jaccard well above 0.5; unrelated block-hash collisions fall
       // below it unless they genuinely share content
       val verified = Multimodal.verifyPairsChunkJaccard(corpus, "doc_id",
         "media", cand, threshold = 0.5, avgBits = 4)
+        .localCheckpoint(true)
       val cc = Dedup.connectedComponents(
         verified.select(col("id1"), col("id2")), "id1", "id2")
       val trio = eligible.select(col("doc_id").as("g"))
@@ -2112,6 +2156,32 @@ object QueriesLlm {
           countDistinct(col("component")).as("n_comp"))
         .filter(col("n_lab") === 3 && col("n_comp") === 1)
         .agg(count(lit(1)).as("n_groups_resolved"))
+      // Per-stage loss attribution over the planted trios: the 3
+      // possible within-trio pairs per group (id1 < id2 holds since
+      // off > 0), counted per stage — a 3-node group is trio-connected
+      // iff ≥2 pairs survive. Lost-at-candidates = trio not connected
+      // by the unioned candidate edges; lost-at-verify = candidate-
+      // connected but not verify-connected.
+      val trioPairs = eligible.select(col("doc_id").as("g"))
+        .select(col("g"), explode(array(
+          struct(col("g").as("id1"), (col("g") + off).as("id2")),
+          struct(col("g").as("id1"), (col("g") + 2 * off).as("id2")),
+          struct((col("g") + off).as("id1"),
+            (col("g") + 2 * off).as("id2")))).as("p"))
+        .select(col("g"), col("p.id1"), col("p.id2"))
+      def trioConn(edges: DataFrame): DataFrame = trioPairs
+        .join(edges.select(col("id1"), col("id2")), Seq("id1", "id2"),
+          "left_semi")
+        .groupBy(col("g")).agg(count(lit(1)).as("n_e"))
+        .filter(col("n_e") >= 2)
+      val connCand = trioConn(cand)
+      val connVer = trioConn(verified)
+      val stageAttr = connCand.agg(count(lit(1)).as("__n_cand_conn"))
+        .crossJoin(connVer.agg(count(lit(1)).as("__n_ver_conn")))
+        .crossJoin(trioConn(candBlock)
+          .agg(count(lit(1)).as("n_groups_block_lane")))
+        .crossJoin(trioConn(candCdc)
+          .agg(count(lit(1)).as("n_groups_cdc_lane")))
       val drop = cc.filter(col("id") =!= col("component"))
         .select(col("id").as("doc_id")).localCheckpoint(true)
       val kept = corpus.join(drop, Seq("doc_id"), "left_anti")
@@ -2121,10 +2191,15 @@ object QueriesLlm {
         .crossJoin(drop.filter(col("doc_id") > lit(off) - 1)
           .agg(count(lit(1)).as("n_planted_dropped")))
         .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
-      resolved.crossJoin(counts).select(
+      resolved.crossJoin(counts).crossJoin(stageAttr).select(
         col("n_planted_groups"), col("n_groups_resolved"),
         round(col("n_groups_resolved").cast("double") /
           col("n_planted_groups"), 4).as("group_recall"),
+        col("n_groups_block_lane"), col("n_groups_cdc_lane"),
+        (col("n_planted_groups") - col("__n_cand_conn"))
+          .as("n_groups_lost_candidates"),
+        (col("__n_cand_conn") - col("__n_ver_conn"))
+          .as("n_groups_lost_verify"),
         col("n_candidates"), col("n_verified"),
         when(col("n_candidates") === 0, lit(null).cast("double"))
           .otherwise(round(col("n_verified").cast("double") /

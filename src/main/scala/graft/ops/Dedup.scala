@@ -282,10 +282,15 @@ object Dedup {
     * instead of materializing the full edge generation up front (the
     * count-based dispatch measured +3 s on d_dup_groups at sf10 by
     * serializing pair-gen against the loop's first join — A/B'd). The
-    * bound is the honest scale gate: driver memory is ≤ 2·bound longs
-    * (~16 MB at the default 1M), a true 100 TB dup graph with more
-    * edges takes the distributed loop unchanged, and non-long id types
-    * always take the loop (the collect path reads longs). Identical
+    * bound is the honest scale gate: the probe collects ≤ 2·bound+1
+    * rows as primitive-encoded (Long, Long) tuples — ~32-40 B of heap
+    * each, so ~70-90 MB at the default 1M bound (NOT the 16 MB two
+    * raw-long arrays would take; ADVICE r18 — the earlier GenericRow
+    * collect was ~2-3× heavier still), and the BIG-graph path pays the
+    * same probe before falling back to the loop. A true 100 TB dup
+    * graph with more edges takes the distributed loop unchanged, and
+    * non-long id types always take the loop (the collect path reads
+    * longs). Identical
     * output by construction — both label every node with its
     * component's min id — and differential-pinned three ways in
     * DedupTextSpec. Set `maxDriverEdges = 0` to force the loop. */
@@ -301,9 +306,12 @@ object Dedup {
       _.dataType == org.apache.spark.sql.types.LongType)
     val probed = longIds && maxDriverEdges > 0 &&
       maxDriverEdges <= Int.MaxValue / 2 - 1
-    val probe: Array[org.apache.spark.sql.Row] =
-      if (probed) und.limit(2 * maxDriverEdges + 1).collect()
-      else Array.empty
+    val probe: Array[(Long, Long)] =
+      if (probed) {
+        val ss = edges.sparkSession
+        import ss.implicits._
+        und.limit(2 * maxDriverEdges + 1).as[(Long, Long)].collect()
+      } else Array.empty
     if (probed && probe.length <= 2 * maxDriverEdges) {
       val pairs = probe
       und.unpersist(false)
@@ -319,7 +327,7 @@ object Dedup {
       }
       var i = 0
       while (i < pairs.length) {
-        val a = pairs(i).getLong(0); val b = pairs(i).getLong(1)
+        val a = pairs(i)._1; val b = pairs(i)._2
         if (!parent.contains(a)) parent(a) = a
         if (!parent.contains(b)) parent(b) = b
         val ra = find(a); val rb = find(b)

@@ -1346,7 +1346,10 @@ object Similarity {
     * partitionFilters and unprobed partitions are never LISTED — the
     * only ANN plan here that skips I/O, not just compute. The probe
     * inside [[clusterPrunedTopKStored]] recomputes the same set
-    * (deterministic tie-break), so results are identical to serving
+    * (deterministic tie-break), and the catalog's cell-straddle guard
+    * (base rows of ids with ANY delta row are dropped under pruning —
+    * ADVICE r18) makes the pruned view exactly the unpruned catalog
+    * filtered to probed cells, so results are identical to serving
     * against the full catalog: every probed (query, cell) pair sees
     * exactly the rows the unpruned join would feed it. Returns the
     * [[bruteForceTopK]] output contract. */

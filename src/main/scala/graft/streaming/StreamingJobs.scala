@@ -489,13 +489,17 @@ object StreamingJobs {
     * append `centroid_id`-partitioned parquet. Replays append twice on
     * retry; readers go through [[ivfServingCatalog]]'s id-dedup, so
     * at-least-once delivery is invisible downstream. Refuses LOUDLY
-    * while [[rebuildIvfStore]]'s lock is present — an append during the
-    * rebuild window would land in a delta the rebuild is about to
-    * delete (silent row loss); the stream must be stopped across a
-    * rebuild (the scaladoc contract, now enforced). A lock left by a
-    * CRASHED rebuild keeps appends failing until the rebuild is re-run
-    * to completion (the recovery path, which clears it) — loud
-    * unavailability over silent loss. */
+    * while [[rebuildIvfStore]]'s lock is present — the stream should be
+    * stopped across a rebuild. The lock check is best-effort
+    * (check-then-act: an appender that passes just before the rebuild
+    * creates the lock still writes into the rebuild's window), but the
+    * residual window CANNOT lose rows: the rebuild's delta clear is
+    * snapshot-scoped (it deletes only files listed before its catalog
+    * read), so a raced-in append survives the clear, serves via the
+    * delta-wins dedup, and folds into base at the next rebuild. A lock
+    * left by a CRASHED rebuild keeps appends failing until the rebuild
+    * is re-run to completion (the recovery path, which clears it) —
+    * loud unavailability over silent loss. */
   def ivfIndexedAppendBatch(batch: DataFrame, centroids: DataFrame,
                             vecCol: String, deltaPath: String): Unit = {
     require(!pathExists(batch.sparkSession, rebuildLockPath(deltaPath)),
@@ -531,13 +535,18 @@ object StreamingJobs {
     * (and downstream eval barriers block pushdown), so a centroid_id
     * predicate applied ABOVE the catalog never reaches the scan
     * ([[graft.ops.Similarity.servedTopKFromStore]] is the serving
-    * composition that threads the probed set down here). Correctness is
-    * unaffected for readers that only consume the probed cells: the
-    * winner-per-id resolution is per-row (an id's base and delta copies
-    * that disagree on centroid_id are resolved to the delta row
-    * whenever the delta cell is probed; if only the stale base cell is
-    * probed the stale row is served — the same staleness window the
-    * unpruned catalog has until the next rebuild). */
+    * composition that threads the probed set down here). Pruned reads
+    * are EXACTLY equivalent to filtering the unpruned catalog to the
+    * probed cells (ADVICE r18 closed the cell-straddle divergence): an
+    * id whose fresh delta row lives in an UNPROBED cell but whose stale
+    * base row's cell IS probed must not serve the base row — the
+    * unpruned catalog's delta-wins dedup would have dropped it — so
+    * when pruning is active and a delta exists, the base half is
+    * anti-joined against the delta's id column read UNPRUNED
+    * (column-pruned to idCol only; the delta is the small
+    * between-rebuilds half, so this one narrow scan is the price of
+    * keeping the base half — the big one — pruned at the file
+    * listing). */
   def ivfServingCatalog(spark: SparkSession, basePath: String,
                         deltaPath: String, idCol: String,
                         probedCentroids: Option[Seq[Long]] = None)
@@ -550,10 +559,23 @@ object StreamingJobs {
       case Some(ids) => df.filter(col("centroid_id").isin(ids: _*))
       case None => df
     }
+    val deltaExists = pathExists(spark, deltaPath)
     val halves =
-      base.toSeq.map(bp =>
-        prune(spark.read.parquet(bp)).withColumn("__epoch", lit(0))) ++
-      Seq(deltaPath).filter(pathExists(spark, _)).map(dp =>
+      base.toSeq.map { bp =>
+        val b = prune(spark.read.parquet(bp))
+        // cell-straddle guard (see the probedCentroids scaladoc): under
+        // pruning, a base row whose id has ANY delta row is dropped
+        // here — the global delta-wins winner may live in an unprobed
+        // cell, and serving the stale base row would diverge from the
+        // unpruned catalog
+        val bSafe =
+          if (probedCentroids.isDefined && deltaExists)
+            b.join(spark.read.parquet(deltaPath).select(col(idCol)),
+              Seq(idCol), "left_anti")
+          else b
+        bSafe.withColumn("__epoch", lit(0))
+      } ++
+      Seq(deltaPath).filter(_ => deltaExists).map(dp =>
         prune(spark.read.parquet(dp)).withColumn("__epoch", lit(1)))
     require(halves.nonEmpty,
       s"ivfServingCatalog: neither $basePath(.old) nor $deltaPath exists")
@@ -605,9 +627,14 @@ object StreamingJobs {
     *
     * Concurrency: takes the [[rebuildLockPath]] lock for the whole run
     * (appenders fail loudly while it is held — see
-    * [[ivfIndexedAppendBatch]]); a lock left by a CRASHED rebuild is
-    * adopted, since re-running the rebuild IS the recovery path.
-    * Rebuilds are contractually single-instance. Scale shape: one
+    * [[ivfIndexedAppendBatch]]; an appender that races past the check
+    * is retained by the snapshot-scoped delta clear, so the window is
+    * loss-free); the lock is created only after the store-exists
+    * validation and cleared on any non-crash failure — persistence is
+    * reserved for process death, where a lock left by the CRASHED
+    * rebuild is adopted on re-run, since re-running the rebuild IS the
+    * recovery path. Rebuilds are contractually single-instance. Scale
+    * shape: one
     * catalog scan for seeding/Lloyd (centroid state driver-bounded),
     * one scan + one partitioned write for the rewrite — the rebuild is
     * linear and runs offline while the OLD store serves. */
@@ -618,32 +645,80 @@ object StreamingJobs {
     val conf = spark.sparkContext.hadoopConfiguration
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = p(basePath).getFileSystem(conf)
+    // Validate BEFORE taking the lock (ADVICE r18): the bootstrap case
+    // (neither base nor delta exists yet) must fail WITHOUT creating a
+    // lock — a lock minted by this non-crash failure would block every
+    // append, and the lock's recovery advice ("re-run the rebuild") can
+    // never succeed on an empty store.
+    require(pathExists(spark, basePath) ||
+        pathExists(spark, basePath + ".old") ||
+        pathExists(spark, deltaPath),
+      s"rebuildIvfStore: nothing to rebuild — neither $basePath(.old) " +
+        s"nor $deltaPath exists")
     val lock = p(rebuildLockPath(deltaPath))
     if (!fs.exists(lock)) fs.create(lock, false).close()
-    val store = ivfServingCatalog(spark, basePath, deltaPath, idCol)
-      .select(col(idCol), col(vecCol))
-    val seeds = graft.ops.Similarity.pickCentroids(store, idCol, vecCol,
-      nlist, seed)
-    val cents = (if (iters > 0)
-      graft.ops.Similarity.refineCentroids(store, vecCol, seeds, iters)
-    else seeds).localCheckpoint(true)
-    val stage = basePath + ".stage"
-    graft.ops.Similarity.assignClusters(store, vecCol, cents)
-      .repartition(col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(stage)
-    // atomic two-rename swap; the stale-.old delete happens ONLY while a
-    // complete base still exists (see the crash-posture scaladoc)
-    if (fs.exists(p(basePath))) {
+    try {
+      // Snapshot the delta's file list BEFORE building the catalog view
+      // (whose parquet file index is resolved at DataFrame creation, so
+      // it sees a superset of this snapshot): the end-of-rebuild delta
+      // clear deletes ONLY these files. An appender that raced past the
+      // lock check and landed files after this point keeps them — they
+      // are served via the catalog's delta-wins dedup and folded by the
+      // NEXT rebuild, so the check-then-act window cannot lose rows
+      // (ADVICE r18: the lock alone only narrowed the race).
+      def listFilesRec(dir: org.apache.hadoop.fs.Path)
+          : Seq[org.apache.hadoop.fs.Path] =
+        if (!fs.exists(dir)) Seq.empty
+        else fs.listStatus(dir).toSeq.flatMap { st =>
+          if (st.isDirectory) listFilesRec(st.getPath)
+          else Seq(st.getPath)
+        }
+      val deltaSnapshot = listFilesRec(p(deltaPath))
+      val store = ivfServingCatalog(spark, basePath, deltaPath, idCol)
+        .select(col(idCol), col(vecCol))
+      val seeds = graft.ops.Similarity.pickCentroids(store, idCol, vecCol,
+        nlist, seed)
+      val cents = (if (iters > 0)
+        graft.ops.Similarity.refineCentroids(store, vecCol, seeds, iters)
+      else seeds).localCheckpoint(true)
+      val stage = basePath + ".stage"
+      graft.ops.Similarity.assignClusters(store, vecCol, cents)
+        .repartition(col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(stage)
+      // atomic two-rename swap; the stale-.old delete happens ONLY while
+      // a complete base still exists (see the crash-posture scaladoc)
+      if (fs.exists(p(basePath))) {
+        fs.delete(p(basePath + ".old"), true)
+        require(fs.rename(p(basePath), p(basePath + ".old")),
+          s"rebuildIvfStore: rename $basePath -> .old failed")
+      }
+      require(fs.rename(p(stage), p(basePath)),
+        s"rebuildIvfStore: rename $stage -> $basePath failed")
       fs.delete(p(basePath + ".old"), true)
-      require(fs.rename(p(basePath), p(basePath + ".old")),
-        s"rebuildIvfStore: rename $basePath -> .old failed")
+      // snapshot-scoped delta clear (see above), then a best-effort
+      // sweep of now-empty partition dirs; a dir holding a raced-in
+      // late file survives both
+      deltaSnapshot.foreach(f => fs.delete(f, false))
+      def sweepEmptyDirs(dir: org.apache.hadoop.fs.Path): Unit =
+        if (fs.exists(dir)) {
+          fs.listStatus(dir).foreach { st =>
+            if (st.isDirectory) sweepEmptyDirs(st.getPath)
+          }
+          if (fs.listStatus(dir).isEmpty) { fs.delete(dir, false); () }
+        }
+      sweepEmptyDirs(p(deltaPath))
+      fs.delete(lock, false)
+      cents
+    } catch {
+      // Non-crash failure: clear the lock so appends are not permanently
+      // blocked by a failure whose fix may not be "re-run the rebuild".
+      // Lock persistence is reserved for actual process death, where the
+      // finally-less crash window leaves it on disk and re-running the
+      // rebuild IS the recovery path (ADVICE r18).
+      case e: Throwable =>
+        try { fs.delete(lock, false); () } catch { case _: Throwable => () }
+        throw e
     }
-    require(fs.rename(p(stage), p(basePath)),
-      s"rebuildIvfStore: rename $stage -> $basePath failed")
-    fs.delete(p(basePath + ".old"), true)
-    fs.delete(p(deltaPath), true)
-    fs.delete(lock, false)
-    cents
   }
 
   /** T11 streaming form: gap-based sessionization with

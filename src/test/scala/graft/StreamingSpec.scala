@@ -1040,4 +1040,70 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(scans.nonEmpty, "probed set did not reach partitionFilters")
   }
+
+  test("IVF store pruning (ADVICE r18): base/delta cell-straddle — a " +
+    "stale base row whose fresh delta row lives in an UNPROBED cell is " +
+    "not served; pruned ≡ full-catalog serving") {
+    val base = Files.createTempDirectory("graft-ivfstraddle").toString
+    val bs = s"$base/store"; val delta = s"$base/delta"
+    // Two well-separated cells. Id 1 STRADDLES: its stale base row sits
+    // in cell 0 (near the origin), its fresh delta row moved to cell 1.
+    // A query at the origin with nprobe=1 probes ONLY cell 0 — the
+    // unpruned catalog's delta-wins dedup leaves id 1 in cell 1 (not a
+    // candidate); pruning below the dedup without the straddle guard
+    // would serve the stale base row instead.
+    Seq((1L, Seq(0.1f, 0.1f), 0L), (2L, Seq(0.3f, 0.0f), 0L),
+        (4L, Seq(0.0f, 0.4f), 0L), (3L, Seq(10f, 10f), 1L))
+      .toDF("vec_id", "embedding", "centroid_id")
+      .write.partitionBy("centroid_id").parquet(bs)
+    Seq((1L, Seq(9.9f, 9.9f), 1L))
+      .toDF("vec_id", "embedding", "centroid_id")
+      .write.partitionBy("centroid_id").parquet(delta)
+    val cents = Seq((0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)))
+      .toDF("centroid_id", "centroid_vec")
+    val reqs = Seq((100L, Seq(0f, 0f))).toDF("u", "embedding")
+    val full = ops.Similarity.clusterPrunedTopKStored(reqs,
+      StreamingJobs.ivfServingCatalog(spark, bs, delta, "vec_id"),
+      "u", "vec_id", "embedding", 3, cents, nprobe = 1)
+    val pruned = ops.Similarity.servedTopKFromStore(reqs, bs, delta,
+      "u", "vec_id", "embedding", 3, cents, nprobe = 1)
+    val prunedRows = pruned.orderBy("query_id", "rank").collect().toSeq
+    assert(prunedRows === full.orderBy("query_id", "rank").collect().toSeq,
+      "pruned serving diverged from the full catalog on a cell-straddle")
+    assert(!prunedRows.exists(_.getLong(2) == 1L),
+      "the straddling id's STALE base row was served from the probed cell")
+    assert(prunedRows.map(_.getLong(2)).toSet === Set(2L, 4L),
+      s"expected exactly the live cell-0 candidates, got $prunedRows")
+  }
+
+  test("rebuildIvfStore lock lifecycle (ADVICE r18): a bootstrap rebuild " +
+    "(empty store) fails WITHOUT minting a lock; a non-crash failure " +
+    "after the lock is taken clears it on the way out") {
+    val base = Files.createTempDirectory("graft-ivfboot").toString
+    val bs = s"$base/store"; val delta = s"$base/delta"
+    val lock = new java.io.File(StreamingJobs.rebuildLockPath(delta))
+    // bootstrap: neither base nor delta exists — the old code created
+    // the lock BEFORE ivfServingCatalog's require fired and never
+    // removed it, permanently blocking appends on an empty store whose
+    // only advertised recovery (re-run the rebuild) could never succeed
+    intercept[IllegalArgumentException] {
+      StreamingJobs.rebuildIvfStore(spark, bs, delta, "vec_id",
+        "embedding", nlist = 2)
+    }
+    assert(!lock.exists(), "bootstrap failure must not leave a lock")
+    // non-crash failure past the validation: delta exists but lacks the
+    // vector column, so the rebuild fails at analysis — the lock must be
+    // cleared (persistence is reserved for actual process death)
+    Seq((1L, 2L)).toDF("vec_id", "other").write.parquet(delta)
+    intercept[Throwable] {
+      StreamingJobs.rebuildIvfStore(spark, bs, delta, "vec_id",
+        "embedding", nlist = 2)
+    }
+    assert(!lock.exists(), "non-crash rebuild failure must clear its lock")
+    // and appends still work afterwards (the failure did not wedge them)
+    val cents = Seq((0L, Seq(0f, 0f))).toDF("centroid_id", "centroid_vec")
+    StreamingJobs.ivfIndexedAppendBatch(
+      Seq((7L, Seq(1f, 1f))).toDF("vec_id", "embedding"),
+      cents, "embedding", delta)
+  }
 }
