@@ -293,7 +293,13 @@ object Dedup {
     * longs). Identical
     * output by construction — both label every node with its
     * component's min id — and differential-pinned three ways in
-    * DedupTextSpec. Set `maxDriverEdges = 0` to force the loop. */
+    * DedupTextSpec. Long-id graphs OVER the bound contract ONCE (one
+    * distributed min-label round, quotient graph re-probed — see the
+    * inline r19 comment) before any loop runs: dup clusters are dense,
+    * so the quotient usually fits the driver path and the dispatch
+    * boundary has no cliff; only a quotient still over the bound pays
+    * the full loop, on the smaller graph. Set `maxDriverEdges = 0` to
+    * force the loop. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20,
                           maxDriverEdges: Int = 1000000): DataFrame = {
@@ -307,52 +313,133 @@ object Dedup {
     val probed = longIds && maxDriverEdges > 0 &&
       maxDriverEdges <= Int.MaxValue / 2 - 1
     val probe: Array[(Long, Long)] =
-      if (probed) {
-        val ss = edges.sparkSession
-        import ss.implicits._
-        und.limit(2 * maxDriverEdges + 1).as[(Long, Long)].collect()
-      } else Array.empty
+      if (probed) probeCollect(und, 2 * maxDriverEdges + 1)
+      else Array.empty
     if (probed && probe.length <= 2 * maxDriverEdges) {
-      val pairs = probe
       und.unpersist(false)
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) {
-          // path halving: point r at its grandparent as we walk
-          parent(r) = parent(parent(r))
-          r = parent(r)
-        }
-        r
-      }
-      var i = 0
-      while (i < pairs.length) {
-        val a = pairs(i)._1; val b = pairs(i)._2
-        if (!parent.contains(a)) parent(a) = a
-        if (!parent.contains(b)) parent(b) = b
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) parent(ra) = rb
-        i += 1
-      }
-      // min id per root, then every node labeled with its root's min
-      val nodes = parent.keys.toArray
-      val rootMin = scala.collection.mutable.LongMap.empty[Long]
-      nodes.foreach { n =>
-        val r = find(n)
-        rootMin(r) = math.min(rootMin.getOrElse(r, n), n)
-      }
-      val spark = edges.sparkSession
-      import scala.jdk.CollectionConverters._
-      val rows: java.util.List[org.apache.spark.sql.Row] =
-        nodes.map(n => org.apache.spark.sql.Row(n, rootMin(find(n))))
-          .toSeq.asJava
-      return spark.createDataFrame(rows,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("component",
-            org.apache.spark.sql.types.LongType, nullable = false))))
+      return dsuLabelFrame(edges.sparkSession, probe)
     }
+    // --- CONTRACT-THEN-REPROBE escalation (r19, the VERDICT r18 #5
+    // boundary measurement: the fast-path/loop dispatch had a real step
+    // at the 1M-edge crossover — sf1.5 7.4 s vs sf2 17.8 s on 1.33× the
+    // pairs — because the loop starts from scratch on the full graph).
+    // For a big LONG-id graph, ONE distributed min-label round first:
+    // L0(v) = min(v ∪ Γ(v)) (a single groupBy over the already-persisted
+    // doubled edges — no label table yet, so no join), then the QUOTIENT
+    // graph E1 = {(L0(a), L0(b)) | (a,b) ∈ E, L0(a) ≠ L0(b)} is
+    // re-probed with the same bound. Dup graphs are dense clusters, so
+    // one contraction typically collapses them orders of magnitude —
+    // the driver path then fires on E1 and the cliff flattens; a graph
+    // still over the bound runs the loop on the SMALLER E1. Soundness:
+    // L0(v) is a node in v's component, quotient components biject onto
+    // original components, and the original component's min m satisfies
+    // L0(m) = m (m is the min of its own closed neighborhood), so m is a
+    // quotient node and the quotient component's min — labeling v with
+    // comp1(L0(v)) reproduces min-label output exactly (differential-
+    // pinned against the pure loop in DedupTextSpec). Non-long ids skip
+    // both probes and run the loop unchanged. ---
+    if (probed) {
+      val ss = edges.sparkSession
+      import ss.implicits._
+      val l0 = und.groupBy(col("a").as("id"))
+        .agg(min(col("b")).as("__nmin"))
+        .select(col("id"), least(col("id"), col("__nmin")).as("l0"))
+        .localCheckpoint(true)
+      val e1 = und
+        .join(l0.select(col("id").as("a"), col("l0").as("la")), Seq("a"))
+        .join(l0.select(col("id").as("b"), col("l0").as("lb")), Seq("b"))
+        .filter(col("la") =!= col("lb"))
+        .select(col("la").as("a"), col("lb").as("b"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probe2 = probeCollect(e1, 2 * maxDriverEdges + 1)
+      val comp1 =
+        if (probe2.length <= 2 * maxDriverEdges) {
+          // CollectLimit scanned every partition (total < limit), so e1
+          // is fully on the driver; both cached frames can go now.
+          e1.unpersist(false)
+          und.unpersist(false)
+          dsuLabelFrame(ss, probe2)
+        } else {
+          // the loop re-scans e1 fully — keep und cached until it has
+          // (uncached e1 partitions recompute through und, not pair-gen)
+          val r = ccLoopLabels(e1, maxIter)
+          und.unpersist(false)
+          r
+        }
+      // isolated quotient nodes (clusters that contracted completely)
+      // have no e1 row — their label IS l0
+      return l0.join(comp1.withColumnRenamed("id", "l0"), Seq("l0"), "left")
+        .select(col("id"),
+          coalesce(col("component"), col("l0")).as("component"))
+    }
+    ccLoopLabels(und, maxIter)
+  }
+
+  /** Limit-probe collect (primitive tuple encoding — ADVICE r18). The
+    * default CollectLimit ramp (1 → 4 → 16 → … result partitions) is
+    * KEPT deliberately: an r19 A/B set
+    * `spark.sql.limit.initialNumPartitions = 32` on the theory that the
+    * ramp serializes expensive verify partitions, and it was REJECTED —
+    * d_dup_groups at sf3 went 18.2 → 43–50 s reproducibly (the wide
+    * wave forces every result partition's verify work plus a much
+    * larger driver accumulation, while the shuffle-map side of pair-gen
+    * runs fully under either policy — the probe's apparent cost is
+    * pair-gen itself, paid once into the persisted frame). */
+  private def probeCollect(df: DataFrame, limit: Int): Array[(Long, Long)] = {
+    val ss = df.sparkSession
+    import ss.implicits._
+    df.limit(limit).as[(Long, Long)].collect()
+  }
+
+  /** Driver union-find (path-halving DSU + per-root min relabel) over a
+    * collected long-id edge list — the small-graph arm of
+    * [[connectedComponents]]'s dispatch. Returns the (id, component)
+    * frame for every node in `pairs`. */
+  private def dsuLabelFrame(spark: org.apache.spark.sql.SparkSession,
+                            pairs: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) {
+        // path halving: point r at its grandparent as we walk
+        parent(r) = parent(parent(r))
+        r = parent(r)
+      }
+      r
+    }
+    var i = 0
+    while (i < pairs.length) {
+      val a = pairs(i)._1; val b = pairs(i)._2
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+      i += 1
+    }
+    // min id per root, then every node labeled with its root's min
+    val nodes = parent.keys.toArray
+    val rootMin = scala.collection.mutable.LongMap.empty[Long]
+    nodes.foreach { n =>
+      val r = find(n)
+      rootMin(r) = math.min(rootMin.getOrElse(r, n), n)
+    }
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      nodes.map(n => org.apache.spark.sql.Row(n, rootMin(find(n))))
+        .toSeq.asJava
+    spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** The distributed min-label + pointer-jumping loop over a PERSISTED
+    * doubled edge list (consumed and unpersisted here) — the big-graph
+    * arm of [[connectedComponents]]'s dispatch. */
+  private def ccLoopLabels(und: DataFrame, maxIter: Int): DataFrame = {
     // Iterative loops MUST truncate lineage each round: a persist/unpersist
     // chain leaves every iteration's plan referencing its (by then
     // unpersisted) parents, and re-planning walks — and can re-execute —

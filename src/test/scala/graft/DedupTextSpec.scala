@@ -494,7 +494,39 @@ class DedupTextSpec extends AnyFunSuite {
       val c = Dedup.connectedComponents(g, "id1", "id2", maxIter = 40)
         .as[(Long, Long)].collect().toMap
       assert(a === c, s"shape $idx diverged (driver fast path)")
+      // ...and tiny bounds route through the r19 CONTRACTION tier:
+      // bound 4 → first probe overflows on every shape, quotient usually
+      // fits (contract+driver); bound 1 → quotient overflows too on the
+      // path/star shapes (contract+loop). Both must reproduce the loop's
+      // labels exactly.
+      for (bound <- Seq(4, 1)) {
+        val d = Dedup.connectedComponents(g, "id1", "id2", maxIter = 40,
+          maxDriverEdges = bound).as[(Long, Long)].collect().toMap
+        assert(a === d, s"shape $idx diverged (contraction, bound=$bound)")
+      }
     }
+  }
+
+  test("connected components contraction tier: fully-collapsing cliques " +
+    "(empty quotient) and a bridged two-clique straddle") {
+    // two 6-cliques bridged by one edge: L0 collapses each clique to its
+    // min; the bridge (5,10) keeps a nonempty quotient whose DSU must
+    // merge them — and clique-2's min (10) re-hangs under 5 via L0, the
+    // case where the quotient min is NOT the cluster's own L0 value
+    val k1 = for (i <- 0 to 5; j <- (i + 1) to 5) yield (i.toLong, j.toLong)
+    val k2 = for (i <- 10 to 15; j <- (i + 1) to 15)
+      yield (i.toLong, j.toLong)
+    val g = (k1 ++ k2 :+ (5L, 10L)).toDF("id1", "id2")
+    val want = ((0 to 5) ++ (10 to 15)).map(_.toLong -> 0L).toMap
+    // bound 6: 31 edges double to 62 > 13 → contract; quotient is 1-2
+    // edges → driver DSU
+    val got = Dedup.connectedComponents(g, "id1", "id2",
+      maxDriverEdges = 6).as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // a single clique contracts to an EMPTY quotient — every label is l0
+    val gc = Dedup.connectedComponents(k1.toDF("id1", "id2"), "id1", "id2",
+      maxDriverEdges = 3).as[(Long, Long)].collect().toMap
+    assert(gc === (0 to 5).map(_.toLong -> 0L).toMap)
   }
 
   test("minhash cap-recall self-check query reports recall above the floor") {
