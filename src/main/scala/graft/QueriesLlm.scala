@@ -2132,18 +2132,36 @@ object QueriesLlm {
         maxHamming = 4).select(col("id1"), col("id2"))
       // Lane 2: content-defined chunk MinHash at the m_cdc operating
       // point — catches edits whose signature distance exceeds radius 4
-      // (the r18 sf1/sf10 candidate-stage loss class).
-      val candCdc = Multimodal.mediaNearDupsCdc(corpus, "doc_id", "media",
-        avgBits = 4, bands = 32, threshold = 0.5, maxBucketSize = 256)
+      // (the r18 sf1/sf10 candidate-stage loss class). The chunk sets
+      // are computed ONCE (the one-tokenization principle): the CDC
+      // lane and the shared verify both consume this checkpointed
+      // frame, so the GearChunkHashes kernel runs a single corpus pass.
+      val sets = Multimodal.cdcSetsFrame(corpus, "doc_id", "media",
+        avgBits = 4).localCheckpoint(true)
+      val candCdc = Multimodal.mediaNearDupsCdcFromSets(sets, "doc_id",
+        bands = 32, threshold = 0.5, maxBucketSize = 256)
         .select(col("id1"), col("id2"))
-      val cand = candBlock.unionByName(candCdc).distinct()
+      // ONE materialization carries the deduped union AND per-lane
+      // membership: tagging before the groupBy means each lane pipeline
+      // runs exactly once even though three consumers (the shared
+      // verify, the union counts, the per-lane attribution) read it —
+      // separate lane checkpoints measured as pure fixed-cost overhead
+      // at small sf, and unmaterialized lanes would re-run their whole
+      // banding pipeline per consumer.
+      val candLanes = candBlock.withColumn("__lane", lit(0))
+        .unionByName(candCdc.withColumn("__lane", lit(1)))
+        .groupBy(col("id1"), col("id2"))
+        .agg(max(when(col("__lane") === 0, 1).otherwise(0))
+            .as("__in_block"),
+          max(when(col("__lane") === 1, 1).otherwise(0)).as("__in_cdc"))
         .localCheckpoint(true)
+      val cand = candLanes.select(col("id1"), col("id2"))
       // verify at the m_cdc operating point (threshold 0.5, 16-byte
       // expected chunks): a 1-2-chunk edit on a 12+-chunk doc keeps
       // Jaccard well above 0.5; unrelated block-hash collisions fall
       // below it unless they genuinely share content
-      val verified = Multimodal.verifyPairsChunkJaccard(corpus, "doc_id",
-        "media", cand, threshold = 0.5, avgBits = 4)
+      val verified = Multimodal.verifyPairsFromSets(sets, "doc_id", cand,
+        threshold = 0.5)
         .localCheckpoint(true)
       val cc = Dedup.connectedComponents(
         verified.select(col("id1"), col("id2")), "id1", "id2")
@@ -2178,9 +2196,9 @@ object QueriesLlm {
       val connVer = trioConn(verified)
       val stageAttr = connCand.agg(count(lit(1)).as("__n_cand_conn"))
         .crossJoin(connVer.agg(count(lit(1)).as("__n_ver_conn")))
-        .crossJoin(trioConn(candBlock)
+        .crossJoin(trioConn(candLanes.filter(col("__in_block") === 1))
           .agg(count(lit(1)).as("n_groups_block_lane")))
-        .crossJoin(trioConn(candCdc)
+        .crossJoin(trioConn(candLanes.filter(col("__in_cdc") === 1))
           .agg(count(lit(1)).as("n_groups_cdc_lane")))
       val drop = cc.filter(col("id") =!= col("component"))
         .select(col("id").as("doc_id")).localCheckpoint(true)

@@ -116,19 +116,32 @@ object Multimodal {
     * Pick 2^avgBits well below typical payload size (enough chunks for
     * Jaccard resolution: at ~20 chunks one edited chunk costs ~0.05
     * Jaccard). Same hot-bucket/scale posture as minHashNearDups. */
-  def mediaNearDupsCdc(df: DataFrame, idCol: String, mediaCol: String,
-                       avgBits: Int = 6, numHashes: Int = 64,
-                       bands: Int = 16, threshold: Double = 0.7,
-                       seed: Long = 42, maxBucketSize: Int = 0): DataFrame = {
-    val withSets = df
-      .select(col(idCol), cdcChunkHashes(col(mediaCol), avgBits).as("__ch"))
+  /** The (id, __set, __hs) chunk-set frame both the CDC candidate lane
+    * and the chunk-Jaccard verify consume — exposed so a composition
+    * that needs both (m_dedup_resolve) runs the GearChunkHashes kernel
+    * ONCE over the corpus instead of once per stage. */
+  def cdcSetsFrame(df: DataFrame, idCol: String, mediaCol: String,
+                   avgBits: Int): DataFrame =
+    df.select(col(idCol), cdcChunkHashes(col(mediaCol), avgBits).as("__ch"))
       .withColumn("__set", array_distinct(col("__ch")))
       .withColumn("__hs", transform(col("__set"),
         h => pmod(h, lit(graft.ops.Dedup.MinHashPrime))))
       .select(col(idCol), col("__set"), col("__hs"))
+
+  def mediaNearDupsCdc(df: DataFrame, idCol: String, mediaCol: String,
+                       avgBits: Int = 6, numHashes: Int = 64,
+                       bands: Int = 16, threshold: Double = 0.7,
+                       seed: Long = 42, maxBucketSize: Int = 0): DataFrame =
+    mediaNearDupsCdcFromSets(cdcSetsFrame(df, idCol, mediaCol, avgBits),
+      idCol, numHashes, bands, threshold, seed, maxBucketSize)
+
+  /** [[mediaNearDupsCdc]] over a precomputed [[cdcSetsFrame]]. */
+  def mediaNearDupsCdcFromSets(withSets: DataFrame, idCol: String,
+                               numHashes: Int = 64, bands: Int = 16,
+                               threshold: Double = 0.7, seed: Long = 42,
+                               maxBucketSize: Int = 0): DataFrame =
     graft.ops.Dedup.minHashNearDupsFromSets(withSets, idCol, numHashes,
       bands, threshold, seed, maxBucketSize)
-  }
 
   /** Content-level VERIFY of candidate near-dup pairs (the downstream
     * stage [[mediaNearDups]]'s scaladoc mandates — at corpus scale the
@@ -146,13 +159,27 @@ object Multimodal {
   def verifyPairsChunkJaccard(df: DataFrame, idCol: String,
                               mediaCol: String, pairs: DataFrame,
                               threshold: Double,
-                              avgBits: Int = 4): DataFrame = {
-    val candIds = pairs.select(col("id1").as(idCol))
-      .unionByName(pairs.select(col("id2").as(idCol))).distinct()
-    val sets = df.select(col(idCol), col(mediaCol))
-      .join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol),
-        array_distinct(cdcChunkHashes(col(mediaCol), avgBits)).as("__set"))
+                              avgBits: Int = 4): DataFrame =
+    verifyPairsFromSets(
+      df.select(col(idCol), col(mediaCol))
+        .join(pairs.select(col("id1").as(idCol))
+          .unionByName(pairs.select(col("id2").as(idCol))).distinct(),
+          Seq(idCol), "left_semi")
+        .select(col(idCol),
+          array_distinct(cdcChunkHashes(col(mediaCol), avgBits))
+            .as("__set")),
+      idCol, pairs, threshold)
+
+  /** [[verifyPairsChunkJaccard]] over precomputed chunk sets (a
+    * [[cdcSetsFrame]] projection, or any (id, __set) frame): the join
+    * below restricts to candidate-pair ids, so passing a full-corpus
+    * sets frame is fine — at scale candidates ≪ corpus and the
+    * expensive chunking kernel is paid once upstream, not re-run
+    * here. */
+  def verifyPairsFromSets(sets0: DataFrame, idCol: String,
+                          pairs: DataFrame,
+                          threshold: Double): DataFrame = {
+    val sets = sets0.select(col(idCol), col("__set"))
     val j = pairs.select(col("id1"), col("id2"))
       .join(sets.select(col(idCol).as("id1"), col("__set").as("__s1")),
         Seq("id1"))
