@@ -1122,14 +1122,19 @@ object QueriesEval {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= k)
         .select(col("u"), col("item_id"))
-      val hits = exact.join(
-        approx.select(col("query_id").as("u"), col("item_id")),
-        Seq("u", "item_id"), "left_semi")
-      // n_queries rides the SAME job as the recall aggregation (a 32-row
-      // count crossJoined like the others) instead of a separate
-      // requests.count() action — the timed query is exactly one job.
-      exact.agg(count(lit(1)).as("n_exact")).crossJoin(
-          hits.agg(count(lit(1)).as("n_hits")))
+      // ONE exact-baseline execution (r19, guide §2.4): the old
+      // semi-join-numerator + count-denominator form evaluated `exact` —
+      // the full 1 M-catalog scan × broadcast-request dot + window — in
+      // TWO separate crossJoined subtrees, so the row paid the catalog
+      // scan twice. Both sides emit unique (u, item_id), so one left
+      // join + one aggregate computes n_exact AND n_hits in a single
+      // pass of each arm. n_queries rides the SAME job (a 32-row count
+      // crossJoined like the others) instead of a separate action.
+      exact.join(
+          approx.select(col("query_id").as("u"), col("item_id"))
+            .withColumn("__hit", lit(1)),
+          Seq("u", "item_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hits"))
         .crossJoin(requests.agg(count(lit(1)).as("n_queries")))
         .select(lit(nCat).as("catalog_size"), lit(nlist).as("nlist"),
           lit(nprobe).as("nprobe"), col("n_queries"),
@@ -1205,11 +1210,14 @@ object QueriesEval {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= k)
         .select(col("u"), col("item_id"))
-      val hits = exact.join(
-        approx.select(col("query_id").as("u"), col("item_id")),
-        Seq("u", "item_id"), "left_semi")
-      exact.agg(count(lit(1)).as("n_exact")).crossJoin(
-          hits.agg(count(lit(1)).as("n_hits")))
+      // ONE exact-baseline execution (r19, guide §2.4) — same fold as
+      // c5_serving_ivf: the float-catalog exact scan ran twice under the
+      // old semi-join + count crossJoin shape.
+      exact.join(
+          approx.select(col("query_id").as("u"), col("item_id"))
+            .withColumn("__hit", lit(1)),
+          Seq("u", "item_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hits"))
         .crossJoin(requests.agg(count(lit(1)).as("n_queries")))
         .select(lit(nCat).as("catalog_size"), lit(nlist).as("nlist"),
           lit(nprobe).as("nprobe"), col("n_queries"),
@@ -1296,11 +1304,15 @@ object QueriesEval {
           catalog.select(col("vec_id"), col("embedding")), "u", "vec_id",
           "embedding", k, "cosine", excludeSelf = true)
           .select(col("query_id").as("u"), col("item_id"))
-        val hits = exact.join(
-          served.select(col("query_id").as("u"), col("item_id")),
-          Seq("u", "item_id"), "left_semi")
-        exact.agg(count(lit(1)).as("n_exact")).crossJoin(
-            hits.agg(count(lit(1)).as("n_hits")))
+        // ONE exact-baseline execution (r19, guide §2.4) — the c5 fold:
+        // the brute-force catalog scan ran twice under the old
+        // semi-join + count crossJoin shape.
+        exact.join(
+            served.select(col("query_id").as("u"), col("item_id"))
+              .withColumn("__hit", lit(1)),
+            Seq("u", "item_id"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("__hit")).as("n_hits"))
           .crossJoin(catalog.agg(count(lit(1)).as("catalog_size")))
           .select(col("catalog_size"), lit(nlist).as("nlist"),
             lit(nprobe).as("nprobe"), lit(k).as("k"), col("n_hits"),

@@ -402,10 +402,19 @@ object QueriesLlm {
       def run(cap: Int) = Dedup.minHashNearDups(docs, "doc_id", "text",
         shingleLen = 3, numHashes = 64, bands = 16, threshold = 0.5,
         maxBucketSize = cap).select(col("id1"), col("id2"))
-      val kept = run(0).join(run(64), Seq("id1", "id2"), "left_semi")
-        .agg(count(lit(1)).as("n_kept"))
-      val tot = run(0).agg(count(lit(1)).as("n_uncapped"))
-      kept.crossJoin(tot)
+      // ONE uncapped execution (r19, guide §2.4): the old
+      // semi-join-numerator + count-denominator form evaluated the
+      // uncapped LSH pipeline in TWO separate subtrees (Spark does not
+      // share subtrees across a crossJoin), so the most expensive arm ran
+      // twice per invocation. Both near-dup pipelines emit each pair at
+      // most once (candidates are `.distinct()` before the verify join),
+      // so numerator and denominator fold into one left join + one
+      // aggregate over a single execution of each arm: count(__hit)
+      // counts exactly the semi-join survivors.
+      run(0)
+        .join(run(64).withColumn("__hit", lit(1)), Seq("id1", "id2"), "left")
+        .agg(count(col("__hit")).as("n_kept"),
+          count(lit(1)).as("n_uncapped"))
         .select(col("n_kept"), col("n_uncapped"),
           round(col("n_kept").cast("double") / col("n_uncapped"), 4)
             .as("recall"))
@@ -472,10 +481,17 @@ object QueriesLlm {
       def run(cap: Int) = Dedup.simHashNearDups128(docs, "doc_id", "text",
         maxHamming = 16, blockCombos = 2, maxBucketSize = cap)
         .select(col("id1"), col("id2"))
-      val kept = run(0).join(run(1024), Seq("id1", "id2"), "left_semi")
-        .agg(count(lit(1)).as("n_kept"))
-      val tot = run(0).agg(count(lit(1)).as("n_lossless"))
-      kept.crossJoin(tot)
+      // ONE lossless execution (r19, guide §2.4) — same fold as
+      // d_minhash_cap_recall: the old form ran the lossless banding
+      // pipeline (the expensive Σd² candidate join) twice, once under the
+      // semi-join numerator and once under the denominator count. Pair
+      // uniqueness holds (fp-pairs are `.distinct()`, ids map to exactly
+      // one fp group), so one left join + one aggregate computes both.
+      run(0)
+        .join(run(1024).withColumn("__hit", lit(1)), Seq("id1", "id2"),
+          "left")
+        .agg(count(col("__hit")).as("n_kept"),
+          count(lit(1)).as("n_lossless"))
         .select(col("n_kept"), col("n_lossless"),
           round(col("n_kept").cast("double") / col("n_lossless"), 4)
             .as("recall"))
@@ -991,16 +1007,20 @@ object QueriesLlm {
         items8.filter(col("vec_id") < 50), items8,
         "vec_id", "vec_id", "embedding", 5, "cosine", excludeSelf = true)
         .select(col("query_id"), col("item_id"))
-      val hits = exact.join(approx, Seq("query_id", "item_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      val tot = exact.agg(count(lit(1)).as("n_exact"))
+      // ONE exact-baseline execution (r19, guide §2.4) — the c5 fold:
+      // numerator and denominator in one left join + aggregate instead
+      // of two crossJoined subtrees each re-running bruteForceTopK.
       val err = recon.select(
         avg(aggregate(
           zip_with(col("embedding"), col("__qv"),
             (a, b) => abs(a.cast("double") - b)),
           lit(0.0), (acc, x) => acc + x) / size(col("embedding")))
           .as("__mae"))
-      hits.crossJoin(tot).crossJoin(err)
+      exact.join(approx.withColumn("__hit", lit(1)),
+          Seq("query_id", "item_id"), "left")
+        .agg(count(col("__hit")).as("n_hits"),
+          count(lit(1)).as("n_exact"))
+        .crossJoin(err)
         .select(col("n_hits"), col("n_exact"),
           round(col("n_hits").cast("double") / col("n_exact"), 4).as("recall"),
           round(col("__mae"), 6).as("mean_abs_err"))
@@ -1827,9 +1847,12 @@ object QueriesLlm {
       // refined >= seeded on a planted-cluster corpus.
       val e = SparkEntry.T(s, d, "embeddings")
       val qs = e.filter(col("vec_id") < 50)
+      // exact baseline checkpointed (r19, guide §2.4): it feeds THREE
+      // subtrees (two semi-join numerators + the denominator count), each
+      // of which re-ran the brute-force scan — the r14 rows' device.
       val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "vec_id",
         "embedding", 5, "cosine", excludeSelf = true)
-        .select(col("query_id"), col("item_id"))
+        .select(col("query_id"), col("item_id")).localCheckpoint()
       def recallOf(refineIters: Int, hitsName: String, recallName: String) = {
         val approx = Similarity.clusterPrunedTopK(qs, e, "vec_id", "vec_id",
           "embedding", 5, nlist = 16, nprobe = 4, refineIters = refineIters,
@@ -1856,9 +1879,11 @@ object QueriesLlm {
     ("ann_mllib_lsh_recall", (s, d) => {
       val e = SparkEntry.T(s, d, "embeddings")
       val qs = e.filter(col("vec_id") < 50)
+      // exact baseline checkpointed (r19, guide §2.4): three consumers,
+      // same rationale as ann_cluster_recall above.
       val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "vec_id",
         "embedding", 5, "cosine", excludeSelf = true)
-        .select(col("query_id"), col("item_id"))
+        .select(col("query_id"), col("item_id")).localCheckpoint()
       def recallOf(bandSize: Int, cap: Int, hitsName: String) = {
         val approx = Similarity.lshTopK(qs, e, "vec_id", "vec_id",
           "embedding", 5, bandSize = bandSize, maxBucketSize = cap)
@@ -2011,16 +2036,20 @@ object QueriesLlm {
       val want = eligible
         .select(col("doc_id").as("id1"),
           (col("doc_id") + off).as("id2"))
-      val recovered = pairs.join(want, Seq("id1", "id2"), "left_semi")
-        .agg(count(lit(1)).as("n_recovered"))
-      val total = pairs.agg(count(lit(1)).as("n_pairs"),
-        max(col("hamming")).as("max_found_hamming"))
+      // ONE pairs execution (r19, guide §2.4): recovered + totals in one
+      // left join + aggregate — the old two-subtree form ran the banding
+      // pipeline twice. `want` is unique on (id1, id2) by construction
+      // (one planted copy per eligible doc), so the join fans nothing out.
       val nPlanted = eligible.agg(count(lit(1)).as("n_planted"))
-      recovered.crossJoin(total).crossJoin(nPlanted).select(
-        col("n_planted"), col("n_recovered"),
-        round(col("n_recovered").cast("double") / col("n_planted"), 4)
-          .as("planted_recall"),
-        col("n_pairs"), col("max_found_hamming"))
+      pairs.join(want.withColumn("__hit", lit(1)), Seq("id1", "id2"), "left")
+        .agg(count(col("__hit")).as("n_recovered"),
+          count(lit(1)).as("n_pairs"),
+          max(col("hamming")).as("max_found_hamming"))
+        .crossJoin(nPlanted).select(
+          col("n_planted"), col("n_recovered"),
+          round(col("n_recovered").cast("double") / col("n_planted"), 4)
+            .as("planted_recall"),
+          col("n_pairs"), col("max_found_hamming"))
     }, None),
 
     // --- Multimodal near-dup, INSERT-ROBUST form (the edit class
@@ -2067,16 +2096,18 @@ object QueriesLlm {
       val want = eligible
         .select(col("doc_id").as("id1"),
           (col("doc_id") + off).as("id2"))
-      val recovered = pairs.join(want, Seq("id1", "id2"), "left_semi")
-        .agg(count(lit(1)).as("n_recovered"))
-      val total = pairs.agg(count(lit(1)).as("n_pairs"),
-        round(min(col("jaccard")), 4).as("min_jaccard"))
+      // ONE pairs execution (r19, guide §2.4) — the m_phash fold: the CDC
+      // banding + verify pipeline ran twice under the old two-subtree form.
       val nPlanted = eligible.agg(count(lit(1)).as("n_planted"))
-      recovered.crossJoin(total).crossJoin(nPlanted).select(
-        col("n_planted"), col("n_recovered"),
-        round(col("n_recovered").cast("double") / col("n_planted"), 4)
-          .as("planted_recall"),
-        col("n_pairs"), col("min_jaccard"))
+      pairs.join(want.withColumn("__hit", lit(1)), Seq("id1", "id2"), "left")
+        .agg(count(col("__hit")).as("n_recovered"),
+          count(lit(1)).as("n_pairs"),
+          round(min(col("jaccard")), 4).as("min_jaccard"))
+        .crossJoin(nPlanted).select(
+          col("n_planted"), col("n_recovered"),
+          round(col("n_recovered").cast("double") / col("n_planted"), 4)
+            .as("planted_recall"),
+          col("n_pairs"), col("min_jaccard"))
     }, None),
 
     // --- Multimodal dedup END-TO-END RESOLUTION (r17 verdict #2 — the

@@ -691,11 +691,18 @@ object Similarity {
       seed = seed, multiProbe = multiProbe)
       .filter(round(col("cosine"), 6) >= lit(threshold))
       .select(col("id1"), col("id2"))
-    val found = ref.join(clus, Seq("id1", "id2"), "left_semi")
-      .agg(count(lit(1)).as("n_found"))
-    val nRef = ref.agg(count(lit(1)).as("n_ref_pairs"))
-    val nClus = clus.agg(count(lit(1)).as("n_cluster_pairs"))
-    nRef.crossJoin(nClus).crossJoin(found)
+    // ONE execution of each pair generator (r19, guide §2.4): the old
+    // three-subtree form (semi-join numerator + two counts) ran `ref`
+    // twice and `clus` twice — both are the expensive within-bucket
+    // cosine joins. Both emit each (id1, id2) at most once (single
+    // rank-1 assignment / explicit distinct), so a full-outer join +
+    // one aggregate computes all three counts in a single pass of each.
+    ref.withColumn("__r", lit(1))
+      .join(clus.withColumn("__c", lit(1)), Seq("id1", "id2"), "full")
+      .agg(count(col("__r")).as("n_ref_pairs"),
+        count(col("__c")).as("n_cluster_pairs"),
+        count(when(col("__r").isNotNull && col("__c").isNotNull, 1))
+          .as("n_found"))
       .select(col("n_ref_pairs"), col("n_cluster_pairs"), col("n_found"),
         round(when(col("n_ref_pairs") === 0, 1.0)
           .otherwise(col("n_found").cast("double") / col("n_ref_pairs")), 4)
