@@ -1043,17 +1043,23 @@ object QueriesLlm {
       val exact = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
         "vec_id", "vec_id", "embedding", 5, "cosine", excludeSelf = true)
         .select(col("query_id"), col("item_id")).localCheckpoint()
+      // codes-only catalog encoded ONCE for both arms (r19, guide §2.4):
+      // the adc and refined arms are separate crossJoined subtrees, so
+      // each otherwise re-runs the m NearestCentroids encodes per row
+      val enc = Some(Similarity.pqEncodedItems(e, "vec_id", "embedding",
+        cb).localCheckpoint(true))
       def hitsOf(approx: DataFrame) =
         exact.join(approx.select(col("query_id"), col("item_id")),
           Seq("query_id", "item_id"), "left_semi")
           .agg(count(lit(1)).as("n"))
       val adc = hitsOf(Similarity.pqTopK(e.filter(col("vec_id") < 50), e,
-        "vec_id", "vec_id", "embedding", 5, cb, excludeSelf = true))
+        "vec_id", "vec_id", "embedding", 5, cb, excludeSelf = true,
+        encodedItems = enc))
         .select(col("n").as("n_adc"))
       val ref = hitsOf(Similarity.pqTopKRefined(
         e.filter(col("vec_id") < 50), e,
         "vec_id", "vec_id", "embedding", 5, cb, refineFactor = 10,
-        excludeSelf = true))
+        excludeSelf = true, encodedItems = enc))
         .select(col("n").as("n_refined"))
       val tot = exact.agg(count(lit(1)).as("n_exact"))
       adc.crossJoin(ref).crossJoin(tot).select(
@@ -1084,18 +1090,28 @@ object QueriesLlm {
           Seq("query_id", "item_id"), "left_semi")
           .agg(count(lit(1)).as("n"))
       val tot = exact.agg(count(lit(1)).as("n_exact"))
+      // (centroids, encoded catalog) built ONCE for all four arms (r19,
+      // guide §2.4): every arm otherwise re-seeds centroids and re-runs
+      // the m NearestCentroids encodes + assignment over the catalog in
+      // its own crossJoined subtree
+      val prepped = {
+        val (c, ic) = Similarity.pqPrunedCatalog(e, "vec_id", "embedding",
+          cb, nlist = 16)
+        Some((c.localCheckpoint(true), ic.localCheckpoint(true)))
+      }
       // two operating points: the pruning term is the dominant loss on
       // geometry-free synthetic embeddings (true neighbors spread across
       // clusters), so the row carries the nprobe knob's effect every round
       Seq(4, 8).map { nprobe =>
         val ivfpq = hitsOf(Similarity.clusterPrunedTopKPq(
           e.filter(col("vec_id") < 50), e, "vec_id", "vec_id", "embedding",
-          5, cb, nlist = 16, nprobe = nprobe, excludeSelf = true))
+          5, cb, nlist = 16, nprobe = nprobe, excludeSelf = true,
+          prepared = prepped))
           .select(col("n").as("n_ivfpq"))
         val refined = hitsOf(Similarity.clusterPrunedTopKPq(
           e.filter(col("vec_id") < 50), e, "vec_id", "vec_id", "embedding",
           5, cb, nlist = 16, nprobe = nprobe, refineFactor = 10,
-          excludeSelf = true))
+          excludeSelf = true, prepared = prepped))
           .select(col("n").as("n_refined"))
         ivfpq.crossJoin(refined).crossJoin(tot).select(
           lit(cb.m).as("m"), lit(cb.ksub).as("ksub"),
@@ -1129,14 +1145,21 @@ object QueriesLlm {
           Seq("query_id", "item_id"), "left_semi")
           .agg(count(lit(1)).as("n"))
       val tot = exact.agg(count(lit(1)).as("n_exact"))
+      // residual-encoded catalog built ONCE for all four arms (r19,
+      // guide §2.4): the assignment kernel + m residual encodes per row
+      // otherwise re-ran per arm in its own crossJoined subtree
+      val enc = Some(Similarity.residualEncodedCatalog(e, "vec_id",
+        "embedding", idx).localCheckpoint(true))
       Seq(4, 8).map { nprobe =>
         val adc = hitsOf(Similarity.clusterPrunedTopKPqResidual(
           e.filter(col("vec_id") < 50), e, "vec_id", "vec_id", "embedding",
-          5, idx, nprobe = nprobe, excludeSelf = true))
+          5, idx, nprobe = nprobe, excludeSelf = true,
+          encodedItems = enc))
           .select(col("n").as("n_res"))
         val refined = hitsOf(Similarity.clusterPrunedTopKPqResidual(
           e.filter(col("vec_id") < 50), e, "vec_id", "vec_id", "embedding",
-          5, idx, nprobe = nprobe, refineFactor = 10, excludeSelf = true))
+          5, idx, nprobe = nprobe, refineFactor = 10, excludeSelf = true,
+          encodedItems = enc))
           .select(col("n").as("n_refined"))
         adc.crossJoin(refined).crossJoin(tot).select(
           lit(idx.cb.m).as("m"), lit(idx.cb.ksub).as("ksub"),
@@ -1199,20 +1222,33 @@ object QueriesLlm {
           Seq("query_id", "item_id"), "left_semi")
           .agg(count(lit(1)).as(as))
       val tot = exact.agg(count(lit(1)).as("n_exact"))
+      // shared catalogs per arm FAMILY (r19, guide §2.4): the raw arms
+      // otherwise each re-seed + 2-Lloyd-refine centroids and re-encode
+      // the corpus; the residual arms each re-assign + residual-encode it
+      val rawPrepped = {
+        val (c, ic) = Similarity.pqPrunedCatalog(e, "vec_id", "embedding",
+          cbRaw, nlist = nlist, refineIters = lloyd)
+        Some((c.localCheckpoint(true), ic.localCheckpoint(true)))
+      }
+      val resEnc = Some(Similarity.residualEncodedCatalog(e, "vec_id",
+        "embedding", idx).localCheckpoint(true))
       val rawAdc = hitsOf(Similarity.clusterPrunedTopKPq(queries, e,
         "vec_id", "vec_id", "embedding", k, cbRaw, nlist = nlist,
-        nprobe = nprobe, refineIters = lloyd, excludeSelf = true),
+        nprobe = nprobe, refineIters = lloyd, excludeSelf = true,
+        prepared = rawPrepped),
         "n_raw_adc")
       val resAdc = hitsOf(Similarity.clusterPrunedTopKPqResidual(
         queries, e, "vec_id", "vec_id", "embedding", k, idx,
-        nprobe = nprobe, excludeSelf = true), "n_res_adc")
+        nprobe = nprobe, excludeSelf = true, encodedItems = resEnc),
+        "n_res_adc")
       val rawRef = hitsOf(Similarity.clusterPrunedTopKPq(queries, e,
         "vec_id", "vec_id", "embedding", k, cbRaw, nlist = nlist,
         nprobe = nprobe, refineIters = lloyd, refineFactor = 10,
-        excludeSelf = true), "n_raw_ref")
+        excludeSelf = true, prepared = rawPrepped), "n_raw_ref")
       val resRef = hitsOf(Similarity.clusterPrunedTopKPqResidual(
         queries, e, "vec_id", "vec_id", "embedding", k, idx,
-        nprobe = nprobe, refineFactor = 10, excludeSelf = true),
+        nprobe = nprobe, refineFactor = 10, excludeSelf = true,
+        encodedItems = resEnc),
         "n_res_ref")
       rawAdc.crossJoin(resAdc).crossJoin(rawRef).crossJoin(resRef)
         .crossJoin(tot).select(

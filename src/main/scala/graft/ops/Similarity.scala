@@ -1093,9 +1093,18 @@ object Similarity {
     * item rows (4·dsub× smaller than the float vectors the exact form
     * streams); at catalog scale compose with IVF pruning —
     * [[clusterPrunedTopKPq]], recall-gated by `r14b_ivfpq_recall`. */
+  /** The deterministic codes-only catalog [[pqTopK]] builds internally —
+    * (item_id, __codes) — exposed so a multi-arm recall harness encodes
+    * ONCE (localCheckpoint it, pass via `encodedItems`). */
+  def pqEncodedItems(items: DataFrame, itemId: String, vecCol: String,
+                     cb: PqCodebook): DataFrame =
+    evalBarrier(pqEncode(items.select(col(itemId).as("item_id"),
+      col(vecCol).as("__iv")), "__iv", cb, "__codes").drop("__iv"))
+
   def pqTopK(queries: DataFrame, items: DataFrame, queryId: String,
              itemId: String, vecCol: String, k: Int, cb: PqCodebook,
-             excludeSelf: Boolean = false): DataFrame = {
+             excludeSelf: Boolean = false,
+             encodedItems: Option[DataFrame] = None): DataFrame = {
     val q0 =
       if (cb.metric == "cosine")
         normalized(queries.select(col(queryId).as("query_id"),
@@ -1104,10 +1113,13 @@ object Similarity {
     // the broadcast build side materializes the LUT at the exchange; the
     // STREAM side's encode projections need the evalBarrier or they
     // re-evaluate per PAIR in the nested-loop consume (measured: 17.9 s
-    // for 50×2 K pairs vs 0.6 s barriered, m=16/ksub=64)
+    // for 50×2 K pairs vs 0.6 s barriered, m=16/ksub=64).
+    // `encodedItems` (r19, guide §2.4): the codes-only catalog is a pure
+    // deterministic function of (items, cb) — multi-arm harnesses build
+    // it once via [[pqEncodedItems]] instead of once per arm.
     val q = q0.withColumn("__lut", pqLut(col("__qv"), cb)).drop("__qv")
-    val it = evalBarrier(pqEncode(items.select(col(itemId).as("item_id"),
-      col(vecCol).as("__iv")), "__iv", cb, "__codes").drop("__iv"))
+    val it = encodedItems.getOrElse(
+      pqEncodedItems(items, itemId, vecCol, cb))
     val pairs = broadcast(q).join(it,
       if (excludeSelf) col("query_id") =!= col("item_id") else lit(true))
     val scored = pairs
@@ -1136,19 +1148,21 @@ object Similarity {
     * per pair. Recall gated per round by `r14b_ivfpq_recall`; both loss
     * terms (pruning, quantization) are measured against the same exact
     * baseline there. */
-  def clusterPrunedTopKPq(queries: DataFrame, items: DataFrame,
-                          queryId: String, itemId: String, vecCol: String,
-                          k: Int, cb: PqCodebook, nlist: Int = 64,
-                          nprobe: Int = 8, seed: Long = 42,
-                          refineIters: Int = 0, refineFactor: Int = 0,
-                          excludeSelf: Boolean = false): DataFrame = {
-    require(refineFactor >= 0, s"clusterPrunedTopKPq: refineFactor")
-    def prep(df: DataFrame, idC: String, outId: String, outVec: String) =
+  /** The deterministic (centroids, encoded catalog) pair
+    * [[clusterPrunedTopKPq]] builds internally, exposed so a caller
+    * measuring several operating points of the SAME index computes it
+    * ONCE (localCheckpoint it, then pass via `prepared`). Returns
+    * (centroids: (centroid_id, centroid_vec),
+    *  itemsC: (item_id, centroid_id, __codes)); itemsC is eval-barriered
+    * for the multi-match probe join exactly as the internal form. */
+  def pqPrunedCatalog(items: DataFrame, itemId: String, vecCol: String,
+                      cb: PqCodebook, nlist: Int, seed: Long = 42,
+                      refineIters: Int = 0): (DataFrame, DataFrame) = {
+    val it0 =
       if (cb.metric == "cosine")
-        normalized(df.select(col(idC).as(outId), col(vecCol).as(outVec)),
-          outVec, outVec)
-      else df.select(col(idC).as(outId), col(vecCol).as(outVec))
-    val it0 = prep(items, itemId, "item_id", "__iv")
+        normalized(items.select(col(itemId).as("item_id"),
+          col(vecCol).as("__iv")), "__iv", "__iv")
+      else items.select(col(itemId).as("item_id"), col(vecCol).as("__iv"))
     val seeds = pickCentroids(it0, "item_id", "__iv", nlist, seed)
     val centroids =
       if (refineIters > 0) refineCentroids(it0, "__iv", seeds, refineIters)
@@ -1159,6 +1173,35 @@ object Similarity {
     val itemsC = evalBarrier(assignClusters(
       pqEncodeNoNorm(it0, "__iv", cb, "__codes"), "__iv", centroids)
       .select(col("item_id"), col("centroid_id"), col("__codes")))
+    (centroids, itemsC)
+  }
+
+  def clusterPrunedTopKPq(queries: DataFrame, items: DataFrame,
+                          queryId: String, itemId: String, vecCol: String,
+                          k: Int, cb: PqCodebook, nlist: Int = 64,
+                          nprobe: Int = 8, seed: Long = 42,
+                          refineIters: Int = 0, refineFactor: Int = 0,
+                          excludeSelf: Boolean = false,
+                          prepared: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame = {
+    require(refineFactor >= 0, s"clusterPrunedTopKPq: refineFactor")
+    def prep(df: DataFrame, idC: String, outId: String, outVec: String) =
+      if (cb.metric == "cosine")
+        normalized(df.select(col(idC).as(outId), col(vecCol).as(outVec)),
+          outVec, outVec)
+      else df.select(col(idC).as(outId), col(vecCol).as(outVec))
+    val it0 = prep(items, itemId, "item_id", "__iv")
+    // `prepared` (r19, guide §2.4): the (centroids, encoded catalog)
+    // pair is a pure deterministic function of (items, cb, nlist, seed,
+    // refineIters) and is by far the heaviest subtree here — a recall
+    // harness measuring several (nprobe, refineFactor) operating points
+    // of the SAME index otherwise re-seeds, re-refines, re-encodes and
+    // re-assigns the full catalog once PER ARM (separate crossJoined
+    // subtrees share nothing). Build it once with [[pqPrunedCatalog]],
+    // localCheckpoint it, and pass it to every arm. None = the original
+    // self-contained behavior, bit-identical either way.
+    val (centroids, itemsC) = prepared.getOrElse(
+      pqPrunedCatalog(items, itemId, vecCol, cb, nlist, seed, refineIters))
     val q0 = prep(queries, queryId, "query_id", "__qv")
     val qProbe = {
       val scored = q0.crossJoin(broadcast(centroids))
@@ -1232,10 +1275,11 @@ object Similarity {
   def pqTopKRefined(queries: DataFrame, items: DataFrame, queryId: String,
                     itemId: String, vecCol: String, k: Int, cb: PqCodebook,
                     refineFactor: Int = 4,
-                    excludeSelf: Boolean = false): DataFrame = {
+                    excludeSelf: Boolean = false,
+                    encodedItems: Option[DataFrame] = None): DataFrame = {
     require(refineFactor >= 1, s"pqTopKRefined: refineFactor=$refineFactor")
     val cand = pqTopK(queries, items, queryId, itemId, vecCol,
-      k * refineFactor, cb, excludeSelf)
+      k * refineFactor, cb, excludeSelf, encodedItems)
       .select(col("query_id"), col("item_id"))
     def prep(df: DataFrame, idC: String, outId: String, outVec: String) =
       if (cb.metric == "cosine")
@@ -1573,11 +1617,38 @@ object Similarity {
     * For cosine, ADC approximates ||q − x||² directly (q − x =
     * (q − c) − (x − c) within the probed cell), so score = 1 − d²/2 on
     * unit vectors, same as the raw-PQ path. */
+  /** The deterministic residual-encoded catalog
+    * [[clusterPrunedTopKPqResidual]] builds internally — (item_id,
+    * centroid_id, __codes) — exposed so a caller measuring several
+    * (nprobe, refineFactor) operating points of the SAME index encodes
+    * the catalog ONCE (localCheckpoint it, pass via `encodedItems`).
+    * The coarse table lives in `idx` (driver-side), so unlike the raw-PQ
+    * form there is no centroid frame to share — only the catalog side. */
+  def residualEncodedCatalog(items: DataFrame, itemId: String,
+                             vecCol: String, idx: IvfPqIndex): DataFrame = {
+    val cents = centroidFrame(items.sparkSession, idx.centVecs)
+    val it0 =
+      if (idx.metric == "cosine")
+        normalized(items.select(col(itemId).as("item_id"),
+          col(vecCol).as("__iv")), "__iv", "__iv")
+      else items.select(col(itemId).as("item_id"), col(vecCol).as("__iv"))
+    // barrier 1: assignment kernel evaluated once per item (projection
+    // collapse would otherwise inline it into all m encode slices);
+    // barrier 2: codes evaluated once before the multi-match probe join
+    val itemsA = evalBarrier(assignClusters(it0, "__iv", cents))
+    evalBarrier(itemsA
+      .select(col("item_id"), col("centroid_id"),
+        pqEncodeResidualCol(col("__iv"), col("centroid_id"), idx)
+          .as("__codes")))
+  }
+
   def clusterPrunedTopKPqResidual(queries: DataFrame, items: DataFrame,
                                   queryId: String, itemId: String,
                                   vecCol: String, k: Int, idx: IvfPqIndex,
                                   nprobe: Int = 8, refineFactor: Int = 0,
-                                  excludeSelf: Boolean = false): DataFrame = {
+                                  excludeSelf: Boolean = false,
+                                  encodedItems: Option[DataFrame] = None)
+      : DataFrame = {
     require(nprobe >= 1, s"clusterPrunedTopKPqResidual: nprobe=$nprobe")
     require(refineFactor >= 0,
       s"clusterPrunedTopKPqResidual: refineFactor=$refineFactor")
@@ -1590,14 +1661,14 @@ object Similarity {
       else df.select(col(idC).as(outId), col(vecCol).as(outVec))
     val cents = centroidFrame(spark, idx.centVecs)
     val it0 = prep(items, itemId, "item_id", "__iv")
-    // barrier 1: assignment kernel evaluated once per item (projection
-    // collapse would otherwise inline it into all m encode slices);
-    // barrier 2: codes evaluated once before the multi-match probe join
-    val itemsA = evalBarrier(assignClusters(it0, "__iv", cents))
-    val itemsC = evalBarrier(itemsA
-      .select(col("item_id"), col("centroid_id"),
-        pqEncodeResidualCol(col("__iv"), col("centroid_id"), idx)
-          .as("__codes")))
+    // `encodedItems` (r19, guide §2.4): the residual-encoded catalog is
+    // a pure deterministic function of (items, idx) and the heaviest
+    // subtree here (assignment kernel + m NearestCentroids encodes per
+    // row) — a multi-arm recall harness otherwise re-encodes the full
+    // catalog once per arm. Build once via [[residualEncodedCatalog]],
+    // localCheckpoint, pass to every arm. None = original behavior.
+    val itemsC = encodedItems.getOrElse(
+      residualEncodedCatalog(items, itemId, vecCol, idx))
     val q0 = prep(queries, queryId, "query_id", "__qv")
     val qProbe = {
       val scored = q0.crossJoin(broadcast(cents))
