@@ -172,6 +172,38 @@ object Explain {
     }.exists(identity)
   }
 
+  /** VERDICT r18 #8: machine check that every `.collect()` in the ops/
+    * library is visibly bounded. The CC fast path and x1's
+    * maxExactCatalog made "driver collects are limit-gated or
+    * config-bounded" a load-bearing property that previously held only
+    * by review. Rule: a `.collect()` call site passes iff the 30 lines
+    * ending at it contain a `limit(`, a `require(`, or an explicit
+    * bound-contract word (`bound`/`bounded`/`BOUNDED collect` marker —
+    * the collectCentroids/pqTrain/ivfPqTrain centroid-table contracts).
+    * Anything else is reported as unbounded and FAILS the audit, so a
+    * future data-sized collect cannot land silently. Positive + negative
+    * controls in ScaleAndGuardsSpec. */
+  private[graft] def unboundedCollects(srcDir: java.io.File): Seq[String] = {
+    val okRx = java.util.regex.Pattern.compile(
+      "limit\\s*\\(|require\\s*\\(|\\bbound(ed)?\\b",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+    Option(srcDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".scala")).sortBy(_.getName)
+      .flatMap { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val lines = try src.getLines().toVector finally src.close()
+        lines.zipWithIndex.flatMap { case (l, i) =>
+          if (!l.contains(".collect()")) None
+          else {
+            val window =
+              lines.slice(math.max(0, i - 29), i + 1).mkString("\n")
+            if (okRx.matcher(window).find()) None
+            else Some(s"${f.getName}:${i + 1}")
+          }
+        }
+      }.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val audit = args.contains("--audit")
     val rest = args.filterNot(_ == "--audit")
@@ -243,6 +275,12 @@ object Explain {
           wgl += "WindowGroupLimit".r.findAllIn(p).length
         } catch { case e: Throwable => failed ::= s"$n (${e.getMessage})" }
       }
+      // library-source collect audit (VERDICT r18 #8); -1 = sources not
+      // present at the cwd (audit run outside the repo) — plan checks
+      // above still apply
+      val opsDir = new java.io.File("src/main/scala/graft/ops")
+      val unbounded =
+        if (opsDir.isDirectory) unboundedCollects(opsDir) else null
       println(s"[audit] queries=${SparkEntry.queries.size} " +
         s"cartesian=${cartesian.size} bnlj=${bnlj.size} " +
         s"bnlj_open_ack=${bnljOpenAck.size} " +
@@ -250,7 +288,12 @@ object Explain {
         s"global_windows=${globalWin.size} " +
         s"barrier_misplaced=${barrierMisplaced.size} " +
         s"pushed_filters=$pushed window_group_limit=$wgl " +
+        s"unbounded_collects=${if (unbounded == null) -1 else unbounded.size} " +
         s"plan_failures=${failed.size}")
+      if (unbounded != null && unbounded.nonEmpty)
+        println(s"[audit] UNBOUNDED-COLLECTS (ops/ collect sites with no " +
+          s"visible limit/require/bound contract — must be none): " +
+          unbounded.mkString(", "))
       if (cartesian.nonEmpty) println(s"[audit] CARTESIAN: ${cartesian.sorted.mkString(", ")}")
       if (bnlj.nonEmpty) println(s"[audit] BNLJ (build sides structurally verified scalar/limit-gated unless listed): ${bnlj.sorted.mkString(", ")}")
       if (bnljOpenAck.nonEmpty) {
@@ -262,7 +305,8 @@ object Explain {
       if (globalWin.nonEmpty) println(s"[audit] GLOBAL WINDOWS (single-partition rank — should be none): ${globalWin.sorted.mkString(", ")}")
       if (barrierMisplaced.nonEmpty) println(s"[audit] BARRIER-MISPLACED (Filter stuck above a one-element-Generate eval barrier — pushdown blocked; move the barrier after the filter): ${barrierMisplaced.sorted.mkString(", ")}")
       if (failed.nonEmpty) println(s"[audit] FAILED: ${failed.sorted.mkString(", ")}")
-      if (cartesian.nonEmpty || bnljOpenUnack.nonEmpty || globalWin.nonEmpty || barrierMisplaced.nonEmpty || failed.nonEmpty) {
+      if (cartesian.nonEmpty || bnljOpenUnack.nonEmpty || globalWin.nonEmpty || barrierMisplaced.nonEmpty || failed.nonEmpty ||
+          (unbounded != null && unbounded.nonEmpty)) {
         spark.stop(); sys.exit(1) // audit FAILS on any structural violation
       }
     } else {

@@ -42,7 +42,21 @@ object Graph {
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
     val nn = nodes.agg(count(lit(1)).as("__n"))
-    var pr = nodes.crossJoin(broadcast(nn))
+    // The per-round update needs the node SET twice (mass source via
+    // contrib, node universe via the left join) but the universe is
+    // ITERATION-INVARIANT — referencing the evolving `pr` frame for it
+    // doubled the lazy plan per round: 2^k copies of the node-derivation
+    // subtree at k iterations (ReuseExchange dedupes their exchanges, so
+    // at k=3 the interleaved sf0.1 A/B is parity within box spread — old
+    // legs 5.8–8.9 s, hoisted 5.5–7.6, r19). One node-count-sized eager
+    // checkpoint makes each round reference pr exactly once, so the plan
+    // grows LINEARLY across the whole 1..10 domain the require() admits
+    // (2^10 subtree copies would otherwise dominate planning). Float math
+    // is untouched (same join rows, same expression tree), so the
+    // unrolled/checkpointed differential pin and the SQL oracle hash are
+    // unchanged.
+    val nodesN = nodes.crossJoin(broadcast(nn)).localCheckpoint(true)
+    var pr = nodesN
       .select(col("id"), (lit(1.0) / col("__n")).as("pr"), col("__n"))
     for (_ <- 1 to iters) {
       val contrib = e
@@ -50,7 +64,7 @@ object Graph {
         .join(outDeg, Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("pr") / col("outdeg")).as("__in"))
-      pr = pr.select(col("id"), col("__n"))
+      pr = nodesN
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(1.0 - damping) / col("__n") +

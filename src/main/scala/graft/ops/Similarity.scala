@@ -835,6 +835,10 @@ object Similarity {
       train: DataFrame, test: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val trn = deconTrain(train, idCol, vecCol)
+    // BOUNDED collect by dispatch contract: the public path reaches here
+    // only through the rowCap limit-probe above (nlist = 0 auto), so the
+    // test side is at most rowCap rows; direct callers are the
+    // differential spec and callers who pinned the exact path knowingly.
     exactScoreFromRows(trn, deconTest(test, vecCol).collect(), idCol)
       .select(col(idCol), round(col("__rawmax"), 6).as("max_sim"))
       .withColumn("contaminated",
@@ -1005,9 +1009,9 @@ object Similarity {
         .map(r => toD(r.getSeq[Any](2))))
     // Lloyd rounds with DRIVER-side centroid state: assignment is the
     // native no-join projection (the pqEncode kernel chain) and the
-    // per-(subspace, code, dim) means are ONE map-combined aggregation
-    // collected at m·ksub·dsub cells per round — no n·ksub candidate
-    // materialization, no window shuffle (the join+argmin form shuffled
+    // per-(subspace, code, dim) means are ONE map-combined aggregation —
+    // a BOUNDED collect of m·ksub·dsub cells per round — no n·ksub
+    // candidate materialization, no window shuffle (the join+argmin form shuffled
     // n·m candidate-array rows per round; measured 5.5 s warm on a
     // 2 K-vector corpus vs ~1 s for this form).
     for (_ <- 1 to refineIters) {
@@ -1411,7 +1415,9 @@ object Similarity {
                           metric: String = "l2",
                           excludeSelf: Boolean = false): DataFrame = {
     // centroid_id is IntegerType or LongType depending on the producer
-    // (a parquet partition dir reads back as int) — collect numerically
+    // (a parquet partition dir reads back as int) — collect numerically.
+    // BOUNDED collect: distinct probed ids ≤ min(nlist, requests·nprobe)
+    // rows (the centroid-table bound).
     val probed = probeNearestCentroids(queries, queryId, vecCol,
       centroids, nprobe, metric)
       .select(col("centroid_id").cast("long")).distinct()
@@ -1512,6 +1518,7 @@ object Similarity {
     val cents =
       if (coarseIters > 0) refineCentroids(it0, "__v", seeds, coarseIters)
       else seeds
+    // BOUNDED collect: nlist rows (the centroid-table bound)
     val rows = cents
       .select(col("centroid_id").cast("long"), col("centroid_vec"))
       .collect().sortBy(_.getLong(0))

@@ -671,6 +671,7 @@ object TextAnalysis {
     * with a `vocabSize` vocabulary. */
   def bpeLearnEncodeIds(df: DataFrame, idCol: String, textCol: String,
                         iterations: Int, vocabSize: Int): DataFrame = {
+    // BOUNDED collect: ≤ iterations rows (the merge table)
     val table = bpeMergesMaterialized(df, textCol, iterations)
       .orderBy(col("step")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq

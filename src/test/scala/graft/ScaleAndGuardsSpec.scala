@@ -153,4 +153,45 @@ class ScaleAndGuardsSpec extends AnyFunSuite {
       "detector false-positived on a re-inferred constraint through a " +
         "pure rename:\n" + joinedR.queryExecution.sparkPlan.toString)
   }
+
+  test("audit: unbounded-collect checker — positive and negative controls " +
+    "+ ops/ is clean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-collects")
+      .toFile
+    try {
+      // POSITIVE control: a naked data-sized collect with no visible
+      // bound in its 30-line window must be flagged.
+      java.nio.file.Files.write(new java.io.File(dir, "Bad.scala").toPath,
+        ("object Bad {\n" +
+          "  def f(df: org.apache.spark.sql.DataFrame) =\n" +
+          "    df.collect()\n" +
+          "}\n").getBytes("UTF-8"))
+      // NEGATIVE controls: limit-gated, require-bounded, and an explicit
+      // bound-contract comment — the three accepted shapes.
+      java.nio.file.Files.write(new java.io.File(dir, "Good.scala").toPath,
+        ("object Good {\n" +
+          "  def a(df: org.apache.spark.sql.DataFrame) =\n" +
+          "    df.limit(10).collect()\n" +
+          "  def b(df: org.apache.spark.sql.DataFrame, n: Int) = {\n" +
+          "    require(n <= 100, \"n\")\n" +
+          "    df.collect()\n" +
+          "  }\n" +
+          "  def c(df: org.apache.spark.sql.DataFrame) = {\n" +
+          "    // BOUNDED collect: nlist rows (the centroid-table bound)\n" +
+          "    df.collect()\n" +
+          "  }\n" +
+          "}\n").getBytes("UTF-8"))
+      val flagged = Explain.unboundedCollects(dir)
+      assert(flagged == Seq("Bad.scala:3"),
+        s"checker controls failed: $flagged")
+    } finally {
+      Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+      dir.delete()
+    }
+    // the real library must be clean (the audit's load-bearing claim)
+    val ops = new java.io.File("src/main/scala/graft/ops")
+    assume(ops.isDirectory) // repo-rooted test run
+    assert(Explain.unboundedCollects(ops).isEmpty,
+      s"ops/ carries unbounded collects: ${Explain.unboundedCollects(ops)}")
+  }
 }
