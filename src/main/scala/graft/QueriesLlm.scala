@@ -1048,21 +1048,30 @@ object QueriesLlm {
       // each otherwise re-runs the m NearestCentroids encodes per row
       val enc = Some(Similarity.pqEncodedItems(e, "vec_id", "embedding",
         cb).localCheckpoint(true))
-      def hitsOf(approx: DataFrame) =
-        exact.join(approx.select(col("query_id"), col("item_id")),
-          Seq("query_id", "item_id"), "left_semi")
-          .agg(count(lit(1)).as("n"))
-      val adc = hitsOf(Similarity.pqTopK(e.filter(col("vec_id") < 50), e,
-        "vec_id", "vec_id", "embedding", 5, cb, excludeSelf = true,
-        encodedItems = enc))
-        .select(col("n").as("n_adc"))
-      val ref = hitsOf(Similarity.pqTopKRefined(
-        e.filter(col("vec_id") < 50), e,
-        "vec_id", "vec_id", "embedding", 5, cb, refineFactor = 10,
-        excludeSelf = true, encodedItems = enc))
-        .select(col("n").as("n_refined"))
+      // ONE ADC pass for BOTH arms (r20, guide §2.4 — VERDICT r19 #1):
+      // the adc arm's top-5 is the rank ≤ 5 prefix of the refined arm's
+      // k·refineFactor shortlist (same deterministic (score desc, item)
+      // window), so shortlist once at k·refineFactor and checkpoint —
+      // the old shape scored the codes catalog once per arm.
+      val short = Similarity.pqTopK(e.filter(col("vec_id") < 50), e,
+        "vec_id", "vec_id", "embedding", 5 * 10, cb, excludeSelf = true,
+        encodedItems = enc).localCheckpoint(true)
+      val adcTop = short.filter(col("rank") <= 5)
+        .select(col("query_id"), col("item_id"))
+      val refTop = Similarity.rerankExactTopK(
+        short.select(col("query_id"), col("item_id")),
+        e.filter(col("vec_id") < 50), e, "vec_id", "vec_id", "embedding",
+        5, "cosine")
+        .select(col("query_id"), col("item_id"))
+      val armed = adcTop.withColumn("__arm", lit("a"))
+        .unionAll(refTop.withColumn("__arm", lit("r")))
+      // one inner join + one aggregate counts both arms' hits (both
+      // sides unique per arm on (query_id, item_id) — the r19 fold law)
+      val hits = exact.join(armed, Seq("query_id", "item_id"))
+        .agg(count(when(col("__arm") === "a", 1)).as("n_adc"),
+          count(when(col("__arm") === "r", 1)).as("n_refined"))
       val tot = exact.agg(count(lit(1)).as("n_exact"))
-      adc.crossJoin(ref).crossJoin(tot).select(
+      hits.crossJoin(tot).select(
         lit(cb.m).as("m"), lit(cb.ksub).as("ksub"), col("n_exact"),
         round(col("n_adc").cast("double") / col("n_exact"), 4)
           .as("recall_adc"),
@@ -1085,10 +1094,6 @@ object QueriesLlm {
       val exact = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
         "vec_id", "vec_id", "embedding", 5, "cosine", excludeSelf = true)
         .select(col("query_id"), col("item_id")).localCheckpoint()
-      def hitsOf(approx: DataFrame) =
-        exact.join(approx.select(col("query_id"), col("item_id")),
-          Seq("query_id", "item_id"), "left_semi")
-          .agg(count(lit(1)).as("n"))
       val tot = exact.agg(count(lit(1)).as("n_exact"))
       // (centroids, encoded catalog) built ONCE for all four arms (r19,
       // guide §2.4): every arm otherwise re-seeds centroids and re-runs
@@ -1101,26 +1106,44 @@ object QueriesLlm {
       }
       // two operating points: the pruning term is the dominant loss on
       // geometry-free synthetic embeddings (true neighbors spread across
-      // clusters), so the row carries the nprobe knob's effect every round
-      Seq(4, 8).map { nprobe =>
-        val ivfpq = hitsOf(Similarity.clusterPrunedTopKPq(
-          e.filter(col("vec_id") < 50), e, "vec_id", "vec_id", "embedding",
-          5, cb, nlist = 16, nprobe = nprobe, excludeSelf = true,
-          prepared = prepped))
-          .select(col("n").as("n_ivfpq"))
-        val refined = hitsOf(Similarity.clusterPrunedTopKPq(
-          e.filter(col("vec_id") < 50), e, "vec_id", "vec_id", "embedding",
-          5, cb, nlist = 16, nprobe = nprobe, refineFactor = 10,
-          excludeSelf = true, prepared = prepped))
-          .select(col("n").as("n_refined"))
-        ivfpq.crossJoin(refined).crossJoin(tot).select(
-          lit(cb.m).as("m"), lit(cb.ksub).as("ksub"),
-          lit(16).as("nlist"), lit(nprobe).as("nprobe"), col("n_exact"),
-          round(col("n_ivfpq").cast("double") / col("n_exact"), 4)
-            .as("recall_ivfpq"),
-          round(col("n_refined").cast("double") / col("n_exact"), 4)
-            .as("recall_refined"))
-      }.reduce(_ unionAll _).orderBy(col("nprobe"))
+      // clusters), so the row carries the nprobe knob's effect every round.
+      // ONE candidate pass for ALL FOUR arms (r20, guide §2.4 — VERDICT
+      // r19 #1): the multi-arm shortlist probes once at max(nprobe),
+      // fans candidates by probe rank, ranks in one (nprobe, query)
+      // window; both refined arms re-score in one catalog scan. The old
+      // shape paid a probe window + LUT broadcast + codes scan + rank
+      // window PER ARM (4×).
+      val nprobes = Seq(4, 8)
+      val short = Similarity.clusterPrunedShortlistPqMulti(
+        e.filter(col("vec_id") < 50), e, "vec_id", "vec_id", "embedding",
+        5 * 10, cb, nlist = 16, nprobes = nprobes, excludeSelf = true,
+        prepared = prepped).localCheckpoint(true)
+      val adcTop = short.filter(col("rank") <= 5)
+        .select(col("nprobe"), col("query_id"), col("item_id"))
+      val refTop = Similarity.rerankExactTopK(
+        short.select(col("nprobe"), col("query_id"), col("item_id")),
+        e.filter(col("vec_id") < 50), e, "vec_id", "vec_id", "embedding",
+        5, "cosine", armCols = Seq("nprobe"))
+        .select(col("nprobe"), col("query_id"), col("item_id"))
+      val armed = adcTop.withColumn("__arm", lit("a"))
+        .unionAll(refTop.withColumn("__arm", lit("r")))
+      // one inner join + one grouped aggregate counts every arm's hits
+      // (each arm unique on (query_id, item_id) — the r19 fold law); a
+      // literal nprobe spine keeps a zero-hit arm's row present
+      import s.implicits._
+      val spine = nprobes.toDF("nprobe")
+      val hits = exact.join(armed, Seq("query_id", "item_id"))
+        .groupBy(col("nprobe"))
+        .agg(count(when(col("__arm") === "a", 1)).as("n_ivfpq"),
+          count(when(col("__arm") === "r", 1)).as("n_refined"))
+      spine.join(hits, Seq("nprobe"), "left").crossJoin(tot).select(
+        lit(cb.m).as("m"), lit(cb.ksub).as("ksub"),
+        lit(16).as("nlist"), col("nprobe"), col("n_exact"),
+        round(coalesce(col("n_ivfpq"), lit(0L)).cast("double") /
+          col("n_exact"), 4).as("recall_ivfpq"),
+        round(coalesce(col("n_refined"), lit(0L)).cast("double") /
+          col("n_exact"), 4).as("recall_refined"))
+        .orderBy(col("nprobe"))
     }, None),
 
     // --- Residual IVF∘PQ recall (faiss `IVFx,PQy` PARITY — faiss encodes
@@ -1140,36 +1163,46 @@ object QueriesLlm {
       val exact = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
         "vec_id", "vec_id", "embedding", 5, "cosine", excludeSelf = true)
         .select(col("query_id"), col("item_id")).localCheckpoint()
-      def hitsOf(approx: DataFrame) =
-        exact.join(approx.select(col("query_id"), col("item_id")),
-          Seq("query_id", "item_id"), "left_semi")
-          .agg(count(lit(1)).as("n"))
       val tot = exact.agg(count(lit(1)).as("n_exact"))
       // residual-encoded catalog built ONCE for all four arms (r19,
       // guide §2.4): the assignment kernel + m residual encodes per row
       // otherwise re-ran per arm in its own crossJoined subtree
       val enc = Some(Similarity.residualEncodedCatalog(e, "vec_id",
         "embedding", idx).localCheckpoint(true))
-      Seq(4, 8).map { nprobe =>
-        val adc = hitsOf(Similarity.clusterPrunedTopKPqResidual(
-          e.filter(col("vec_id") < 50), e, "vec_id", "vec_id", "embedding",
-          5, idx, nprobe = nprobe, excludeSelf = true,
-          encodedItems = enc))
-          .select(col("n").as("n_res"))
-        val refined = hitsOf(Similarity.clusterPrunedTopKPqResidual(
-          e.filter(col("vec_id") < 50), e, "vec_id", "vec_id", "embedding",
-          5, idx, nprobe = nprobe, refineFactor = 10, excludeSelf = true,
-          encodedItems = enc))
-          .select(col("n").as("n_refined"))
-        adc.crossJoin(refined).crossJoin(tot).select(
-          lit(idx.cb.m).as("m"), lit(idx.cb.ksub).as("ksub"),
-          lit(idx.nlist).as("nlist"), lit(nprobe).as("nprobe"),
-          col("n_exact"),
-          round(col("n_res").cast("double") / col("n_exact"), 4)
-            .as("recall_res_adc"),
-          round(col("n_refined").cast("double") / col("n_exact"), 4)
-            .as("recall_res_refined"))
-      }.reduce(_ unionAll _).orderBy(col("nprobe"))
+      // ONE candidate pass for ALL FOUR arms (r20, guide §2.4 — VERDICT
+      // r19 #1): the multi-arm residual shortlist probes once at
+      // max(nprobe) with per-probe-pair LUTs, fans candidates by probe
+      // rank, ranks in one (nprobe, query) window; both refined arms
+      // re-score in one catalog scan.
+      val nprobes = Seq(4, 8)
+      val short = Similarity.clusterPrunedShortlistPqResidualMulti(
+        e.filter(col("vec_id") < 50), e, "vec_id", "vec_id", "embedding",
+        5 * 10, idx, nprobes = nprobes, excludeSelf = true,
+        encodedItems = enc).localCheckpoint(true)
+      val adcTop = short.filter(col("rank") <= 5)
+        .select(col("nprobe"), col("query_id"), col("item_id"))
+      val refTop = Similarity.rerankExactTopK(
+        short.select(col("nprobe"), col("query_id"), col("item_id")),
+        e.filter(col("vec_id") < 50), e, "vec_id", "vec_id", "embedding",
+        5, "cosine", armCols = Seq("nprobe"))
+        .select(col("nprobe"), col("query_id"), col("item_id"))
+      val armed = adcTop.withColumn("__arm", lit("a"))
+        .unionAll(refTop.withColumn("__arm", lit("r")))
+      import s.implicits._
+      val spine = nprobes.toDF("nprobe")
+      val hits = exact.join(armed, Seq("query_id", "item_id"))
+        .groupBy(col("nprobe"))
+        .agg(count(when(col("__arm") === "a", 1)).as("n_res"),
+          count(when(col("__arm") === "r", 1)).as("n_refined"))
+      spine.join(hits, Seq("nprobe"), "left").crossJoin(tot).select(
+        lit(idx.cb.m).as("m"), lit(idx.cb.ksub).as("ksub"),
+        lit(idx.nlist).as("nlist"), col("nprobe"),
+        col("n_exact"),
+        round(coalesce(col("n_res"), lit(0L)).cast("double") /
+          col("n_exact"), 4).as("recall_res_adc"),
+        round(coalesce(col("n_refined"), lit(0L)).cast("double") /
+          col("n_exact"), 4).as("recall_res_refined"))
+        .orderBy(col("nprobe"))
     }, None),
 
     // --- Residual IVF∘PQ on the corpus where the mechanism WORKS (r17
@@ -1217,10 +1250,6 @@ object QueriesLlm {
             t
         }
       }
-      def hitsOf(approx: DataFrame, as: String) =
-        exact.join(approx.select(col("query_id"), col("item_id")),
-          Seq("query_id", "item_id"), "left_semi")
-          .agg(count(lit(1)).as(as))
       val tot = exact.agg(count(lit(1)).as("n_exact"))
       // shared catalogs per arm FAMILY (r19, guide §2.4): the raw arms
       // otherwise each re-seed + 2-Lloyd-refine centroids and re-encode
@@ -1232,26 +1261,48 @@ object QueriesLlm {
       }
       val resEnc = Some(Similarity.residualEncodedCatalog(e, "vec_id",
         "embedding", idx).localCheckpoint(true))
-      val rawAdc = hitsOf(Similarity.clusterPrunedTopKPq(queries, e,
-        "vec_id", "vec_id", "embedding", k, cbRaw, nlist = nlist,
-        nprobe = nprobe, refineIters = lloyd, excludeSelf = true,
-        prepared = rawPrepped),
-        "n_raw_adc")
-      val resAdc = hitsOf(Similarity.clusterPrunedTopKPqResidual(
-        queries, e, "vec_id", "vec_id", "embedding", k, idx,
-        nprobe = nprobe, excludeSelf = true, encodedItems = resEnc),
-        "n_res_adc")
-      val rawRef = hitsOf(Similarity.clusterPrunedTopKPq(queries, e,
-        "vec_id", "vec_id", "embedding", k, cbRaw, nlist = nlist,
-        nprobe = nprobe, refineIters = lloyd, refineFactor = 10,
-        excludeSelf = true, prepared = rawPrepped), "n_raw_ref")
-      val resRef = hitsOf(Similarity.clusterPrunedTopKPqResidual(
-        queries, e, "vec_id", "vec_id", "embedding", k, idx,
-        nprobe = nprobe, refineFactor = 10, excludeSelf = true,
-        encodedItems = resEnc),
-        "n_res_ref")
-      rawAdc.crossJoin(resAdc).crossJoin(rawRef).crossJoin(resRef)
-        .crossJoin(tot).select(
+      // ONE candidate pass per arm FAMILY (r20, guide §2.4 — VERDICT r19
+      // #1): each family's adc top-k is the rank ≤ k prefix of its
+      // k·refineFactor shortlist (same deterministic window), so the raw
+      // and residual pipelines each score candidates ONCE, one union
+      // checkpoint materializes both, and BOTH refined arms re-score in
+      // one catalog scan. The old shape ran 4 candidate passes + 2
+      // rescore scans.
+      val shortAll = Similarity.clusterPrunedShortlistPqMulti(queries, e,
+        "vec_id", "vec_id", "embedding", k * 10, cbRaw, nlist = nlist,
+        nprobes = Seq(nprobe), refineIters = lloyd, excludeSelf = true,
+        prepared = rawPrepped)
+        .select(col("query_id"), col("rank"), col("item_id"))
+        .withColumn("__fam", lit("raw"))
+        .unionAll(Similarity.clusterPrunedShortlistPqResidualMulti(
+          queries, e, "vec_id", "vec_id", "embedding", k * 10, idx,
+          nprobes = Seq(nprobe), excludeSelf = true,
+          encodedItems = resEnc)
+          .select(col("query_id"), col("rank"), col("item_id"))
+          .withColumn("__fam", lit("res")))
+        .localCheckpoint(true)
+      val adcTop = shortAll.filter(col("rank") <= k)
+        .select(col("__fam"), col("query_id"), col("item_id"))
+      val refTop = Similarity.rerankExactTopK(
+        shortAll.select(col("__fam"), col("query_id"), col("item_id")),
+        queries, e, "vec_id", "vec_id", "embedding", k, "cosine",
+        armCols = Seq("__fam"))
+        .select(col("__fam"), col("query_id"), col("item_id"))
+      val armed = adcTop.withColumn("__arm", lit("a"))
+        .unionAll(refTop.withColumn("__arm", lit("r")))
+      // one inner join + ONE global aggregate counts all four arms (each
+      // arm unique on (query_id, item_id) — the r19 fold law)
+      val hits = exact.join(armed, Seq("query_id", "item_id"))
+        .agg(
+          count(when(col("__fam") === "raw" && col("__arm") === "a", 1))
+            .as("n_raw_adc"),
+          count(when(col("__fam") === "res" && col("__arm") === "a", 1))
+            .as("n_res_adc"),
+          count(when(col("__fam") === "raw" && col("__arm") === "r", 1))
+            .as("n_raw_ref"),
+          count(when(col("__fam") === "res" && col("__arm") === "r", 1))
+            .as("n_res_ref"))
+      hits.crossJoin(tot).select(
           lit(16).as("m"), lit(64).as("ksub"), lit(nlist).as("nlist"),
           lit(nprobe).as("nprobe"), lit(lloyd).as("lloyd"),
           col("n_exact"),

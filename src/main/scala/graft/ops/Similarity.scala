@@ -1249,6 +1249,115 @@ object Similarity {
     }
   }
 
+  /** Multi-operating-point ADC shortlist over ONE candidate pass (r20,
+    * guide §2.4 — VERDICT r19 next #1): a recall harness measuring several
+    * `nprobe` points of the SAME index previously built one probe window +
+    * one LUT broadcast + one codes-catalog scan + one rank window PER ARM
+    * (separate crossJoined subtrees share nothing). Here the probe runs
+    * once at max(nprobes) KEEPING each centroid's probe rank `__rn`; every
+    * candidate then fans into exactly the arms whose nprobe admits it
+    * (`nprobe >= __rn` — the probe window's (distance, centroid_id) order
+    * is deterministic, so arm np's candidate set is the __rn ≤ np prefix,
+    * bit-identical to a solo run at that nprobe), and ONE window ranked
+    * per (nprobe, query) yields each arm's ADC shortlist. Returns
+    * (nprobe, query_id, rank, item_id, score) for rank ≤ shortK; for any
+    * np in `nprobes`, filter(nprobe = np && rank ≤ k) equals
+    * [[clusterPrunedTopKPq]](…, nprobe = np, refineFactor = 0) at k ≤
+    * shortK (differential pin in VectorSpec). Feed rank ≤ k·refineFactor
+    * to [[rerankExactTopK]] for the refined arms. */
+  def clusterPrunedShortlistPqMulti(queries: DataFrame, items: DataFrame,
+                                    queryId: String, itemId: String,
+                                    vecCol: String, shortK: Int,
+                                    cb: PqCodebook, nlist: Int,
+                                    nprobes: Seq[Int], seed: Long = 42,
+                                    refineIters: Int = 0,
+                                    excludeSelf: Boolean = false,
+                                    prepared: Option[(DataFrame, DataFrame)] =
+                                      None): DataFrame = {
+    require(shortK >= 1, s"clusterPrunedShortlistPqMulti: shortK=$shortK")
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1) &&
+      nprobes.distinct.length == nprobes.length,
+      s"clusterPrunedShortlistPqMulti: nprobes=$nprobes")
+    def prep(df: DataFrame, idC: String, outId: String, outVec: String) =
+      if (cb.metric == "cosine")
+        normalized(df.select(col(idC).as(outId), col(vecCol).as(outVec)),
+          outVec, outVec)
+      else df.select(col(idC).as(outId), col(vecCol).as(outVec))
+    val (centroids, itemsC) = prepared.getOrElse(
+      pqPrunedCatalog(items, itemId, vecCol, cb, nlist, seed, refineIters))
+    val q0 = prep(queries, queryId, "query_id", "__qv")
+    val maxProbe = nprobes.max
+    val qProbe = {
+      val scored = q0.crossJoin(broadcast(centroids))
+        .withColumn("__d", l2Distance(col("__qv"), col("centroid_vec")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("__d"), col("centroid_id"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= maxProbe)
+        .select(col("query_id"), col("centroid_id"), col("__rn"))
+    }
+    val qLut = q0.withColumn("__lut", pqLut(col("__qv"), cb))
+      .select(col("query_id"), col("__lut"))
+    val cand0 = itemsC.join(broadcast(qProbe), Seq("centroid_id"))
+      .join(broadcast(qLut), Seq("query_id"))
+    val cand =
+      if (excludeSelf) cand0.filter(col("query_id") =!= col("item_id"))
+      else cand0
+    val npLit = array(nprobes.sorted.map(lit(_)): _*)
+    val armed = cand
+      .withColumn("__d", pqAdcDist(col("__lut"), col("__codes"), cb.ksub))
+      .withColumn("score",
+        if (cb.metric == "cosine") lit(1.0) - col("__d") / 2.0
+        else -col("__d"))
+      .withColumn("nprobe",
+        explode(filter(npLit, np => np >= col("__rn"))))
+      .select(col("nprobe"), col("query_id"), col("item_id"), col("score"))
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("score").desc, col("item_id"))
+    armed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= shortK)
+      .select(col("nprobe"), col("query_id"), col("rank"), col("item_id"),
+        col("score"))
+  }
+
+  /** Exact re-rank of an ADC shortlist — the [[pqTopKRefined]] /
+    * refineFactor tail factored out so a MULTI-ARM harness re-scores every
+    * arm's shortlist in ONE catalog scan + one broadcast (r20, guide
+    * §2.4): `short` carries (armCols…, query_id, item_id); full vectors
+    * never shuffle (candidates + their query vectors are the broadcast
+    * build, the item scan streams). Returns (armCols…, query_id, rank,
+    * item_id, score) with rank ≤ k per (armCols…, query_id) and `score`
+    * the exact metric score — for a single arm this is bit-identical to
+    * the refineFactor branch of the single-arm functions (ranked by
+    * (score desc, item_id), same expression tree). */
+  def rerankExactTopK(short: DataFrame, queries: DataFrame,
+                      items: DataFrame, queryId: String, itemId: String,
+                      vecCol: String, k: Int, metric: String,
+                      armCols: Seq[String] = Nil): DataFrame = {
+    require(metric == "cosine" || metric == "l2",
+      s"rerankExactTopK: metric=$metric")
+    def prep(df: DataFrame, idC: String, outId: String, outVec: String) =
+      if (metric == "cosine")
+        normalized(df.select(col(idC).as(outId), col(vecCol).as(outVec)),
+          outVec, outVec)
+      else df.select(col(idC).as(outId), col(vecCol).as(outVec))
+    val q = prep(queries, queryId, "query_id", "__qv")
+    // evalBarrier: the normalize projection streams against a
+    // multi-match broadcast probe — deferred eval re-runs it per match
+    val it = evalBarrier(prep(items, itemId, "item_id", "__iv"))
+    val candQ = broadcast(short.join(q, Seq("query_id")))
+    val scored = it.join(candQ, Seq("item_id"))
+      .withColumn("score",
+        if (metric == "cosine") vecDotNative(col("__qv"), col("__iv"))
+        else -l2Distance(col("__qv"), col("__iv")))
+    val w = Window.partitionBy((armCols :+ "query_id").map(col): _*)
+      .orderBy(col("score").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(armCols.map(col) ++
+        Seq(col("query_id"), col("rank"), col("item_id"), col("score")): _*)
+  }
+
   /** [[pqEncode]] minus the normalization — for callers that already hold
     * the metric-normalized vector column (the IVF∘PQ path normalizes once
     * and feeds both centroid assignment and encoding). */
@@ -1718,5 +1827,75 @@ object Similarity {
         .filter(col("rank") <= k)
         .select(col("query_id"), col("rank"), col("item_id"), col("score"))
     }
+  }
+
+  /** Residual twin of [[clusterPrunedShortlistPqMulti]] (r20, guide §2.4):
+    * several `nprobe` operating points of the SAME residual IVF∘PQ index
+    * shortlisted in ONE candidate pass. The per-PROBE-PAIR LUT (the
+    * residual-PQ law) is built once on the max(nprobes) probe frame with
+    * the probe rank `__rn` kept; each candidate fans into the arms whose
+    * nprobe admits its probe rank, then ONE (nprobe, query) window ranks
+    * every arm. filter(nprobe = np && rank ≤ k) equals
+    * [[clusterPrunedTopKPqResidual]](…, nprobe = np, refineFactor = 0)
+    * at k ≤ shortK (differential pin in VectorSpec); feed rank ≤
+    * k·refineFactor to [[rerankExactTopK]] for the refined arms. */
+  def clusterPrunedShortlistPqResidualMulti(queries: DataFrame,
+                                            items: DataFrame,
+                                            queryId: String, itemId: String,
+                                            vecCol: String, shortK: Int,
+                                            idx: IvfPqIndex,
+                                            nprobes: Seq[Int],
+                                            excludeSelf: Boolean = false,
+                                            encodedItems: Option[DataFrame] =
+                                              None): DataFrame = {
+    require(shortK >= 1,
+      s"clusterPrunedShortlistPqResidualMulti: shortK=$shortK")
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1) &&
+      nprobes.distinct.length == nprobes.length,
+      s"clusterPrunedShortlistPqResidualMulti: nprobes=$nprobes")
+    val cb = idx.cb
+    val spark = queries.sparkSession
+    def prep(df: DataFrame, idC: String, outId: String, outVec: String) =
+      if (idx.metric == "cosine")
+        normalized(df.select(col(idC).as(outId), col(vecCol).as(outVec)),
+          outVec, outVec)
+      else df.select(col(idC).as(outId), col(vecCol).as(outVec))
+    val cents = centroidFrame(spark, idx.centVecs)
+    val itemsC = encodedItems.getOrElse(
+      residualEncodedCatalog(items, itemId, vecCol, idx))
+    val q0 = prep(queries, queryId, "query_id", "__qv")
+    val maxProbe = nprobes.max
+    val qProbe = {
+      val scored = q0.crossJoin(broadcast(cents))
+        .withColumn("__d", l2Distance(col("__qv"), col("centroid_vec")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("__d"), col("centroid_id"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= maxProbe)
+        .select(col("query_id"), col("centroid_id"), col("__qv"),
+          col("__rn"))
+    }
+    val qLut = qProbe.select(col("query_id"), col("centroid_id"),
+      col("__rn"), pqLutResidual(col("__qv"), col("centroid_id"), idx)
+        .as("__lut"))
+    val cand0 = itemsC.join(broadcast(qLut), Seq("centroid_id"))
+    val cand =
+      if (excludeSelf) cand0.filter(col("query_id") =!= col("item_id"))
+      else cand0
+    val npLit = array(nprobes.sorted.map(lit(_)): _*)
+    val armed = cand
+      .withColumn("__d", pqAdcDist(col("__lut"), col("__codes"), cb.ksub))
+      .withColumn("score",
+        if (idx.metric == "cosine") lit(1.0) - col("__d") / 2.0
+        else -col("__d"))
+      .withColumn("nprobe",
+        explode(filter(npLit, np => np >= col("__rn"))))
+      .select(col("nprobe"), col("query_id"), col("item_id"), col("score"))
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("score").desc, col("item_id"))
+    armed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= shortK)
+      .select(col("nprobe"), col("query_id"), col("rank"), col("item_id"),
+        col("score"))
   }
 }

@@ -772,4 +772,103 @@ class VectorSpec extends AnyFunSuite {
       f"residual ADC $resAdc%.4f should beat raw ADC $rawAdc%.4f on the " +
         "clustered corpus")
   }
+
+  // --- r20 multi-operating-point differential pins (VERDICT r19 #1/#6):
+  //     the one-candidate-pass multi-arm shortlist must be BIT-equal,
+  //     arm by arm, to the single-arm functions it replaces in the r14
+  //     recall rows — including the exact re-rank tail. ---
+
+  private def ranked(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "rank", "item_id", "score")
+      .as[(Long, Int, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+
+  test("clusterPrunedShortlistPqMulti pin: filter(nprobe=np, rank<=k) " +
+    "equals clusterPrunedTopKPq(nprobe=np) exactly, for every arm") {
+    val data = seededVecs(60, 16, 23L)
+    val items = data.toDF("vec_id", "embedding")
+    val queries = data.take(7).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(items, "vec_id", "embedding", m = 4,
+      ksub = 8, refineIters = 1)
+    val multi = Similarity.clusterPrunedShortlistPqMulti(queries, items,
+      "vec_id", "vec_id", "embedding", 20, cb, nlist = 6,
+      nprobes = Seq(2, 4), excludeSelf = true)
+    Seq(2, 4).foreach { np =>
+      val solo = ranked(Similarity.clusterPrunedTopKPq(queries, items,
+        "vec_id", "vec_id", "embedding", 5, cb, nlist = 6, nprobe = np,
+        excludeSelf = true))
+      val arm = ranked(multi.filter(col("nprobe") === np &&
+        col("rank") <= 5))
+      assert(arm === solo, s"nprobe=$np arm diverged from the solo run")
+    }
+  }
+
+  test("clusterPrunedShortlistPqResidualMulti pin: every arm equals the " +
+    "solo clusterPrunedTopKPqResidual run exactly") {
+    val data = seededVecs(60, 16, 29L)
+    val items = data.toDF("vec_id", "embedding")
+    val queries = data.take(7).toDF("vec_id", "embedding")
+    val idx = Similarity.ivfPqTrain(items, "vec_id", "embedding", m = 4,
+      ksub = 8, nlist = 6, pqIters = 1)
+    val multi = Similarity.clusterPrunedShortlistPqResidualMulti(queries,
+      items, "vec_id", "vec_id", "embedding", 20, idx,
+      nprobes = Seq(2, 4), excludeSelf = true)
+    Seq(2, 4).foreach { np =>
+      val solo = ranked(Similarity.clusterPrunedTopKPqResidual(queries,
+        items, "vec_id", "vec_id", "embedding", 5, idx, nprobe = np,
+        excludeSelf = true))
+      val arm = ranked(multi.filter(col("nprobe") === np &&
+        col("rank") <= 5))
+      assert(arm === solo, s"nprobe=$np arm diverged from the solo run")
+    }
+  }
+
+  test("rerankExactTopK pin: re-ranking the k*refineFactor ADC shortlist " +
+    "equals pqTopKRefined / the refineFactor branch exactly") {
+    val data = seededVecs(60, 16, 31L)
+    val items = data.toDF("vec_id", "embedding")
+    val queries = data.take(7).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(items, "vec_id", "embedding", m = 4,
+      ksub = 8, refineIters = 1)
+    val short = Similarity.pqTopK(queries, items, "vec_id", "vec_id",
+      "embedding", 5 * 4, cb, excludeSelf = true)
+      .select(col("query_id"), col("item_id"))
+    val rr = ranked(Similarity.rerankExactTopK(short, queries, items,
+      "vec_id", "vec_id", "embedding", 5, "cosine"))
+    val solo = ranked(Similarity.pqTopKRefined(queries, items, "vec_id",
+      "vec_id", "embedding", 5, cb, refineFactor = 4, excludeSelf = true))
+    assert(rr === solo)
+    // and with an arm column: each arm re-ranked within its own window
+    val armed = short.withColumn("__fam", lit("x"))
+      .unionAll(short.withColumn("__fam", lit("y")))
+    val byArm = Similarity.rerankExactTopK(armed, queries, items,
+      "vec_id", "vec_id", "embedding", 5, "cosine",
+      armCols = Seq("__fam"))
+    Seq("x", "y").foreach { fam =>
+      assert(ranked(byArm.filter(col("__fam") === fam)) === solo,
+        s"arm $fam diverged")
+    }
+  }
+
+  test("fold identity (VERDICT r19 #6): left-join + one aggregate equals " +
+    "semi-join count + separate count IFF both sides are key-unique — " +
+    "duplicate keys overcount, which is WHY uniqueness is load-bearing") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L))
+      .toDF("q", "i")
+    val approx = Seq((1L, 10L), (2L, 10L), (2L, 99L)).toDF("q", "i")
+    def folded(a: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame) =
+      a.join(b.withColumn("__hit", lit(1)), Seq("q", "i"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hits"))
+        .as[(Long, Long)].head()
+    val semi = exact.join(approx, Seq("q", "i"), "left_semi").count()
+    assert(folded(exact, approx) === ((exact.count(), semi)))
+    // negative control: a duplicated approx key fans the left join out
+    val dup = approx.unionAll(Seq((1L, 10L)).toDF("q", "i"))
+    val (nExactDup, nHitsDup) = folded(exact, dup)
+    val semiDup = exact.join(dup, Seq("q", "i"), "left_semi").count()
+    assert(nHitsDup > semiDup && nExactDup > exact.count(),
+      "duplicate keys must break the fold (overcount) — the fold is only " +
+        "valid on key-unique sides")
+  }
 }
