@@ -245,6 +245,12 @@ object QueriesEval {
     ()
   }
 
+  // r20 scratch accessors (stage attribution harness only)
+  private[graft] def c5CatalogForScratch(s: SparkSession, d: String) =
+    c5Catalog(s, d)
+  private[graft] def c5QuantCatalogForScratch(s: SparkSession, d: String) =
+    c5QuantCatalog(s, d)
+
   /** Shared oracle CTE prefix mirroring [[predGt]] relationally. */
   private val EvalCtes: String =
     s"""WITH li AS (SELECT o_custkey AS u, l_partkey AS it, l_shipdate AS sd
@@ -1170,16 +1176,24 @@ object QueriesEval {
         sz(f)
       }
       // Dequantize-on-read is the deal this row prices: the catalog
-      // never exists as floats at rest, so every catalog-side consumer
-      // (centroid assignment, normalization) re-evaluates the per-row
-      // transform — compute traded for the 3.6× memory cut (the leg pays
-      // ~2× c5's float path; a production deployment amortizes by
-      // storing centroid_id WITH the int8 catalog at index-build time).
+      // never exists as floats at rest, so every catalog-side PASS
+      // re-evaluates the per-row transform — compute traded for the
+      // 3.6× memory cut (a production deployment amortizes by storing
+      // centroid_id WITH the int8 catalog at index-build time).
       // Single-pass float math: float lane × float scale, no
-      // double-widening + re-cast.
-      val items = qcat.select(col("item_id"),
+      // double-widening + re-cast. evalBarrier (r20, guide §1.2 step 2
+      // / §4 expression cost): the dequant transform is a non-codegen
+      // higher-order function, and unbarriered it is re-evaluated once
+      // per REFERENCE inside the fused assignment+normalize projection
+      // chain (centroid kernels + norm + scale all cite the array) —
+      // the barrier pins it to exactly once per row per pass. With the
+      // centroid checkpoint in clusterPrunedTopK this took the approx
+      // arm from 5.6 to 3.7 s, parity with c5's float arm (ScratchC5b
+      // V0 vs V3); values are untouched, the row still decodes int8
+      // inside the timed retrieval.
+      val items = Similarity.evalBarrier(qcat.select(col("item_id"),
         transform(col("qvec"), x => x.cast("float") * col("scale"))
-          .as("embedding"))
+          .as("embedding")))
       val nCat = SparkEntry.rowCount(s, d, "embeddings") * 500L
       val nlist = math.max(64L, nCat / 500L).toInt
       val nprobe = math.max(8, nlist / 25)

@@ -299,7 +299,22 @@ object Similarity {
                         seed: Long = 42, refineIters: Int = 0,
                         excludeSelf: Boolean = false,
                         twoLevelNlistAbove: Int = 1000): DataFrame = {
+    // EAGER checkpoint of the nlist-row centroid table (r20, guide §2.4
+    // duplicate-subtree elimination): the seeds subtree ends in a
+    // full-catalog scan (pickCentroids' ordered limit), and unchecked it
+    // EXECUTES once per consumer — the driver collect inside
+    // assignClusters (twice for the two-level form: coarse pick + fine
+    // table) plus qProbe's broadcast build, i.e. 2–3 catalog scans that
+    // all recompute the identical 2 000-row table. Checkpointing holds
+    // nlist rows (config-sized) and leaves every value bit-identical;
+    // measured on c5b's dequantized 1 M-item catalog it is half of the
+    // 5.6 → 3.7 s cut (ScratchC5b V0 vs V3). Eager, not lazy — the lazy
+    // form deadlocks under concurrent materialization (r18, see
+    // refineCentroids). refineCentroids' own output is already
+    // checkpointed per round; seeding it with the checkpointed frame
+    // also spares iteration 1's second scan of the seed subtree.
     val seeds = pickCentroids(items, itemId, vecCol, nlist, seed)
+      .localCheckpoint(true)
     val centroids =
       if (refineIters > 0) refineCentroids(items, vecCol, seeds, refineIters)
       else seeds
@@ -525,7 +540,11 @@ object Similarity {
                         twoLevelNlistAbove: Int = 1000,
                         multiProbe: Int = 1): DataFrame = {
     require(multiProbe >= 1, s"embeddingNearDups: multiProbe=$multiProbe")
+    // same eager nlist-row checkpoint as clusterPrunedTopK (r20): the
+    // two-level assignment otherwise re-runs the full-scan pick subtree
+    // for each of its two driver collects
     val centroids = pickCentroids(df, idCol, vecCol, nlist, seed)
+      .localCheckpoint(true)
     val ided = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val flat =
       if (nlist > twoLevelNlistAbove)
