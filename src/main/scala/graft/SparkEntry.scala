@@ -19,8 +19,37 @@ import graft.sources.SyntheticData
   */
 object SparkEntry {
 
-  private[graft] def T(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  private[graft] def T(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // Scan-parallelism floor for the CPU-DENSE payload tables (r20, guide
+    // §2 "make partitioning scale-adaptive — derive from input size" and
+    // §6 minPartitionNum): documents/embeddings rows are tiny on disk but
+    // carry text/vector payloads whose downstream per-row compute
+    // (tokenize, shingle, hash, BPE replace, per-lane float math) is
+    // orders of magnitude above scan cost, and the testdata files are
+    // single-row-group parquet — bytes-based split sizing therefore runs
+    // that compute on ONE task while the rest of the box idles (measured:
+    // c4_text_features spent 3.4 of its 3.9 s in two single-task stages;
+    // d_containment 3.3 of 4.6 s). The floor is CONDITIONAL on the
+    // byte-derived split count, so at any real scale (file bytes >>
+    // cores × maxPartitionBytes) it is a no-op and adds no shuffle; the
+    // relational tables are excluded because their queries reach a
+    // parallelizing exchange within one cheap projection of the scan.
+    // Filters/pruning push through a Repartition node, so PushedFilters
+    // at the scan are unchanged.
+    if (name == "documents" || name == "embeddings") {
+      val want = s.sparkContext.defaultParallelism
+      val f = new java.io.File(s"$dir/$name.parquet")
+      val bytes =
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
+            .getOrElse(0L)
+        else f.length()
+      val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
+      val scanParts = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+      if (scanParts < want) df.repartition(want) else df
+    } else df
+  }
 
   /** Memoized table row count, keyed by parquet path. Sizing decisions
     * (e.g. corpus-proportional nlist in `d_embedding_neardup`) need a

@@ -731,9 +731,22 @@ object Dedup {
       .select((Seq(col(idCol), col("__tok")) ++ bucketCols.map(col)): _*)
     val p1 = prefix.withColumnRenamed(idCol, "id1")
     val p2 = prefix.withColumnRenamed(idCol, "id2")
+    // Explicit fixed-width exchange before the verify stage (r20 — the
+    // editSimilarityPairs device, guide §2.5): candidate pairs are a few
+    // MB, so AQE's bytes-based coalescing folds the downstream
+    // array_intersect verify join onto 1–2 tasks while the work is
+    // per-PAIR token-array intersection (measured: d_containment spent
+    // 2.8 of 4.6 s in two single-task verify stages). REPARTITION_BY_NUM
+    // pins the width; placed BEFORE the distinct so the dedup aggregate
+    // reuses the same exchange (hash(id1,id2) satisfies its clustering)
+    // and the verify join runs in the pinned-width stage.
+    val nPart =
+      prefix.sparkSession.sessionState.conf.defaultNumShufflePartitions
     val cand = p1.join(p2, joinKeys)
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
+      .select(col("id1"), col("id2"))
+      .repartition(nPart, col("id1"), col("id2"))
+      .distinct()
     (prefix, cand)
   }
 
@@ -794,11 +807,16 @@ object Dedup {
     val fullSide = exploded
       .select((Seq(col(idCol).as("__idl"), col("__n").as("__nl"),
         col("__tok")) ++ bucketCols.map(col)): _*)
+    // same explicit fixed-width exchange as jaccardPrefixCandidates (r20):
+    // pin the verify join's width against AQE's bytes-based coalescing
+    val nPart =
+      prefix.sparkSession.sessionState.conf.defaultNumShufflePartitions
     val cand = prefix.join(fullSide, joinKeys)
       .filter(col("__ns") < col("__nl") ||
         (col("__ns") === col("__nl") && col("__ids") =!= col("__idl")))
       .select(least(col("__ids"), col("__idl")).as("__ida"),
         greatest(col("__ids"), col("__idl")).as("__idb"))
+      .repartition(nPart, col("__ida"), col("__idb"))
       .distinct()
     val f1 = toks.select(col(idCol).as("__ida"), col("__t").as("__ta"))
     val f2 = toks.select(col(idCol).as("__idb"), col("__t").as("__tb"))

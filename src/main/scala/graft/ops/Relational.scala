@@ -494,8 +494,27 @@ object Relational {
                maxPairsPerBucket: Long = 10000000L): DataFrame = {
     require(delta > 0, "bandJoin needs a positive delta")
     val b = floor(col(valCol) / delta).cast("long")
+    // Repartition the PROBE side by the bucket key (r20, guide §2.5/§2.6):
+    // the replica side broadcasts, so the probe inherits the SCAN's split
+    // count — and a band join's work is its CANDIDATE volume (quadratic in
+    // bucket depth), which bytes-based split sizing cannot see. Measured
+    // on j11_band_join at sf0.1: part.parquet is one 20 K-row split with
+    // ~100 rows per 0.5-bucket, so ~2M same-bucket candidates streamed on
+    // ONE task (~1.4 s/pass × 2 passes — the orderBy's range sampler runs
+    // the probe subtree twice) while 31 cores idled. Hashing on __b
+    // spreads probes across the cluster at any scale; the exchange moves
+    // only (id, v, bucket) rows — strictly smaller than the candidate
+    // stream it parallelizes wherever a fixed-δ band join is viable at
+    // all (dense-value corpora must use bandJoinNearestK regardless — the
+    // density guard below still fires first). The partition count is
+    // EXPLICIT (cluster-sized via spark.sql.shuffle.partitions): a
+    // keyed repartition without a count is AQE-coalescible, and AQE's
+    // bytes-based coalescing folded these ~500 KB of probe rows straight
+    // back onto one task (measured — same two single-task stages).
     val left = df.select(col(idCol).as("id1"), col(valCol).as("v1"),
       b.as("__b"))
+      .repartition(df.sparkSession.sessionState.conf.defaultNumShufflePartitions,
+        col("__b"))
     val right = df.select(col(idCol).as("id2"), col(valCol).as("v2"),
       b.as("__ob"),
       explode(array(b, b + 1)).as("__b"))

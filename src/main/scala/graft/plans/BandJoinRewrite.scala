@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project, RepartitionByExpression}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -41,7 +41,22 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
         case Some((lv, rv)) =>
           val delta = Literal(d, DoubleType)
           val bl = Alias(Floor(Divide(lv, delta)), "__band_l")()
-          val leftB = Project(left.output :+ bl, left)
+          // Repartition the probe side by the band key (r20 — the
+          // Relational.bandJoin rationale verbatim): the replica side
+          // broadcasts, so without this the probe runs at the SCAN's
+          // split parallelism while candidate volume (quadratic in
+          // bucket depth) is the actual work — measured 2 s + 3 s
+          // single-task stages on j11b_band_rule at sf0.1. Hash on the
+          // bucket key spreads probes at any scale; rows moved are the
+          // pre-explode probe side, strictly smaller than the candidate
+          // stream wherever a fixed-δ band join is viable. The count is
+          // EXPLICIT (cluster-sized, spark.sql.shuffle.partitions): a
+          // countless keyed repartition is AQE-coalescible and the
+          // bytes-based coalescer folds the small probe rows back onto
+          // one task (measured), blind to the quadratic probe work.
+          val leftB = RepartitionByExpression(Seq(bl.toAttribute),
+            Project(left.output :+ bl, left),
+            Some(conf.defaultNumShufflePartitions))
           val br = Floor(Divide(rv, delta))
           val one = Literal(1L, LongType)
           // Neighbor buckets are computed on CLAMPED copies of br: at the
