@@ -106,9 +106,17 @@ object QueriesEval {
             x => !array_contains(col("__excl"), x))).as("pred"))
     val gt = test.groupBy(col("u"))
       .agg(sort_array(collect_set(col("it"))).as("gt"))
+    // Explicit-width tail exchange (r20, guide §2.5): this frame is
+    // persisted and every eval row's per-user metric projection (ndcg/map
+    // over 100-element arrays × 5 ks) runs at the CACHED partition count —
+    // AQE's bytes-based coalescing folded the tiny per-user rows onto 2
+    // tasks (measured: e_ndcg_mrr_ap spent 3.4 s of single-digit-task CPU
+    // in the metric stages). REPARTITION_BY_NUM pins the cached width to
+    // the cluster-sized shuffle-partition knob.
     gt.join(pred, Seq("u"), "left")
       .withColumn("pred",
         coalesce(col("pred"), array().cast(pred.schema("pred").dataType)))
+      .repartition(s.sessionState.conf.defaultNumShufflePartitions, col("u"))
   }
 
   /** [[predGt]] memoized + persisted per (session, dir): the eval tranche

@@ -1687,7 +1687,16 @@ object SparkEntry {
     //     join+aggregate rounds, shuffles on node id only; oracle = the
     //     same three iterations as SQL CTEs, rounded once at the end ---
     ("g1_pagerank", (s, d) => {
+      // Explicit-width basket key exchange (r20, guide §2.5): the co-occur
+      // self-join + pair fan-out + distinct partial agg is the row's
+      // dominant stage (~2.5–3 s of CPU) and AQE's bytes-based coalescing
+      // ran it on 3 tasks — the per-order pair generation is quadratic in
+      // basket size, work the byte coalescer can't see. One pinned
+      // exchange co-partitions BOTH sides of the self-join (same frame),
+      // so the join itself adds no further shuffle.
       val li = T(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .repartition(s.sessionState.conf.defaultNumShufflePartitions,
+          col("l_orderkey"))
       val e = li.join(li.withColumnRenamed("l_partkey", "p2"), Seq("l_orderkey"))
         .filter(col("l_partkey") =!= col("p2"))
         .select(col("l_partkey").as("src"), col("p2").as("dst"))
@@ -1706,7 +1715,10 @@ object SparkEntry {
     //     unrolled form at k ≤ 10 and PrScaleRun measures flat s/step to
     //     k = 50 at sf1 (BENCH_SF10.md r14 addendum). ---
     ("g1b_pagerank_ckpt", (s, d) => {
+      // same explicit-width basket key exchange as g1_pagerank (r20)
       val li = T(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .repartition(s.sessionState.conf.defaultNumShufflePartitions,
+          col("l_orderkey"))
       val e = li.join(li.withColumnRenamed("l_partkey", "p2"), Seq("l_orderkey"))
         .filter(col("l_partkey") =!= col("p2"))
         .select(col("l_partkey").as("src"), col("p2").as("dst"))

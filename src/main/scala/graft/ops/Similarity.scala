@@ -172,11 +172,24 @@ object Similarity {
     * and the same contract as the numBuckets-bounded store-pruning
     * collects). Sorted by id so the reference arrays are deterministic
     * regardless of collect order. */
+  /** Hard ceiling for any driver-collected centroid-table-shaped frame
+    * (r20, VERDICT r19 #9): nlist is config-sized by every caller's
+    * contract (n/500–n/1000 sizing rules top out in the thousands); 2²⁰
+    * ids is ~3 orders of magnitude above any real config and ~100 MB of
+    * vectors — past it the collect is a bug, not a configuration. */
+  private[graft] val MaxCollectedCentroids: Int = 1 << 20
+
   private def collectCentroids(
       centroids: DataFrame): (Array[Long], Array[Array[Double]]) = {
+    // BOUNDED collect, RUNTIME-ENFORCED (r20): limit-gated at the shared
+    // ceiling so an accidentally data-sized "centroid" frame fails loudly
+    // instead of OOMing the driver.
     val rows = centroids
       .select(col("centroid_id").cast("long"), col("centroid_vec"))
-      .collect().sortBy(_.getLong(0))
+      .limit(MaxCollectedCentroids + 1).collect().sortBy(_.getLong(0))
+    require(rows.length <= MaxCollectedCentroids,
+      s"collectCentroids: centroid table exceeds the config-sized bound " +
+        s"($MaxCollectedCentroids rows)")
     val ids = rows.map(_.getLong(0))
     val vecs = rows.map(_.getSeq[Any](1).map {
       case f: java.lang.Float => f.toDouble
@@ -854,11 +867,22 @@ object Similarity {
       train: DataFrame, test: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val trn = deconTrain(train, idCol, vecCol)
-    // BOUNDED collect by dispatch contract: the public path reaches here
-    // only through the rowCap limit-probe above (nlist = 0 auto), so the
-    // test side is at most rowCap rows; direct callers are the
-    // differential spec and callers who pinned the exact path knowingly.
-    exactScoreFromRows(trn, deconTest(test, vecCol).collect(), idCol)
+    // BOUNDED collect, now RUNTIME-ENFORCED (r20, VERDICT r19 #9): the
+    // public path reaches here only through the rowCap limit-probe above
+    // (nlist = 0 auto), but direct callers used to be review-trusted. The
+    // same byte-derived rowCap is asserted here via a limit-gated collect,
+    // so a test side past the exact-path budget fails loudly instead of
+    // OOMing the driver.
+    val tn = deconTest(test, vecCol)
+    val dim = tn.limit(1).collect().headOption
+      .map(_.getSeq[Any](0).length).getOrElse(1)
+    val rowCap = math.max(1, (ExactDeconByteCap / (dim.toLong * 8L)).toInt)
+    val got = tn.limit(rowCap + 1).collect()
+    require(got.length <= rowCap,
+      s"semanticDecontaminateExact: test side exceeds the exact-path " +
+        s"budget ($rowCap rows at dim=$dim) — use semanticDecontaminate " +
+        "(auto-dispatch) or a blocked nlist > 0")
+    exactScoreFromRows(trn, got, idCol)
       .select(col(idCol), round(col("__rawmax"), 6).as("max_sim"))
       .withColumn("contaminated",
         coalesce(col("max_sim") >= threshold, lit(false)))
@@ -1544,12 +1568,18 @@ object Similarity {
                           excludeSelf: Boolean = false): DataFrame = {
     // centroid_id is IntegerType or LongType depending on the producer
     // (a parquet partition dir reads back as int) — collect numerically.
-    // BOUNDED collect: distinct probed ids ≤ min(nlist, requests·nprobe)
-    // rows (the centroid-table bound).
-    val probed = probeNearestCentroids(queries, queryId, vecCol,
+    // BOUNDED collect, RUNTIME-ENFORCED (r20, VERDICT r19 #9): distinct
+    // probed ids ≤ min(nlist, requests·nprobe) rows — the centroid-table
+    // bound, asserted via a limit-gated collect instead of review.
+    val probedRows = probeNearestCentroids(queries, queryId, vecCol,
       centroids, nprobe, metric)
       .select(col("centroid_id").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
+      .limit(MaxCollectedCentroids + 1).collect()
+    require(probedRows.length <= MaxCollectedCentroids,
+      s"servedTopKFromStore: probed centroid set exceeds the " +
+        s"centroid-table bound ($MaxCollectedCentroids) — nlist/nprobe " +
+        "are config-sized by contract")
+    val probed = probedRows.map(_.getLong(0)).toSeq.sorted
     val catalog = graft.streaming.StreamingJobs.ivfServingCatalog(
       queries.sparkSession, basePath, deltaPath, itemId, Some(probed))
     clusterPrunedTopKStored(queries, catalog, queryId, itemId, vecCol, k,
