@@ -1,6 +1,6 @@
 package graft.functions.expr
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -370,4 +370,123 @@ case class SimHashBands(child: Expression, blocks: Seq[(Int, Int, Int)],
 
   override protected def withNewChildInternal(
       newChild: Expression): SimHashBands = copy(child = newChild)
+}
+
+/** OR of the `c` LOWEST-indexed agreeing-block bits between two banded
+  * fingerprints (r20 — the first-witness dedup kernel for uncapped
+  * combination banding): block b agrees when both fingerprints carry the
+  * same `(lane >> off) & mask` value; the result is the bitmask of the c
+  * smallest agreeing block indices, i.e. the block set of the
+  * LEXICOGRAPHICALLY FIRST agreeing c-combo. Constant generated-code
+  * size at any radius (a data loop over the block spec, the
+  * [[SimHashBands]] device — an unrolled expression form overflowed
+  * janino's 64 KB method limit at C(18,3) = 816 combos inside the
+  * shuffled-hash-join consume). Null lanes → null. Inputs: two
+  * array<bigint> lane arrays. */
+case class AgreeLowestMask(left: Expression, right: Expression,
+                           blocks: Seq[(Int, Int, Int)], c: Int)
+    extends BinaryExpression {
+
+  require(blocks.nonEmpty && c >= 1 && c <= blocks.length,
+    s"AgreeLowestMask: c=$c over ${blocks.length} blocks")
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"agree_lowest_mask needs two array<bigint> lane arrays, got " +
+            s"${l.catalogString} / ${r.catalogString}")
+    }
+
+  @transient private lazy val blkLane: Array[Int] = blocks.map(_._1).toArray
+  @transient private lazy val blkOff: Array[Int] = blocks.map(_._2).toArray
+  @transient private lazy val blkMask: Array[Long] = blocks.map { b =>
+    if (b._3 == 64) -1L else (1L << b._3) - 1L
+  }.toArray
+
+  override def nullSafeEval(lv: Any, rv: Any): Any = {
+    val a = lv.asInstanceOf[ArrayData]
+    val b = rv.asInstanceOf[ArrayData]
+    val n = blkLane.length
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(blkLane(i)) || b.isNullAt(blkLane(i))) return null
+      i += 1
+    }
+    var agree = 0L
+    i = 0
+    while (i < n) {
+      val off = blkOff(i); val m = blkMask(i); val ln = blkLane(i)
+      if (((a.getLong(ln) >> off) & m) == ((b.getLong(ln) >> off) & m))
+        agree |= 1L << i
+      i += 1
+    }
+    var ideal = 0L
+    var k = 0
+    while (k < c && agree != 0L) {
+      val low = agree & -agree
+      ideal |= low
+      agree ^= low
+      k += 1
+    }
+    java.lang.Long.valueOf(ideal)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val laneRef = ctx.addReferenceObj("almLane", blkLane, "int[]")
+    val offRef = ctx.addReferenceObj("almOff", blkOff, "int[]")
+    val maskRef = ctx.addReferenceObj("almMask", blkMask, "long[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ln = ctx.freshName("ln")
+      val of = ctx.freshName("of")
+      val mk = ctx.freshName("mk")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val agree = ctx.freshName("agree")
+      val ideal = ctx.freshName("ideal")
+      val low = ctx.freshName("low")
+      val anyNull = ctx.freshName("anyNull")
+      val n = blkLane.length
+      s"""
+         |int[] $ln = $laneRef;
+         |int[] $of = $offRef;
+         |long[] $mk = $maskRef;
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($ln[$i]) || $b.isNullAt($ln[$i])) {
+         |    $anyNull = true; break;
+         |  }
+         |}
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $agree = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ((($a.getLong($ln[$i]) >> $of[$i]) & $mk[$i]) ==
+         |        (($b.getLong($ln[$i]) >> $of[$i]) & $mk[$i])) {
+         |      $agree |= 1L << $i;
+         |    }
+         |  }
+         |  long $ideal = 0L;
+         |  for (int $k = 0; $k < $c && $agree != 0L; $k++) {
+         |    long $low = $agree & -$agree;
+         |    $ideal |= $low;
+         |    $agree ^= $low;
+         |  }
+         |  ${ev.value} = $ideal;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AgreeLowestMask =
+    copy(left = newLeft, right = newRight)
 }

@@ -1023,6 +1023,46 @@ object Dedup {
       maxBucketSize)
   }
 
+  /** Lex-first-witness predicate for UNCAPPED banded self-joins (r20,
+    * guide §2.3 "shuffle fewer bytes"): with combination banding, a
+    * surviving pair is emitted once per AGREEING block combo — a
+    * hamming-h pair agrees on (numBlocks − h) blocks, so low-hamming
+    * near-dups are re-emitted C(agree, c) ≈ tens of times, and ALL of it
+    * crosses the distinct()'s exchange (measured at sf1: ~10⁹ emission
+    * rows ≈ 2 000 CPU-seconds of shuffle for 20.3 M distinct pairs).
+    * When no bucket cap drops members, every fingerprint posts to every
+    * combo, so the pair's witnessing combos are EXACTLY the combos whose
+    * blocks all agree — and the lexicographically first of those is the
+    * combo whose block set is the c lowest agreeing block indices. This
+    * predicate keeps a surviving row iff its combo IS that first
+    * witness: each pair then crosses the exchange exactly once. Pure
+    * bit-ops per surviving row (one shift/mask compare per block + c
+    * lowest-set-bit extractions), evaluated only on candidates that
+    * already passed the hamming filter. NOT valid for capped banding —
+    * a cap can evict a member from the lex-first agreeing bucket while
+    * the pair still meets in a later one, so the capped path keeps the
+    * witness-redundant distinct. `lanes(i)` = the pair's i-th 64-bit
+    * lane columns; `blocks` as in the callers ((lane, offset, width));
+    * the hamming ≤ maxHamming filter upstream guarantees ≥ c agreeing
+    * blocks (the pigeonhole bound), so the c extractions never run dry. */
+  private def firstWitnessPredicate(blocks: Seq[(Int, Int, Int)],
+                                    combos: Seq[Seq[Int]],
+                                    lanesA: Column, lanesB: Column,
+                                    blockCol: Column): Column = {
+    // The agree-mask is a NATIVE kernel (AgreeLowestMask — the
+    // SimHashBands constant-code-size device): an unrolled per-block
+    // expression chain overflowed janino's 64 KB method limit inside the
+    // shuffled-hash-join consume at the C(18,3) = 816-combo geometry
+    // (DedupTextSpec's no-fallback pin caught it).
+    val comboMasks = combos.map(_.map(b => 1L << b).sum).toArray
+    val ideal = ColumnBridge.column(
+      graft.functions.expr.AgreeLowestMask(
+        ColumnBridge.expression(lanesA),
+        ColumnBridge.expression(lanesB),
+        blocks, combos.head.length))
+    element_at(typedlit(comboMasks), (blockCol + 1).cast("int")) === ideal
+  }
+
   /** The banded near-dup pipeline over an arbitrary PRECOMPUTED 64-bit
     * fingerprint column — everything [[simHashNearDups]] does after the
     * SimHash itself (pigeonhole banding, hot-group handling, optional
@@ -1104,12 +1144,26 @@ object Dedup {
     // be 10-100× the uniform estimate (measured 4.3×10⁸ at 50 K docs
     // for the 128-bit form); a distinct-first ordering shuffles all of
     // them.
+    // SHUFFLE_HASH build on the left side — same rationale as the 128-bit
+    // form's salted join (r20, guide §3.1): sort-merge buffers each
+    // duplicate-key bucket and sorts both banded sides for no benefit.
     val fpPairs = banded.select(col("fp").as("fp1"), col("block"), col("key"))
+      .hint("shuffle_hash")
       .join(banded.select(col("fp").as("fp2"), col("block"), col("key")),
         Seq("block", "key"))
       .filter(col("fp1") < col("fp2"))
       .withColumn("hamming", hamming64(col("fp1"), col("fp2")))
       .filter(col("hamming") <= maxHamming)
+      // Uncapped: keep each surviving pair only at its lex-first agreeing
+      // combo (see firstWitnessPredicate) — the distinct then dedupes
+      // nothing and its exchange carries each pair once instead of once
+      // per witnessing combo. Capped banding keeps the redundant form
+      // (a cap can evict the first witness).
+      .transform(df =>
+        if (maxBucketSize <= 0)
+          df.filter(firstWitnessPredicate(blocks, combos,
+            array(col("fp1")), array(col("fp2")), col("block")))
+        else df)
       .select("fp1", "fp2", "hamming").distinct()
     // Expand distinct-fp pairs to member id pairs (g1 × g2 — the output
     // size itself, nothing more).
@@ -1288,7 +1342,17 @@ object Dedup {
     // same pair witnessed by up to C(18,2) combos), not for the skewed
     // candidate volume. Pair order is signed-lexicographic on (l0, l1),
     // matching the struct order of the identical-fp branch.
-    val fpPairs = left
+    // SHUFFLE_HASH on the LEFT/build side (r20, guide §3.1): the planner's
+    // default sort-merge buffers every duplicate-key group of the replica
+    // side per key (hot buckets run to 10³–10⁴ rows) and sorts both
+    // multi-million-row banded sides — measured ~1 700 CPU-seconds for
+    // the sf1 candidate enumeration, and the strategy was RUN-VOLATILE
+    // (same build, same data: 35.9 s vs 102.5 s bench legs). The left
+    // side is the right build: exactly one row per banded entry, with
+    // per-(block,key,cell) depth ≤ saltTau by construction, so the
+    // per-partition hash relation is bounded; the replicated right side
+    // streams and probes. Values are join-strategy-independent.
+    val fpPairs = left.hint("shuffle_hash")
       .join(right, Seq("block", "key", "__cell"))
       .filter(col("a0") < col("b0") ||
         (col("a0") === col("b0") && col("a1") < col("b1")))
@@ -1296,6 +1360,17 @@ object Dedup {
         (bit_count(col("a0").bitwiseXOR(col("b0"))) +
           bit_count(col("a1").bitwiseXOR(col("b1")))).cast("int"))
       .filter(col("hamming") <= maxHamming)
+      // Uncapped: keep each surviving pair only at its lex-first agreeing
+      // combo (firstWitnessPredicate) — measured at sf1, the distinct's
+      // exchange otherwise carries ~10⁹ witness-redundant emission rows
+      // for 20.3 M distinct pairs. Capped banding keeps the redundant
+      // form (a cap can evict the first witness).
+      .transform(df =>
+        if (maxBucketSize <= 0)
+          df.filter(firstWitnessPredicate(blocks, combos,
+            array(col("a0"), col("a1")), array(col("b0"), col("b1")),
+            col("block")))
+        else df)
       .select(struct(col("a0").as("l0"), col("a1").as("l1")).as("fp1"),
         struct(col("b0").as("l0"), col("b1").as("l1")).as("fp2"),
         col("hamming"))
